@@ -1,0 +1,186 @@
+"""CDC apply as DataFrame algebra: upsert / delete / PK-change /
+truncate with per-key last-writer-wins ordering.
+
+This is the Spark re-expression of the reference's apply loop
+(service/PhoenixSyncService.java:234-254 dispatch, :370-465 upsert,
+:425-456 PK-change delete-then-upsert, :473-498 delete, :505-513
+truncate) and of its per-key ordered parallelism: the reference
+partitions rows by ``abs(sum(hash(pk))) % threads`` and applies each
+partition serially on its own connection (:206-220, :609-628), which
+guarantees exactly *last-event-wins per key*. A window
+``partitionBy(pk).orderBy(seq desc)`` keep-last collapses that
+guarantee into one deterministic set-oriented pass (SURVEY.md §3.1).
+
+Scale notes (the whole point):
+  * The window shuffles only the *changes* batch (micro-batch sized),
+    never the accumulated state.
+  * The state is touched by exactly one left_anti join + union; when
+    the changes side is small relative to state (the normal CDC case)
+    we broadcast the touched-key set so the state is NOT shuffled —
+    a map-side anti join over 100 TB of state.
+  * No collect() of data; the only driver-side value is the scalar
+    "seq of last TRUNCATE" aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.operators.schema_sync import align_to_schema
+
+OP_INSERT = "INSERT"
+OP_UPDATE = "UPDATE"
+OP_DELETE = "DELETE"
+OP_TRUNCATE = "TRUNCATE"
+
+
+def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "op"):
+    """Seq of the last TRUNCATE in the batch, or None. A TRUNCATE wipes
+    state and all earlier events (C7, PhoenixSyncService.java:505-513
+    applied in event order)."""
+    return changes.agg(
+        F.max(F.when(F.upper(F.col(op_col)) == OP_TRUNCATE, F.col(seq_col)))
+    ).first()[0]
+
+
+def collapse_changes(
+    changes: DataFrame,
+    pk: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    old_prefix: str = "old_",
+) -> DataFrame:
+    """Collapse an ordered change batch to its net per-key effect.
+
+    Input layout: one row per change event with typed image columns,
+    ``op`` in {INSERT, UPDATE, DELETE, TRUNCATE}, a total-order
+    ``seq``, and (optionally) ``old_<pk>`` columns that are non-null
+    iff that UPDATE moved the row's primary key (C5,
+    PhoenixSyncService.java:425-456: delete old key, upsert new key).
+
+    Output: one row per touched key with ``__is_create`` = 1 (key ends
+    alive, image columns hold the final row) or 0 (key ends deleted).
+    TRUNCATE rows must be filtered out beforehand (see merge_cdc).
+    """
+    op = F.upper(F.col(op_col))
+    image_cols = [
+        c for c in changes.columns
+        if c not in (seq_col, op_col) and not c.startswith(old_prefix)
+    ]
+    non_pk = [c for c in image_cols if c not in pk]
+
+    creates = changes.where(op.isin(OP_INSERT, OP_UPDATE)).select(
+        *[F.col(k).alias(f"__k_{k}") for k in pk],
+        F.col(seq_col).alias("__seq"),
+        F.lit(1).alias("__is_create"),
+        *image_cols,
+    )
+    null_image = [F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in image_cols]
+    deletes = changes.where(op == OP_DELETE).select(
+        *[F.col(k).alias(f"__k_{k}") for k in pk],
+        F.col(seq_col).alias("__seq"),
+        F.lit(0).alias("__is_create"),
+        *null_image,
+    )
+    timeline = creates.unionByName(deletes)
+
+    # PK-change: the old key dies at the same seq. Reference reads the
+    # old image per-PK-column via old[pk] ?? data[pk]
+    # (PhoenixSyncService.getPkVal, :575-593).
+    old_cols = [old_prefix + k for k in pk]
+    if any(c in changes.columns for c in old_cols):
+        old_key = [
+            F.coalesce(F.col(old_prefix + k), F.col(k)).alias(f"__k_{k}")
+            if (old_prefix + k) in changes.columns
+            else F.col(k).alias(f"__k_{k}")
+            for k in pk
+        ]
+        key_changed = F.lit(False)
+        for k in pk:
+            if (old_prefix + k) in changes.columns:
+                key_changed = key_changed | (
+                    F.col(old_prefix + k).isNotNull()
+                    & ~F.col(old_prefix + k).eqNullSafe(F.col(k))
+                )
+        pk_deletes = changes.where(op.isin(OP_INSERT, OP_UPDATE) & key_changed).select(
+            *old_key,
+            F.col(seq_col).alias("__seq"),
+            F.lit(0).alias("__is_create"),
+            *null_image,
+        )
+        timeline = timeline.unionByName(pk_deletes)
+
+    # Last writer wins per key. __is_create desc breaks the (otherwise
+    # impossible) same-seq tie in favor of the create, mirroring the
+    # reference's delete-before-upsert order within one event.
+    w = Window.partitionBy(*[f"__k_{k}" for k in pk]).orderBy(
+        F.col("__seq").desc(), F.col("__is_create").desc()
+    )
+    last = (
+        timeline.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    _ = non_pk  # non-pk image columns ride along untouched
+    return last
+
+
+def merge_cdc(
+    state: DataFrame | None,
+    changes: DataFrame,
+    pk: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    old_prefix: str = "old_",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a CDC change batch to a keyed state table; returns the new
+    state (C3-C9 + C7 truncate). Pure DataFrame algebra — the same
+    kernel is driven per-epoch by Structured Streaming (streaming/).
+
+    ``broadcast_changes`` (default): hint the collapsed per-key change
+    set as the broadcast side of the anti join, so 100 TB of state is
+    merged without shuffling the state. Disable when a single batch
+    touches more keys than fit in executor memory.
+    """
+    op = F.upper(F.col(op_col))
+    trunc_seq = last_truncate_seq(changes, seq_col, op_col)
+    if trunc_seq is not None:
+        changes = changes.where(F.col(seq_col) > F.lit(trunc_seq))
+        state = None  # truncate wipes accumulated state (C7)
+    changes = changes.where(op != OP_TRUNCATE)
+
+    last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
+    image_cols = [
+        c for c in changes.columns
+        if c not in (seq_col, op_col) and not c.startswith(old_prefix)
+    ]
+    survivors = last.where(F.col("__is_create") == 1).select(
+        *[F.col(f"__k_{k}").alias(k) for k in pk],
+        *[F.col(c) for c in image_cols if c not in pk],
+    )
+
+    if state is None:
+        return survivors
+
+    state = align_to_schema(state, survivors.schema)
+    touched = last.select(*[F.col(f"__k_{k}").alias(k) for k in pk]).dropDuplicates()
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    untouched = state.join(touched, on=pk, how="left_anti")
+    return untouched.unionByName(survivors)
+
+
+def keep_last(
+    df: DataFrame, pk: list[str], order_col: str = "seq"
+) -> DataFrame:
+    """Per-key keep-last dedup (C8 collapsed): one row per key, the one
+    with the greatest ``order_col``. The standalone building block the
+    driver's t2 gate checks as an operator in its own right."""
+    w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,217 @@
+"""Schema evolution: StructType diff, add/drop column, default
+backfill, and DDL-intent parsing.
+
+Re-expresses the reference's runtime schema sync:
+  * syncSchema diffs INFORMATION_SCHEMA vs a target probe and emits
+    CREATE/ALTER (service/PhoenixEtlService.java:86-172).
+  * The sync path heals ColumnNotFound/TableNotFound by running the
+    same diff then replaying the batch once
+    (service/PhoenixSyncService.java:103-131).
+  * DDL events are parsed (Druid) and applied as ADD/DROP COLUMN with
+    default backfill (service/PhoenixSyncService.java:256-362).
+
+In a DataFrame engine there is no mutable table, so "ALTER" becomes
+column alignment: the next state DataFrame simply carries the evolved
+schema, with missing columns materialized as typed NULLs/defaults.
+That *is* the heal-and-replay semantics, minus the failure/retry loop.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# MySQL type name -> Spark type, the engine's version of the reference's
+# MySQL->Phoenix map (support/TypeUtil.java:36-140; SURVEY.md §1.3).
+_MYSQL_TO_SPARK: dict[str, T.DataType] = {
+    "bit": T.BinaryType(),
+    "tinyint": T.ByteType(),
+    "tinyint unsigned": T.ShortType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "smallint": T.ShortType(),
+    "smallint unsigned": T.IntegerType(),
+    "mediumint": T.IntegerType(),
+    "year": T.IntegerType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "int unsigned": T.LongType(),
+    "bigint": T.LongType(),
+    "bigint unsigned": T.DecimalType(20, 0),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "real": T.DoubleType(),
+    "date": T.DateType(),
+    "datetime": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "time": T.TimestampType(),  # Spark has no TimeType (SURVEY §1.3)
+    "char": T.StringType(),
+    "varchar": T.StringType(),
+    "binary": T.BinaryType(),
+    "varbinary": T.BinaryType(),
+    "tinyblob": T.BinaryType(),
+    "blob": T.BinaryType(),
+    "mediumblob": T.BinaryType(),
+    "longblob": T.BinaryType(),
+    "tinytext": T.StringType(),
+    "text": T.StringType(),
+    "mediumtext": T.StringType(),
+    "longtext": T.StringType(),
+    "enum": T.StringType(),
+    "set": T.StringType(),
+}
+
+
+def mysql_type_to_spark(name: str, limit: bool = False) -> T.DataType:
+    """Map a MySQL column type string (possibly with (p[,s]) and
+    'unsigned') to a Spark type. ``limit`` keeps DECIMAL(p,s)
+    precision, mirroring the reference's `limit` flag
+    (support/TypeUtil.java:79-83,102-111); otherwise DECIMAL defaults.
+    Unknown types fall back to string (TypeUtil.java:133-139)."""
+    s = name.strip().lower()
+    m = re.match(r"^([a-z ]+?)\s*(?:\((\d+)(?:\s*,\s*(\d+))?\))?(\s+unsigned)?$", s)
+    if not m:
+        return T.StringType()
+    base, p, scale, unsigned = m.group(1).strip(), m.group(2), m.group(3), m.group(4)
+    key = f"{base} unsigned" if unsigned else base
+    if base == "decimal" or base == "numeric":
+        if limit and p is not None:
+            return T.DecimalType(int(p), int(scale or 0))
+        return T.DecimalType(38, 18)
+    if base == "bit":
+        return T.BinaryType()
+    return _MYSQL_TO_SPARK.get(key, _MYSQL_TO_SPARK.get(base, T.StringType()))
+
+
+@dataclass
+class SchemaDiff:
+    """Result of diffing source schema vs target schema (the engine's
+    syncSchema, service/PhoenixEtlService.java:86-172)."""
+
+    create: bool = False                       # target doesn't exist yet
+    add: list[T.StructField] = field(default_factory=list)
+    drop: list[str] = field(default_factory=list)
+    changed: list[tuple[str, T.DataType, T.DataType]] = field(default_factory=list)
+
+    @property
+    def is_noop(self) -> bool:
+        return not (self.create or self.add or self.drop or self.changed)
+
+
+def diff_schemas(source: T.StructType, target: T.StructType | None) -> SchemaDiff:
+    """Case-insensitive name diff, like the reference's column compare
+    (PhoenixEtlService.java:110-139 builds both maps lowercased)."""
+    if target is None or len(target.fields) == 0:
+        return SchemaDiff(create=True, add=list(source.fields))
+    tgt = {f.name.lower(): f for f in target.fields}
+    src = {f.name.lower(): f for f in source.fields}
+    d = SchemaDiff()
+    for f in source.fields:
+        t = tgt.get(f.name.lower())
+        if t is None:
+            d.add.append(f)
+        elif t.dataType != f.dataType:
+            d.changed.append((f.name, f.dataType, t.dataType))
+    for f in target.fields:
+        if f.name.lower() not in src:
+            d.drop.append(f.name)
+    return d
+
+
+def evolve(
+    df: DataFrame,
+    diff: SchemaDiff,
+    defaults: dict[str, object] | None = None,
+    allow_drop: bool = False,
+) -> DataFrame:
+    """Apply a SchemaDiff to a state DataFrame: ADD COLUMN materializes
+    the column as a typed default/NULL for existing rows (the
+    reference's post-ALTER default backfill, C13,
+    PhoenixSyncService.java:316-321,334-361); DROP COLUMN only when
+    allowed (`drop: true`, MappingConfig.java:106)."""
+    defaults = defaults or {}
+    out = df
+    for f in diff.add:
+        dv = defaults.get(f.name, defaults.get(f.name.lower()))
+        out = out.withColumn(f.name, F.lit(dv).cast(f.dataType))
+    if allow_drop and diff.drop:
+        out = out.drop(*diff.drop)
+    return out
+
+
+def align_to_schema(
+    df: DataFrame, schema: T.StructType, defaults: dict[str, object] | None = None
+) -> DataFrame:
+    """Align ``df`` to ``schema`` (names matched case-insensitively):
+    missing columns -> typed defaults/NULLs, extra columns dropped,
+    order normalized, types cast. This is the batch-level equivalent of
+    heal-and-replay (C11): instead of failing on ColumnNotFound and
+    retrying, the batch is aligned before the merge."""
+    defaults = defaults or {}
+    have = {c.lower(): c for c in df.columns}
+    cols = []
+    for f in schema.fields:
+        src = have.get(f.name.lower())
+        if src is None:
+            dv = defaults.get(f.name, defaults.get(f.name.lower()))
+            cols.append(F.lit(dv).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(src).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# DDL-intent parsing (C12). The reference runs Druid's full MySQL parser
+# (PhoenixSyncService.java:183-190) but only ever acts on ALTER TABLE
+# ADD/DROP/MODIFY COLUMN and TRUNCATE (:256-362). We parse exactly that
+# restricted grammar with regexes — not a general SQL parser.
+# --------------------------------------------------------------------------
+
+_ADD_RE = re.compile(
+    r"add\s+(?:column\s+)?`?(\w+)`?\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"(?:\s+unsigned)?)"
+    r"(?:.*?default\s+(?:'([^']*)'|(\S+)))?",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(r"drop\s+(?:column\s+)?`?(\w+)`?", re.IGNORECASE)
+
+
+@dataclass
+class DdlIntent:
+    kind: str                      # 'add' | 'drop' | 'truncate' | 'other'
+    column: str | None = None
+    dtype: T.DataType | None = None
+    default: object | None = None
+
+
+def parse_ddl(sql: str) -> list[DdlIntent]:
+    """Extract ADD/DROP COLUMN intents from an ALTER TABLE statement
+    (or TRUNCATE). Unrecognized DDL yields [DdlIntent('other')] — the
+    reference likewise ignores statements it cannot act on."""
+    if not sql:
+        return []
+    s = sql.strip()
+    if re.match(r"^truncate\b", s, re.IGNORECASE):
+        return [DdlIntent("truncate")]
+    if not re.match(r"^alter\s+table\b", s, re.IGNORECASE):
+        return [DdlIntent("other")]
+    intents: list[DdlIntent] = []
+    for clause in re.split(r",(?![^()]*\))", s):
+        m = _ADD_RE.search(clause)
+        if m:
+            default = m.group(3) if m.group(3) is not None else m.group(4)
+            if isinstance(default, str) and default.upper() in ("NULL",):
+                default = None
+            intents.append(
+                DdlIntent("add", m.group(1), mysql_type_to_spark(m.group(2), limit=True),
+                          default)
+            )
+            continue
+        m = _DROP_RE.search(clause)
+        if m and not re.search(r"drop\s+(index|key|primary|foreign)", clause, re.IGNORECASE):
+            intents.append(DdlIntent("drop", m.group(1)))
+    return intents or [DdlIntent("other")]

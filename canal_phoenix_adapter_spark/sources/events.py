@@ -1,0 +1,155 @@
+"""Canal event envelope: parse, explode, route — plus the synthetic
+change stream used by tests and the correctness gate.
+
+The reference consumes ``Dml`` batches (one binlog transaction chunk:
+{destination, groupId, database, table, type, isDdl, sql, es, ts,
+data:[...], old:[...]} — PhoenixAdapter.java:143-152) and explodes
+them into per-row ``SingleDml`` units (support/SingleDml.java:67-92).
+Here a Dml batch is one DataFrame row whose data/old are arrays of
+maps; explode is a single generator expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from canal_phoenix_adapter_spark.config import MappingConfig
+
+# Canal JSON envelope (FlatMessage shape) as consumed at
+# PhoenixSyncService.java:159-162,180. Values arrive stringly-typed.
+DML_ENVELOPE = T.StructType(
+    [
+        T.StructField("destination", T.StringType()),
+        T.StructField("groupId", T.StringType()),
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("isDdl", T.BooleanType()),
+        T.StructField("sql", T.StringType()),
+        T.StructField("es", T.LongType()),   # binlog execute-time millis
+        T.StructField("ts", T.LongType()),   # canal delivery-time millis
+        T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+        T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+        T.StructField("pkNames", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def parse_dml_json(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """Parse a column of Canal-JSON strings into the envelope struct
+    (batch or streaming source: file/kafka `value`)."""
+    return df.select(F.from_json(F.col(json_col).cast("string"), DML_ENVELOPE).alias("dml")).select("dml.*")
+
+
+def explode_dml(df: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Dml batch -> SingleDml rows (C1, support/SingleDml.java:67-92).
+
+    * data[i] pairs with old[i] (changed-columns previous image).
+    * TRUNCATE (and DDL) rows have null/empty data yet must survive as
+      one row — hence explode_outer.
+    * ``seq`` assigns a total order reproducing binlog order: the
+      envelope's (es, ts) ordered batch position plus the row index
+      within the batch. Callers that already carry an explicit sequence
+      keep theirs.
+
+    The output is one row per changed source row: (seq, database,
+    table, type, is_ddl, sql, data map, old map).
+    """
+    zipped = df.select(
+        "*",
+        F.posexplode_outer(
+            F.when(F.col("data").isNotNull() & (F.size("data") > 0), F.col("data"))
+            .otherwise(F.array(F.lit(None).cast("map<string,string>")))
+        ).alias("pos", "row_data"),
+    )
+    out = zipped.select(
+        ((F.coalesce(F.col("es"), F.lit(0)) * F.lit(1_000_000)) + F.col("pos")).alias(seq_col),
+        F.col("destination"),
+        F.col("groupId").alias("group_id"),
+        F.col("database"),
+        F.col("table"),
+        F.upper(F.col("type")).alias("op"),
+        F.coalesce(F.col("isDdl"), F.lit(False)).alias("is_ddl"),
+        F.col("sql"),
+        F.col("row_data").alias("data"),
+        F.try_element_at(F.col("old"), F.col("pos") + 1).alias("old"),
+    )
+    return out
+
+
+def route(df: DataFrame, cfg: MappingConfig) -> DataFrame:
+    """Routing / dispatch (C2): match destination[-groupId] + database
+    + case-insensitive table (PhoenixSyncService.java:159-179, key at
+    PhoenixAdapter.java:88-95). Unmatched events are simply not
+    selected (reference drops them)."""
+    m = cfg.db_mapping
+    cond = (F.lower(F.col("database")) == m.database.lower()) & (
+        F.lower(F.col("table")) == m.table.lower()
+    )
+    if cfg.destination:
+        cond = cond & (F.col("destination") == cfg.destination)
+    if cfg.group_id:
+        cond = cond & (F.col("group_id") == cfg.group_id)
+    return df.where(cond)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic change stream over the driver's events.parquet (FIXTURES.md F1/F4)
+# ---------------------------------------------------------------------------
+
+PK_CHANGE_MOD = 17       # every 17th UPDATE event moves the row to a new key
+PK_CHANGE_SHIFT = 100000  # new key = user_id + shift (disjoint key space)
+
+
+def synthetic_changes(events: DataFrame, with_pk_change: bool = True) -> DataFrame:
+    """Derive a deterministic typed CDC stream from events.parquet.
+
+    Mapping (documented so the DuckDB oracle reproduces it exactly):
+      seq = event_id (binlog order)
+      op  = signup -> INSERT, error -> DELETE, else UPDATE
+      key = user_id, except UPDATEs with event_id % 17 == 0, which are
+            PK-changes: new key user_id+100000, old key user_id.
+      row image = (user_id, value, ts_us epoch-micros)
+    """
+    is_update = F.col("event_type").isin("purchase", "view", "click")
+    pk_change = is_update & (F.col("event_id") % PK_CHANGE_MOD == 0) if with_pk_change else F.lit(False)
+    return events.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+        .alias("op"),
+        F.when(pk_change, F.col("user_id") + PK_CHANGE_SHIFT)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(pk_change, F.col("user_id")).alias("old_user_id"),
+        F.col("value"),
+        F.col("ts_us"),
+    )
+
+
+SYNTHETIC_CHANGES_SQL = """
+SELECT event_id AS seq,
+       CASE event_type WHEN 'signup' THEN 'INSERT'
+                       WHEN 'error'  THEN 'DELETE'
+                       ELSE 'UPDATE' END AS op,
+       CASE WHEN event_type IN ('purchase','view','click') AND event_id % 17 = 0
+            THEN user_id + 100000 ELSE user_id END AS user_id,
+       CASE WHEN event_type IN ('purchase','view','click') AND event_id % 17 = 0
+            THEN user_id END AS old_user_id,
+       value, epoch_us(ts) AS ts_us
+FROM events
+"""
+
+SYNTHETIC_CHANGES_NO_PKCHANGE_SQL = """
+SELECT event_id AS seq,
+       CASE event_type WHEN 'signup' THEN 'INSERT'
+                       WHEN 'error'  THEN 'DELETE'
+                       ELSE 'UPDATE' END AS op,
+       user_id,
+       CAST(NULL AS BIGINT) AS old_user_id,
+       value, epoch_us(ts) AS ts_us
+FROM events
+"""

@@ -1,0 +1,58 @@
+"""Parquet table loaders for the driver-generated testdata
+(TESTDATA.md). At production scale these would be external-catalog
+tables; here a thin path helper keeps call sites declarative so
+predicate pushdown / column pruning reach the parquet scans."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). We read it via
+    the legacy nanos-as-long conf (runtime-settable) and expose:
+      * ``ts_us``  bigint epoch microseconds (exact; DuckDB's
+        ``epoch_us(ts)`` matches it bit-for-bit — DuckDB likewise
+        truncates ns->us on read), and
+      * ``ts``     a proper TimestampType truncated to micros (Spark's
+        native precision) for window/watermark use.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div, not floor(x/1000.0): double division loses the
+        # last digit at 1.7e18 nanos and the oracle compares exact ints
+        ts_us = F.expr("ts div 1000")
+        df = df.withColumn("ts_us", ts_us).withColumn(
+            "ts", F.timestamp_micros(ts_us)
+        )
+    else:  # driver session already decodes nanos some other way
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

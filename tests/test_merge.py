@@ -1,0 +1,125 @@
+"""CDC merge algebra tests (C1-C9): the golden scenario of FIXTURES.md
+F1/F3 — insert, update, PK-change, delete, truncate, keep-last — plus
+a property check against a naive Python fold."""
+
+from __future__ import annotations
+
+import random
+
+from canal_phoenix_adapter_spark.operators.merge import keep_last, merge_cdc
+
+CHANGES_SCHEMA = "seq long, op string, id long, old_id long, val string"
+
+
+def _state(rows):
+    return {r[0]: r for r in rows}
+
+
+def naive_fold(initial: dict, events):
+    """Reference semantics, single-threaded: the oracle for property
+    tests (SURVEY §5.4). events: (seq, op, id, old_id, val) sorted."""
+    state = dict(initial)
+    for seq, op, id_, old_id, val in sorted(events):
+        if op == "TRUNCATE":
+            state = {}
+        elif op == "DELETE":
+            state.pop(id_, None)
+        else:  # INSERT/UPDATE
+            if old_id is not None and old_id != id_:
+                state.pop(old_id, None)  # PK-change: kill old key first
+            state[id_] = (id_, val)
+    return state
+
+
+def run_merge(spark, state_rows, events):
+    state = (
+        spark.createDataFrame([(i, v) for i, v in state_rows], "id long, val string")
+        if state_rows is not None
+        else None
+    )
+    changes = spark.createDataFrame(events, CHANGES_SCHEMA).withColumnRenamed(
+        "old_id", "old_id"
+    )
+    out = merge_cdc(state, changes, ["id"], old_prefix="old_")
+    return {r["id"]: (r["id"], r["val"]) for r in out.collect()}
+
+
+def test_insert_update_delete(spark):
+    events = [
+        (1, "INSERT", 1, None, "a"),
+        (2, "INSERT", 2, None, "b"),
+        (3, "UPDATE", 1, None, "a2"),
+        (4, "DELETE", 2, None, None),
+        (5, "INSERT", 3, None, "c"),
+    ]
+    got = run_merge(spark, None, events)
+    assert got == {1: (1, "a2"), 3: (3, "c")}
+
+
+def test_keep_last_per_key(spark):
+    events = [(i, "UPDATE", 7, None, f"v{i}") for i in range(10)]
+    got = run_merge(spark, None, events)
+    assert got == {7: (7, "v9")}
+
+
+def test_pk_change_moves_row(spark):
+    # C5: UPDATE with old containing the PK: delete old key, upsert new
+    events = [
+        (1, "INSERT", 1, None, "a"),
+        (2, "UPDATE", 9, 1, "a-moved"),
+    ]
+    got = run_merge(spark, None, events)
+    assert got == {9: (9, "a-moved")}
+
+
+def test_truncate_mid_stream(spark):
+    events = [
+        (1, "INSERT", 1, None, "a"),
+        (2, "INSERT", 2, None, "b"),
+        (3, "TRUNCATE", None, None, None),
+        (4, "INSERT", 3, None, "c"),
+    ]
+    got = run_merge(spark, [(1, "old"), (5, "old5")], events)
+    assert got == {3: (3, "c")}  # state and pre-truncate rows wiped
+
+
+def test_merge_into_existing_state(spark):
+    events = [
+        (10, "UPDATE", 1, None, "new1"),
+        (11, "DELETE", 2, None, None),
+        (12, "INSERT", 4, None, "d"),
+    ]
+    got = run_merge(spark, [(1, "s1"), (2, "s2"), (3, "s3")], events)
+    assert got == {1: (1, "new1"), 3: (3, "s3"), 4: (4, "d")}
+
+
+def test_property_random_streams_match_naive_fold(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        initial = {i: (i, f"init{i}") for i in rng.sample(range(20), 8)}
+        events = []
+        for seq in range(60):
+            op = rng.choices(
+                ["INSERT", "UPDATE", "DELETE", "TRUNCATE"], weights=[40, 30, 20, 2]
+            )[0]
+            k = rng.randrange(20)
+            old = None
+            if op == "UPDATE" and rng.random() < 0.2:
+                old = rng.randrange(20)
+            if op == "TRUNCATE":
+                events.append((seq, op, None, None, None))
+            elif op == "DELETE":
+                events.append((seq, op, k, None, None))
+            else:
+                events.append((seq, op, k, old, f"v{seq}"))
+        expected = naive_fold(initial, events)
+        got = run_merge(spark, list(initial.values()), events)
+        assert got == expected, f"trial {trial}"
+
+
+def test_keep_last_operator(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")], "seq long, k long, v string"
+    )
+    rows = {r["k"]: r["v"] for r in keep_last(df, ["k"], "seq").collect()}
+    assert rows == {1: "b", 2: "c"}
