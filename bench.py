@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed with a count()-style action so the full plan
+runs but no result set is shipped to the driver (collect would
+measure pandas conversion, not the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship CDC path + heaviest extension operators.
+HEADLINE = [
+    "cdc_merge_full",
+    "cdc_merge_into_state",
+    "etl_scan_condition",
+    "etl_idempotent_load",
+    "proj_type_coercion",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality",
+    "analytics_q1_pricing",
+    "analytics_q5_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as E
+    from canal_phoenix_adapter_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = E.queries()
+    names = [n for n in HEADLINE if n in qs] or list(qs)
+
+    # warm the JVM + parquet footers once so timings measure the engine
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

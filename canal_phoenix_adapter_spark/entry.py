@@ -337,3 +337,535 @@ def flagship(spark: SparkSession) -> DataFrame:
     """entry(spark): the minimum end-to-end slice (SURVEY §7.2) at
     sf0.001 — full CDC merge over the synthetic change stream."""
     return cdc_merge_full(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Extensions (SURVEY §7.4): dedup / similarity / text / multimodal / analytics
+# ---------------------------------------------------------------------------
+
+from canal_phoenix_adapter_spark.functions.hashing import (  # noqa: E402
+    MINHASH_PRIME,
+    minhash_perm_params,
+)
+from canal_phoenix_adapter_spark.operators import (  # noqa: E402
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+
+_H = "CAST(concat('0x', substr(md5({x}),1,15)) AS BIGINT)"
+
+_SHINGLE_CTE = """
+docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh0 AS (
+    SELECT doc_id,
+           array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+3], ' ') AS shingle
+    FROM docs, unnest(range(1, greatest(len(toks)-3, 1)+1)) AS t(i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> '')
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, content_sha FROM (
+        SELECT doc_id, sha256(text) AS content_sha,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per sha256(text)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT sha256(text) AS content_sha, count(1) AS n_dups, min(doc_id) AS keeper_id
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group summary on content digest."""
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hs AS (SELECT doc_id AS id, {_H.format(x='shingle')} AS sh FROM sh),
+    sizes AS (SELECT id, count(1) AS sz FROM hs GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(1) AS shared
+        FROM hs a JOIN hs b USING (sh) WHERE a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 4-gram Jaccard >= 0.5 (shingle-blocked join)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=4, threshold=0.5
+    )
+
+
+def _minhash_sql(num_perm: int = 16) -> str:
+    mins = ",\n           ".join(
+        f"min(((h % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    hs AS (SELECT doc_id, {_H.format(x='shingle')} AS h FROM sh)
+    SELECT doc_id,
+           {mins}
+    FROM hs GROUP BY doc_id
+    """
+
+
+@register("dedup_minhash_signatures", _minhash_sql(16))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature per document."""
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", num_perm=16, n=4
+    )
+
+
+def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4) -> str:
+    rpb = num_perm // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"CAST(mh{b*rpb+r} AS VARCHAR)" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id AS id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
+        )
+    buckets = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    WITH sig AS ({_minhash_sql(num_perm)}),
+    buckets AS (
+        {buckets}
+    )
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM buckets x JOIN buckets y USING (band, bh)
+    WHERE x.id < y.id
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql(16, 4))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 16 perms, 4 bands x 4 rows."""
+    return dedup.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_perm=16, bands=4, n=4,
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN b{i} >= 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hs AS (SELECT doc_id, {_H.format(x='tok')} AS h FROM toks WHERE tok <> ''),
+    bits AS (
+        SELECT doc_id,
+           {bit_sums}
+        FROM hs GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document."""
+    return dedup.simhash32(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings WHERE vec_id < 1000
+    )
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE list_dot_product(a.ve, b.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))
+          >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.4 among vec_id < 1000."""
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, max_id=1000
+    ).select("id_a", "id_b")
+
+
+@register(
+    "sim_topk_cosine",
+    """
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    q AS (SELECT id AS query_id, ve AS qv FROM v WHERE id < 8),
+    scored AS (
+        SELECT query_id, v.id AS neighbor_id,
+               list_dot_product(qv, ve)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cos
+        FROM q JOIN v ON query_id <> v.id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 8 query vectors."""
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5
+    )
+
+
+def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, num_queries: int = 8, k: int = 5) -> str:
+    from canal_phoenix_adapter_spark.operators.similarity import plane_sign
+
+    bucket_terms = []
+    for p in range(num_planes):
+        coeffs = ", ".join(str(float(plane_sign(p, d))) for d in range(dim))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(ve, [{coeffs}]) >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    b AS (SELECT id, ve, CAST({bucket} AS BIGINT) AS bucket FROM v),
+    q AS (SELECT id AS query_id, ve AS qv, bucket FROM b WHERE id < {num_queries}),
+    scored AS (
+        SELECT query_id, b.id AS neighbor_id,
+               list_dot_product(qv, ve)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cos
+        FROM q JOIN b USING (bucket) WHERE query_id <> b.id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_ann_lsh", _ann_lsh_sql())
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within random-hyperplane LSH buckets (8 planes)."""
+    return similarity.ann_topk_lsh(
+        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5, num_planes=8
+    )
+
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in text_ops.LANG_MARKERS.items()
+}
+
+
+def _langid_sql() -> str:
+    scores = ",\n           ".join(
+        f"len(list_filter(low, t -> t IN ({_MARKER_SQL[lang]}))) AS s_{lang}"
+        for lang in sorted(text_ops.LANG_MARKERS)
+    )
+    langs = sorted(text_ops.LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join([*others, f"s_{lang} >= 1"])
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS low
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id,
+           {scores}
+        FROM t
+    )
+    SELECT doc_id, {case} AS lang_pred FROM sc
+    """
+
+
+@register("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID with alphabetical tie-break."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS low
+        FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CAST(len(list_filter(low, x -> x IN ({", ".join(f"'{s}'" for s in text_ops.STOPWORDS)}))) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+           (CAST(len(list_filter(low, x -> x IN ({", ".join(f"'{s}'" for s in text_ops.STOPWORDS)}))) AS DOUBLE) / len(toks)) * 0.4
+           + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
+           + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 0.3 AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score."""
+    return text_ops.quality_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_ws,
+           len(regexp_extract_all(text, '{text_ops.BPE_TOKEN_RE}')) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        text_ops.token_count_ws(F.col("text")).alias("n_ws"),
+        text_ops.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                                   i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite rolling-hash fingerprint (min md5 of 8-grams)."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "mm_payload_stats",
+    """
+    SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+           count(1) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           min(octet_length(encode(text))) AS min_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: payload byte stats per media type."""
+    media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.payload_stats(media)
+
+
+@register(
+    "mm_extract_features",
+    """
+    SELECT doc_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(list_sum(list_transform(range(1, length(text)+1),
+                         i -> ascii(substr(text, CAST(i AS INT), 1)))) % 997 AS BIGINT)
+               AS byte_sum_mod
+    FROM documents
+    """,
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (stub decoder; real batch plumbing)."""
+    media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "analytics_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS VARCHAR) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(1) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(1) AS avg_price,
+           count(1) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def analytics_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary (exact decimal sums)."""
+    out = analytics.q1_pricing_summary(spark, sf_dir)
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("decimal(18,2)").cast("string").alias("sum_qty"),
+        F.col("sum_base_price").cast("decimal(18,2)").cast("string").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("decimal(18,4)").cast("string").alias("sum_disc_price"),
+        F.col("sum_charge").cast("decimal(18,6)").cast("string").alias("sum_charge"),
+        "avg_qty", "avg_price", "count_order",
+    )
+
+
+@register(
+    "analytics_q3_shipping",
+    """
+    SELECT l_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           o_orderpriority,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def analytics_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape: revenue per order, broadcast dimension joins."""
+    out = analytics.q3_shipping_priority(spark, sf_dir)
+    return out.select(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        "o_orderpriority",
+        F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
+    )
+
+
+@register(
+    "analytics_q5_join",
+    """
+    SELECT n_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def analytics_q5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape: 5-way broadcast join, revenue by nation."""
+    out = analytics.q5_local_supplier_volume(spark, sf_dir)
+    return out.select(
+        "n_name",
+        F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
+    )
+
+
+@register(
+    "analytics_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def analytics_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 largest orders per customer."""
+    return analytics.topk_orders_per_customer(spark, sf_dir, k=3)
+
+
+@register(
+    "analytics_json_props",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def analytics_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction with typed coercion."""
+    return analytics.json_props_extract(spark, sf_dir)
+
+
+@register(
+    "analytics_sessionize",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > 3600000000 THEN 1 ELSE 0 END AS sess_start
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               sum(sess_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, sess_id, count(1) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, count(1) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           max(end_us - start_us) AS longest_session_us
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def analytics_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (60 min) per user."""
+    return analytics.sessionize_events(spark, sf_dir, gap_minutes=60)

@@ -1,0 +1,158 @@
+"""Showcase analytics over the TPC-H-ish tables — *extensions* beyond
+the reference surface (it has no joins/aggregates/windows at all,
+SURVEY.md §2e), demonstrating the engine's scale idioms:
+
+  * dimension joins are broadcast (region/nation/customer never
+    shuffle the fact table);
+  * aggregations are partial (map-side combine) by construction of
+    groupBy.agg;
+  * money math is done in DECIMAL so sums are exact and associative —
+    double sums would be IEEE-order-nondeterministic across engines
+    AND across Spark partition counts;
+  * windows partition by the natural key, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary by returnflag/linestatus.
+    Decimal sums (exact); averages as double(exact_sum)/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc) * (F.lit(1).cast("decimal(12,2)") + tax)).alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue per order for one market segment.
+    customer is the broadcast side; lineitem only shuffles on
+    l_orderkey for the aggregate."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("2000-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("revenue"))
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region — a 5-way join
+    where every dimension side is broadcast; the only fact shuffle is
+    the final groupBy(n_name)."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(dims), sup.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("revenue"))
+    )
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window top-k per group: the k largest orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal/JSON column handling: extract typed values from the
+    events.props JSON string (P5 coercion applied on top)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id",
+        k.try_cast("int").alias("k"),
+        (k.try_cast("int") % 10).alias("k_bucket"),
+    )
+
+
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 60
+) -> DataFrame:
+    """Sessionization: per-user session count + span, sessions split on
+    gaps > ``gap_minutes``. One window over (user_id, ts) — the
+    classic lag/cumsum formulation, all JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    with_prev = ev.select("user_id", "ts_us").withColumn(
+        "prev_us", F.lag("ts_us").over(w)
+    )
+    new_sess = F.when(
+        F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1
+    ).otherwise(0)
+    sess = with_prev.withColumn("sess_start", new_sess).withColumn(
+        "sess_id", F.sum("sess_start").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(F.col("end_us") - F.col("start_us")).alias("longest_session_us"),
+        )
+    )

@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (SURVEY.md §7.4): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — each a
+DataFrame-in/DataFrame-out function designed for 100 TB:
+
+  * exact:     one hash-shuffle on a 64-hex digest, never on the text;
+  * minhash:   signatures are fixed-width (k mins) regardless of doc
+               size; the candidate join shuffles (band_id, band_hash)
+               pairs only — O(docs * bands) small rows;
+  * n-gram:    the pair join is blocked on shared shingle hashes, so
+               only colliding docs meet; never a cartesian product;
+  * simhash:   fixed 32-bit sketch per doc, groupable/bucketable.
+
+All hashing is md5-derived (functions/hashing.py) so the DuckDB
+oracle reproduces values bit-for-bit. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.functions.hashing import (
+    MINHASH_PRIME,
+    md5_long,
+    minhash_perm_params,
+)
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col):
+    return F.split(F.trim(text_col), TOKEN_SPLIT)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Built with
+    explode over a transform'd sequence — one generator, no UDF."""
+    toks = _tokens(F.col(text_col))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on content digest: keep the smallest id per sha256.
+    One shuffle on the 64-char digest; survivors = canonical docs."""
+    h = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("content_sha"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate-group summary: (content_sha, n_dups, keeper_id)."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard: block on shared shingles so
+    only docs with >= 1 common n-gram ever meet (no cartesian join),
+    then Jaccard = shared / (|A| + |B| - shared).
+
+    At 100 TB the shingle join is the scale knob: shingle hashes are
+    bigints (8 bytes vs arbitrary text), hot shingles (stopword runs)
+    can be dropped by document frequency before the self-join.
+    """
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col).alias("id"), md5_long(F.col("shingle")).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, n: int = 4
+) -> DataFrame:
+    """MinHash signature per doc: num_perm columns mh0..mh{k-1}, each
+    min over the permuted shingle hashes. One groupBy over shingles
+    computes every permutation (single shuffle, k aggregates)."""
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("h")
+    )
+    aggs = []
+    for i, (a, b) in enumerate(minhash_perm_params(num_perm)):
+        perm = ((F.col("h") % MINHASH_PRIME) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+        aggs.append(F.min(perm).alias(f"mh{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: split the k-wide signature
+    into `bands` bands of k/bands rows; docs sharing any band bucket
+    are candidate near-dups. Output: distinct (id_a, id_b) pairs.
+
+    Scale shape: the only shuffles are (a) the signature groupBy and
+    (b) a self-join keyed on (band, band_hash) — buckets, not docs."""
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    rows_per_band = num_perm // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col).alias("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on=["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc over whitespace tokens (with
+    multiplicity): bit i of the sketch is 1 iff the sum over tokens of
+    (+1 if bit i of md5_long(token) else -1) is >= 0.
+
+    Computed as 32 conditional-sum aggregates after one token explode:
+    a single shuffle keyed on the doc id; the sketch is a plain bigint
+    usable for bucketing / hamming-distance candidate search."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    h = md5_long(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sketch = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
+        sketch = bit if sketch is None else sketch + bit
+    return sums.select(F.col(id_col), sketch.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= t).
+
+    Test-scale path: blocked self-join + fold-based dot product in
+    double precision (no UDF). The 100 TB path is LSH bucketing first
+    (similarity.lsh_hyperplane_buckets) and this exact check only
+    within buckets.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if max_id is not None:
+        v = v.where(F.col("id") < max_id)
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(f"{side}.v", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

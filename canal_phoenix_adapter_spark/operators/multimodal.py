@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, with decode / feature-extraction as Arrow-batched Pandas
+functions over mapInPandas (SURVEY §7.4).
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (deterministic fake features / NotImplementedError
+for real codecs). Everything Spark-side is real and tested: schemas,
+binary columns, batch iteration, partition-preserving mapInPandas.
+
+Scale shape: payloads never pass through Python row-at-a-time — Arrow
+moves whole batches; metadata-only operations (routing, filtering,
+size stats) are pure Column expressions that never touch the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, first_byte int, "
+    "byte_sum_mod bigint"
+)
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Derive a media table from documents.parquet: payload = utf-8
+    bytes of the text (a deterministic opaque blob), media_type cycled
+    by doc_id, plus typed metadata columns."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("orig_bytes"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only path: byte sizes per media_type without ever
+    shipping payloads to Python (pure Column expressions)."""
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min(F.length("payload")).alias("min_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payloads.
+
+    The stub features (n_bytes, first_byte, byte_sum_mod) stand in for
+    a real decoder; the mapInPandas plumbing — schema contract, batch
+    iteration, no driver collect — is the real, scale-relevant part.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[["doc_id", "media_type"]].copy()
+            payloads = pdf["payload"]
+            out["n_bytes"] = payloads.map(len).astype("int64")
+            out["first_byte"] = payloads.map(
+                lambda b: int(b[0]) if len(b) else -1
+            ).astype("int32")
+            out["byte_sum_mod"] = payloads.map(
+                lambda b: sum(b) % 997
+            ).astype("int64")
+            yield out
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """Real image decode requires PIL/libjpeg, absent from this
+    container. STUB: raises. The call-site contract (binary in,
+    array<float> feature vector out via mapInPandas) is what
+    extract_features exercises with fake features."""
+    raise NotImplementedError(
+        "image decode needs an image codec library (not in container); "
+        "use extract_features() for the tested Arrow plumbing"
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 10):  # pragma: no cover - stub
+    """Video frame sampling stub — same contract as decode_image."""
+    raise NotImplementedError("video codecs not available in container")

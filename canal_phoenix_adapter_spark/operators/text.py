@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §7.4):
+language ID (stopword/n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(min-of-window rolling hash, winnowing-lite).
+
+All pure Column expressions — regexes are RE2/Java-compatible subsets
+so the DuckDB oracle evaluates them identically; ratios are int/int
+IEEE divisions (bit-identical in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny deterministic per-language marker lists (n-gram heuristic
+# calibre: real lang-ID uses char n-gram profiles; the *shape* — score
+# per language, argmax with deterministic tie-break — is what matters
+# and is identical at any scale).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.array_remove(_tokens(text), ""))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token multiset."""
+    toks = _tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = F.size(
+            F.filter(toks, lambda t: t.isin(*markers))  # noqa: B023
+        )
+    return out
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Predicted language: argmax marker-hit count, ties broken by
+    language code order; 0 hits -> 'und'."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties (checked last)
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    Features (all engine-portable): char length, whitespace tokens,
+    mean token length, stopword ratio, punctuation ratio, digit ratio.
+    quality = stopword_ratio * 0.4 + (1 - punct_ratio) * 0.3
+            + (1 - digit_ratio) * 0.3   (identical expression tree in
+    the oracle -> identical doubles)."""
+    text = F.col(text_col)
+    toks = F.array_remove(_tokens(text), "")
+    low = F.array_remove(_tokens(F.lower(text)), "")
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(low, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    n_digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0)))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    digit_ratio = n_digit.cast("double") / n_chars
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        (
+            stop_ratio * F.lit(0.4)
+            + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
+            + (F.lit(1.0) - digit_ratio) * F.lit(0.3)
+        ).alias("quality"),
+    )
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-lite document fingerprint: min md5 over every
+    ``window``-char substring. Expressed as array_min(transform(...))
+    — zero shuffles, zero UDFs, one pass over the string."""
+    n = F.greatest(F.length(text) - (window - 1), F.lit(1))
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(text.substr(i, F.lit(window))),
+        )
+    )

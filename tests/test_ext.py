@@ -1,0 +1,166 @@
+"""Extension-operator unit tests: dedup/similarity/text/multimodal
+semantics on hand-built fixtures (the oracle gate covers the real
+tables; these pin the edge behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.operators import dedup, multimodal, similarity
+from canal_phoenix_adapter_spark.operators import text as text_ops
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over a lazy dog"),    # near dup
+            (4, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dedup.exact_dedup(docs_df(spark), "doc_id", "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_exact_dup_groups(spark):
+    out = {r["keeper_id"]: r["n_dups"] for r in
+           dedup.exact_dup_groups(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == 2 and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    pairs = dedup.ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", n=2, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0           # identical docs
+    assert 0.3 <= got[(1, 3)] < 1.0     # near dup
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    sig = dedup.minhash_signatures(docs_df(spark), "doc_id", "text", num_perm=8, n=2)
+    rows = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    cands = dedup.minhash_lsh_candidates(
+        docs_df(spark), "doc_id", "text", num_perm=8, bands=4, n=2
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_identical_docs_equal(spark):
+    out = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash32(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**32
+
+
+def hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_near_dup_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash32(docs_df(spark), "doc_id", "text").collect()}
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def vec_df(spark):
+    # v2 = v1 (dup); v3 close to v1; v4 orthogonal-ish
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_ranks_duplicates_first(spark):
+    out = similarity.cosine_topk(vec_df(spark), num_queries=1, k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+
+
+def test_embedding_near_dup_pairs(spark):
+    pairs = dedup.embedding_near_dup_pairs(vec_df(spark), threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 3) not in got
+
+
+def test_lsh_buckets_collide_for_identical(spark):
+    b = {r["id"]: r["bucket"] for r in
+         similarity.lsh_hyperplane_buckets(vec_df(spark), num_planes=4, dim=4).collect()}
+    assert b[0] == b[1]
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist da"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["p"] for r in
+             df.select("doc_id", text_ops.lang_id(F.col("text")).alias("p")).collect()}
+    assert langs == {1: "en", 2: "de", 3: "und"}
+    q = {r["doc_id"]: r for r in
+         text_ops.quality_features(df, "doc_id", "text").collect()}
+    assert q[1]["stopword_ratio"] > q[3]["stopword_ratio"]
+    assert q[1]["n_tokens"] == 8
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
+    r = df.select(
+        text_ops.token_count_ws(F.col("text")).alias("ws"),
+        text_ops.token_count_bpe(F.col("text")).alias("bpe"),
+    ).first()
+    assert r["ws"] == 3
+    # Hello , world 42 ! -> 5 BPE-ish tokens
+    assert r["bpe"] == 5
+
+
+def test_fingerprint_stable_and_shift_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "abcdefghiX")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in
+          df.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 32
+
+
+def test_multimodal_features_match_payload(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc", 3), (1, "hello", 5), (2, "", 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = multimodal.as_media_table(docs)
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 3 and feats[0]["first_byte"] == ord("a")
+    assert feats[0]["byte_sum_mod"] == (ord("a") + ord("b") + ord("c")) % 997
+    assert feats[2]["n_bytes"] == 0 and feats[2]["first_byte"] == -1
+    assert feats[1]["media_type"] == "audio"  # doc_id 1 -> index 2
+
+
+def test_multimodal_stubs_raise(spark):
+    docs = spark.createDataFrame([(0, "x", 1)], "doc_id long, text string, n_chars long")
+    media = multimodal.as_media_table(docs)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)

@@ -1,0 +1,100 @@
+"""Schema evolution tests (C11-C13, S8; FIXTURES.md F5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from canal_phoenix_adapter_spark.operators.schema_sync import (
+    align_to_schema,
+    diff_schemas,
+    evolve,
+    mysql_type_to_spark,
+    parse_ddl,
+)
+
+
+def test_mysql_type_map():
+    # TypeUtil.java:36-140 highlights
+    assert mysql_type_to_spark("INT") == T.IntegerType()
+    assert mysql_type_to_spark("bigint unsigned") == T.DecimalType(20, 0)
+    assert mysql_type_to_spark("tinyint") == T.ByteType()
+    assert mysql_type_to_spark("tinyint unsigned") == T.ShortType()
+    assert mysql_type_to_spark("decimal(10,3)", limit=True) == T.DecimalType(10, 3)
+    assert mysql_type_to_spark("decimal(10,3)", limit=False) == T.DecimalType(38, 18)
+    assert mysql_type_to_spark("varchar(64)") == T.StringType()
+    assert mysql_type_to_spark("datetime") == T.TimestampType()
+    assert mysql_type_to_spark("mediumblob") == T.BinaryType()
+    assert mysql_type_to_spark("wat") == T.StringType()  # fallback VARCHAR
+
+
+def test_diff_schemas_add_drop_change():
+    src = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("lvl", T.IntegerType()),
+        ]
+    )
+    tgt = T.StructType(
+        [
+            T.StructField("ID", T.LongType()),
+            T.StructField("name", T.IntegerType()),
+            T.StructField("legacy", T.StringType()),
+        ]
+    )
+    d = diff_schemas(src, tgt)
+    assert [f.name for f in d.add] == ["lvl"]
+    assert d.drop == ["legacy"]
+    assert d.changed == [("name", T.StringType(), T.IntegerType())]
+    assert diff_schemas(src, None).create is True
+
+
+def test_evolve_default_backfill(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    d = diff_schemas(
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("lvl", T.IntegerType())]
+        ),
+        df.schema,
+    )
+    out = evolve(df, d, defaults={"lvl": 7})
+    assert [r["lvl"] for r in out.orderBy("id").collect()] == [7, 7]
+
+
+def test_align_to_schema_heal(spark):
+    # C11 heal-and-replay as pre-merge alignment
+    df = spark.createDataFrame([(1, "x", 9)], "id long, name string, extra int")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("lvl", T.IntegerType()),
+        ]
+    )
+    out = align_to_schema(df, schema, defaults={"lvl": 1})
+    assert out.columns == ["id", "name", "lvl"]
+    assert out.first()["lvl"] == 1
+
+
+def test_parse_ddl_add_with_default():
+    intents = parse_ddl("ALTER TABLE user ADD COLUMN level int DEFAULT 1")
+    assert len(intents) == 1
+    i = intents[0]
+    assert i.kind == "add" and i.column == "level"
+    assert i.dtype == T.IntegerType() and i.default == "1"
+
+
+def test_parse_ddl_multi_clause_and_drop():
+    intents = parse_ddl(
+        "alter table t add column a varchar(10), drop column b, add `c` decimal(8,2) default '0.5'"
+    )
+    kinds = [(i.kind, i.column) for i in intents]
+    assert kinds == [("add", "a"), ("drop", "b"), ("add", "c")]
+    assert intents[2].dtype == T.DecimalType(8, 2)
+    assert intents[2].default == "0.5"
+
+
+def test_parse_ddl_truncate_and_other():
+    assert parse_ddl("TRUNCATE TABLE t")[0].kind == "truncate"
+    assert parse_ddl("CREATE INDEX idx ON t(a)")[0].kind == "other"
+    assert parse_ddl("alter table t drop index idx")[0].kind == "other"

@@ -1,0 +1,136 @@
+"""Golden end-to-end streaming scenario (SURVEY §5.3 / FIXTURES F1):
+a scripted Canal-JSON event log — insert, update, PK-change, delete,
+truncate, post-truncate insert — replayed through Structured Streaming
+(availableNow) into the versioned parquet state store, checked against
+the hand-computed final state."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from canal_phoenix_adapter_spark.config import config_from_dict
+from canal_phoenix_adapter_spark.sources.events import explode_dml, parse_dml_json, route
+from canal_phoenix_adapter_spark.streaming.stream import ParquetStateStore, run_cdc_stream
+
+CFG = config_from_dict(
+    {
+        "destination": "example",
+        "dbMapping": {
+            "database": "mytest",
+            "table": "user",
+            "targetTable": "mytest2.user",
+            "targetPk": {"id": "id"},
+        },
+    }
+)
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("balance", T.DoubleType()),
+    ]
+)
+
+
+def dml(es, typ, data=None, old=None, database="mytest", table="user"):
+    return {
+        "destination": "example",
+        "database": database,
+        "table": table,
+        "type": typ,
+        "isDdl": False,
+        "es": es,
+        "ts": es,
+        "data": data,
+        "old": old,
+    }
+
+
+EVENTS = [
+    dml(1, "INSERT", [{"id": "1", "name": "alice", "balance": "10.5"}]),
+    dml(2, "INSERT", [{"id": "2", "name": "bob", "balance": "3"}]),
+    # batched Dml: two rows in one envelope (C1 explode)
+    dml(
+        3,
+        "UPDATE",
+        [
+            {"id": "1", "name": "alice2", "balance": "11"},
+            {"id": "3", "name": "carol", "balance": "7"},
+        ],
+        [{"name": "alice"}, {}],
+    ),
+    # PK-change: id 2 -> 9 (old carries pk)
+    dml(4, "UPDATE", [{"id": "9", "name": "bob", "balance": "3"}], [{"id": "2"}]),
+    dml(5, "DELETE", [{"id": "3", "name": "carol", "balance": "7"}]),
+    # unrelated table: must be dropped by routing (C2)
+    dml(6, "INSERT", [{"id": "77", "name": "zz", "balance": "0"}], table="other"),
+]
+
+EXPECTED = {1: ("alice2", 11.0), 9: ("bob", 3.0)}
+
+EVENTS_TRUNC = EVENTS + [
+    dml(7, "TRUNCATE"),
+    dml(8, "INSERT", [{"id": "5", "name": "dave", "balance": "1"}]),
+]
+EXPECTED_TRUNC = {5: ("dave", 1.0)}
+
+
+def write_events(path, events):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "batch.json"), "w", encoding="utf-8") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+@pytest.mark.parametrize(
+    "events,expected", [(EVENTS, EXPECTED), (EVENTS_TRUNC, EXPECTED_TRUNC)]
+)
+def test_golden_stream(spark, tmp_path, events, expected):
+    src = str(tmp_path / "src")
+    write_events(src, events)
+    q = run_cdc_stream(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        CFG,
+        VALUE_SCHEMA,
+    )
+    q.awaitTermination(120)
+    state = ParquetStateStore(spark, str(tmp_path / "state")).read()
+    got = {r["id"]: (r["name"], r["balance"]) for r in state.collect()}
+    assert got == expected
+
+
+def test_incremental_epochs(spark, tmp_path):
+    """Two micro-batches arriving over time: state carries across."""
+    src = str(tmp_path / "src")
+    write_events(src, EVENTS)
+    for args in ((), ()):  # run twice; second run has a new file
+        q = run_cdc_stream(
+            spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA
+        )
+        q.awaitTermination(120)
+        if not args:
+            with open(os.path.join(src, "more.json"), "w", encoding="utf-8") as f:
+                f.write(json.dumps(dml(10, "INSERT", [{"id": "4", "name": "erin", "balance": "2"}])) + "\n")
+    state = ParquetStateStore(spark, str(tmp_path / "state")).read()
+    got = {r["id"]: (r["name"], r["balance"]) for r in state.collect()}
+    assert got == {**EXPECTED, 4: ("erin", 2.0)}
+
+
+def test_parse_explode_route_batch(spark):
+    """C1/C2 on the batch path: envelope JSON -> SingleDml rows."""
+    raw = spark.createDataFrame([(json.dumps(e),) for e in EVENTS], "value string")
+    rows = explode_dml(route(parse_dml_json(raw), CFG))
+    got = rows.orderBy("seq").collect()
+    # 6 envelopes -> 5 routed (one dropped) -> 6 rows (one 2-row batch)
+    assert len(got) == 6
+    assert got[2]["data"]["name"] == "alice2" and got[2]["old"] == {"name": "alice"}
+    assert got[3]["data"]["name"] == "carol" and got[3]["old"] == {}
+    assert got[4]["old"] == {"id": "2"}  # PK-change old image
