@@ -43,7 +43,17 @@ def main() -> None:
     qs = E.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)
 
-    # warm the JVM + parquet footers once so timings measure the engine
+    # Warm the JVM: run every headline query once at the smallest SF so
+    # whole-stage-codegen compilation and class loading happen outside
+    # the timed loop (standard steady-state benching; the compiled
+    # plans are shape-identical at any SF).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     times: dict[str, float] = {}

@@ -68,7 +68,8 @@ def cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full CDC apply (C1-C6, C8) — inserts, keep-last
     updates, deletes, PK-changes — folded to the final state table."""
     changes = ev.synthetic_changes(load_table(spark, sf_dir, "events"))
-    return merge_cdc(None, changes, ["user_id"], old_prefix="old_")
+    return merge_cdc(None, changes, ["user_id"], old_prefix="old_",
+                     check_truncate=False)  # derivation emits no TRUNCATE
 
 
 @register(
@@ -78,7 +79,8 @@ def cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3/C4/C6 without PK-changes: upsert + delete + last-writer-wins."""
     changes = ev.synthetic_changes(load_table(spark, sf_dir, "events"), with_pk_change=False)
-    return merge_cdc(None, changes, ["user_id"], old_prefix="old_")
+    return merge_cdc(None, changes, ["user_id"], old_prefix="old_",
+                     check_truncate=False)
 
 
 @register(
@@ -144,7 +146,8 @@ def cdc_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = ev.synthetic_changes(
         events.where(F.col("event_id") % 3 == 0), with_pk_change=False
     )
-    return merge_cdc(state, changes, ["user_id"], old_prefix="old_")
+    return merge_cdc(state, changes, ["user_id"], old_prefix="old_",
+                     check_truncate=False)
 
 
 # ---------------------------------------------------------------------------

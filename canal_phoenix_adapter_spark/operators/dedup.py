@@ -90,6 +90,9 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, text_col, n).select(
         F.col(id_col).alias("id"), md5_long(F.col("shingle")).alias("sh")
     )
+    # sh feeds three consumers (sizes + both join sides): persist so the
+    # shingle explode+dedup runs once. 8-byte hashes, spillable.
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")
@@ -146,19 +149,25 @@ def minhash_lsh_candidates(
     (b) a self-join keyed on (band, band_hash) — buckets, not docs."""
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     rows_per_band = num_perm // bands
-    band_rows = []
+    # Emit all bands in ONE pass over the signature table (explode of
+    # an inline array) instead of a bands-way union, which would
+    # recompute the signature aggregation per band.
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col).alias("id"),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
             )
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    buckets = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
+    # The self-join reads the bucket table twice; persist so the
+    # signature pipeline (shingle explode + groupBy) runs once. The
+    # persisted table is docs x bands tiny rows — safe to spill.
+    buckets = buckets.persist()
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["band", "bh"])

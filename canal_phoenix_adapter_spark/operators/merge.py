@@ -134,6 +134,7 @@ def merge_cdc(
     op_col: str = "op",
     old_prefix: str = "old_",
     broadcast_changes: bool = True,
+    check_truncate: bool = True,
 ) -> DataFrame:
     """Apply a CDC change batch to a keyed state table; returns the new
     state (C3-C9 + C7 truncate). Pure DataFrame algebra — the same
@@ -143,13 +144,18 @@ def merge_cdc(
     set as the broadcast side of the anti join, so 100 TB of state is
     merged without shuffling the state. Disable when a single batch
     touches more keys than fit in executor memory.
+
+    ``check_truncate=False`` skips the truncate-seq pre-scan (one full
+    pass over the batch) when the caller knows the stream carries no
+    TRUNCATE events — e.g. a source whose DDL channel is separate.
     """
     op = F.upper(F.col(op_col))
-    trunc_seq = last_truncate_seq(changes, seq_col, op_col)
-    if trunc_seq is not None:
-        changes = changes.where(F.col(seq_col) > F.lit(trunc_seq))
-        state = None  # truncate wipes accumulated state (C7)
-    changes = changes.where(op != OP_TRUNCATE)
+    if check_truncate:
+        trunc_seq = last_truncate_seq(changes, seq_col, op_col)
+        if trunc_seq is not None:
+            changes = changes.where(F.col(seq_col) > F.lit(trunc_seq))
+            state = None  # truncate wipes accumulated state (C7)
+        changes = changes.where(op != OP_TRUNCATE)
 
     last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
     image_cols = [

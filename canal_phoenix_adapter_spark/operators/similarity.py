@@ -130,7 +130,10 @@ def ann_topk_lsh(
     query's LSH bucket. Recall < 1 by construction; the point is the
     join is keyed on (bucket) — at 100 TB each query only meets its
     bucket's candidates instead of the full corpus."""
-    buckets = lsh_hyperplane_buckets(df, id_col, vec_col, num_planes)
+    # persist: the bucket table feeds both the query side and the
+    # candidate side; without it the (planes x dims)-term fold runs
+    # twice over the corpus.
+    buckets = lsh_hyperplane_buckets(df, id_col, vec_col, num_planes).persist()
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
         buckets, on="id"
     )
