@@ -58,6 +58,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
+        # Drop datasets persisted by earlier queries (operators persist
+        # intermediates reused within one query; across queries the
+        # stale blocks only add GC/eviction pressure and noise).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

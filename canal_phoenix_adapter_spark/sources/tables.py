@@ -17,6 +17,27 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guarantee at least ``defaultParallelism`` partitions.
+
+    The driver's testdata writes each table as ONE parquet row group,
+    so the scan is a single split and everything up to the first
+    shuffle (explode, hashing, casts, partial aggregation — the
+    CPU-heavy map side) runs on one core while 31 idle. A round-robin
+    repartition right after the scan costs one tiny shuffle (the raw
+    table bytes) and buys full-width map parallelism.
+
+    At production scale a 100 TB table scans as tens of thousands of
+    splits, the condition is false, and this is a no-op — no shuffle
+    is ever added to a big input. Filters still push down to the scan:
+    Catalyst moves predicates through RepartitionOperation nodes.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
@@ -31,7 +52,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        return fan_out(spark, spark.read.parquet(path))
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf locked down
@@ -51,7 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
-    return df
+    return fan_out(spark, df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

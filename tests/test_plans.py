@@ -1,0 +1,84 @@
+"""Physical-plan shape tests (plans/explain.py helpers).
+
+Correctness tests prove the numbers match; these prove the PLAN is the
+one we designed for 100 TB: filters reach the parquet scan, scans read
+only the projected columns, small dimensions broadcast, and the
+shuffle count stays at the designed minimum. A regression here (e.g.
+a filter that silently stops pushing down) would not change results,
+only make them 100x more expensive at scale — so it must fail CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from canal_phoenix_adapter_spark import entry as E
+from canal_phoenix_adapter_spark.plans.explain import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return E.QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+def test_filter_pushes_through_fan_out_repartition(q):
+    """etl_scan_condition filters o_totalprice/o_orderstatus; both must
+    reach the parquet scan even though load_table inserts a
+    round-robin repartition between scan and filter."""
+    filters = " ".join(pushed_filters(q("etl_scan_condition")))
+    assert "o_totalprice" in filters, filters
+    assert "o_orderstatus" in filters, filters
+
+
+def test_projection_prunes_scan_columns(q):
+    """A 4-column projection of orders must not read all 9 columns."""
+    scans = read_schema_columns(q("etl_scan_condition"))
+    assert scans, "no parquet scan found in plan"
+    for cols in scans:
+        assert set(cols) <= {
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderstatus",
+        }, cols
+
+
+def test_q5_uses_broadcast_joins(q):
+    """Q5's nation/region/supplier/customer sides are tiny at any SF
+    relative to lineitem: the planner must broadcast, never
+    sort-merge-shuffle the fact table for a dimension lookup."""
+    assert has_broadcast_join(q("analytics_q5_join"))
+
+
+def test_count_has_no_join_or_extra_shuffle(q):
+    """COUNT(1) is scan -> [fan-out exchange of zero-width rows] ->
+    partial count -> single exchange -> final. Column pruning makes
+    the fan-out exchange carry empty rows, so the budget is 2; a
+    third exchange would mean a real regression."""
+    df = q("etl_count")
+    assert shuffle_count(df) <= 2
+    for cols in read_schema_columns(df):
+        assert cols in ([], [""]), f"count should read no columns: {cols}"
+
+
+def test_keep_last_single_shuffle_budget(q):
+    """Idempotent load = fan-out repartition + one hash exchange on
+    the PK for the window; a third exchange would mean the window
+    partitioning no longer reuses the PK shuffle."""
+    assert shuffle_count(q("etl_idempotent_load")) <= 2
+
+
+def test_exact_dedup_shuffles_digest_not_text(q):
+    """Exact dedup must shuffle the 64-hex digest, not document text:
+    the only wide columns allowed into the exchange are doc_id+sha."""
+    df = q("dedup_exact")
+    assert shuffle_count(df) <= 2  # fan-out + hash partition on sha
+    scans = read_schema_columns(df)
+    for cols in scans:
+        assert set(cols) <= {"doc_id", "text"}, cols
