@@ -872,3 +872,243 @@ def analytics_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (60 min) per user."""
     return analytics.sessionize_events(spark, sf_dir, gap_minutes=60)
+
+
+# ---------------------------------------------------------------------------
+# Coverage round 2: truncate apply, envelope routing, serial mode,
+# schema evolution (S3/S4/S8, C2, C7, C9, C11-C13), X1 range split,
+# event-time rollup, SimHash pairs, IVF ANN
+# ---------------------------------------------------------------------------
+
+_TRUNCATE_FOLD_SQL = f"""
+WITH changes AS ({ev.SYNTHETIC_CHANGES_TRUNCATE_SQL}),
+tmax AS (SELECT coalesce(max(seq), -1) AS tseq FROM changes WHERE op = 'TRUNCATE'),
+live AS (
+    SELECT c.* FROM changes c, tmax WHERE c.seq > tmax.tseq AND c.op <> 'TRUNCATE'
+),
+timeline AS (
+    SELECT user_id AS k, seq, 1 AS is_create, user_id, value, ts_us
+    FROM live WHERE op IN ('INSERT','UPDATE')
+    UNION ALL
+    SELECT user_id AS k, seq, 0, NULL::BIGINT, NULL::DOUBLE, NULL::BIGINT
+    FROM live WHERE op = 'DELETE'
+),
+last AS (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, is_create DESC) AS rn
+    FROM timeline
+)
+SELECT user_id, value, ts_us FROM last WHERE rn = 1 AND is_create = 1
+"""
+
+
+@register("cdc_truncate_apply", _TRUNCATE_FOLD_SQL)
+def cdc_truncate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/S7: TRUNCATE markers interleaved in the stream wipe all
+    earlier state; only events after the last truncate survive."""
+    changes = ev.synthetic_changes_with_truncate(load_table(spark, sf_dir, "events"))
+    return merge_cdc(None, changes, ["user_id"], old_prefix="old_", check_truncate=True)
+
+
+@register(
+    "cdc_envelope_route",
+    """
+    SELECT event_id * 1000000 AS seq,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error'  THEN 'DELETE'
+                ELSE 'UPDATE' END AS op,
+           user_id AS id,
+           event_type AS etype
+    FROM events
+    WHERE user_id % 3 = 0
+    """,
+)
+def cdc_envelope_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+C1+C2 end-to-end: events rendered as Canal-JSON envelope
+    strings, parsed (from_json), exploded to SingleDml rows, and
+    routed to the mytest.user mapping — unrouted databases dropped."""
+    from canal_phoenix_adapter_spark.config import MappingConfig
+
+    raw = ev.canal_json_stream(load_table(spark, sf_dir, "events"))
+    parsed = ev.parse_dml_json(raw, "value")
+    rows = ev.explode_dml(parsed)
+    cfg = MappingConfig(
+        destination="canal",
+        db_mapping=DbMapping(database="mytest", table="user", target_table="t.user"),
+    )
+    routed = ev.route(rows, cfg)
+    return routed.select(
+        "seq",
+        "op",
+        F.try_element_at(F.col("data"), F.lit("id")).try_cast("bigint").alias("id"),
+        F.try_element_at(F.col("data"), F.lit("etype")).alias("etype"),
+    )
+
+
+@register(
+    "cdc_serial_mode",
+    _MERGE_ORACLE_TEMPLATE.format(changes=ev.SYNTHETIC_CHANGES_NO_PKCHANGE_SQL),
+)
+def cdc_serial_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 `concurrent: false`: the whole batch collapses to one
+    partition and applies in strict event order — final state must be
+    identical to the PK-hash-parallel path (the reference's guarantee:
+    partitioning only changes interleaving across DIFFERENT keys)."""
+    changes = ev.synthetic_changes(
+        load_table(spark, sf_dir, "events"), with_pk_change=False
+    ).coalesce(1)
+    return merge_cdc(None, changes, ["user_id"], old_prefix="old_",
+                     check_truncate=False)
+
+
+_DDL_SQL = (
+    "ALTER TABLE mytest.user ADD COLUMN note VARCHAR(16) DEFAULT 'n/a', "
+    "ADD COLUMN score INT, DROP COLUMN ts_us"
+)
+
+
+@register(
+    "schema_ddl_evolution",
+    _MERGE_ORACLE_TEMPLATE.format(changes=ev.SYNTHETIC_CHANGES_NO_PKCHANGE_SQL).replace(
+        "SELECT user_id, value, ts_us FROM last",
+        "SELECT user_id, value, 'n/a' AS note, CAST(NULL AS INTEGER) AS score FROM last",
+    ),
+)
+def schema_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12+C13+S8: a DDL event (ALTER TABLE ADD/DROP COLUMN) parsed to
+    intents and applied to the state — ADDed columns backfill their
+    DEFAULT for every existing row, DROPped columns disappear."""
+    from canal_phoenix_adapter_spark.operators.schema_sync import apply_ddl
+
+    changes = ev.synthetic_changes(
+        load_table(spark, sf_dir, "events"), with_pk_change=False
+    )
+    state = merge_cdc(None, changes, ["user_id"], old_prefix="old_",
+                      check_truncate=False)
+    return apply_ddl(state, _DDL_SQL, allow_drop=True)
+
+
+@register(
+    "schema_probe",
+    """
+    SELECT CAST(ordinal_position AS INT) AS ordinal,
+           lower(column_name) AS column_name,
+           lower(data_type) AS data_type
+    FROM information_schema.columns
+    WHERE lower(table_name) = 'orders'
+    """,
+)
+def schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: the schema scan / zero-row probe — column inventory of a
+    table as data, from df.schema (no rows read)."""
+    from canal_phoenix_adapter_spark.operators.schema_sync import schema_inventory
+
+    return schema_inventory(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "etl_range_split",
+    """
+    WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+    SELECT least(2, CAST(floor((o_orderkey - lo) * 3 / (hi - lo + 1)) AS BIGINT)) AS slice_id,
+           count(1) AS n_rows,
+           min(o_orderkey) AS lo_key,
+           max(o_orderkey) AS hi_key
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def etl_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: disjoint key-range slice assignment (the Spark-native form
+    of the reference's 3-thread LIMIT/OFFSET split)."""
+    return etl_ops.range_split_stats(load_table(spark, sf_dir, "orders"), "o_orderkey", 3)
+
+
+@register(
+    "analytics_time_rollup",
+    """
+    SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS win_start_us,
+           event_type,
+           count(1) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def analytics_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tumbling-window rollup (batch backfill form of
+    the streaming windowed agg)."""
+    return analytics.time_window_rollup(spark, sf_dir, bucket_hours=24)
+
+
+def _simhash_pairs_sql(max_dist: int = 3, bands: int = 4) -> str:
+    width = 32 // bands
+    mask = (1 << width) - 1
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id AS id, {b} AS band, (simhash >> {b * width}) & {mask} AS bv FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({_simhash_sql()}),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bv)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON id_a = sa.doc_id
+    JOIN sig sb ON id_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_dist}
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_sql(3, 4))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band blocking + exact hamming <= 3."""
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_dist=3, bands=4
+    )
+
+
+def _ann_ivf_sql(num_queries: int = 8, k: int = 5) -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT id, ve,
+               CAST(list_position(list_transform(embedding, x -> abs(x)),
+                                  list_max(list_transform(embedding, x -> abs(x)))) * 2
+                    + CASE WHEN embedding[list_position(list_transform(embedding, x -> abs(x)),
+                                                        list_max(list_transform(embedding, x -> abs(x))))] < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS cell
+        FROM v
+    ),
+    q AS (SELECT id AS query_id, ve AS qv, cell FROM cells WHERE id < {num_queries}),
+    scored AS (
+        SELECT query_id, c.id AS neighbor_id,
+               list_dot_product(qv, ve)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ve, ve))) AS cos
+        FROM q JOIN cells c USING (cell) WHERE query_id <> c.id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_ann_ivf", _ann_ivf_sql())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF inverted lists (argmax-dimension quantizer)."""
+    return similarity.ann_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5
+    )

@@ -156,3 +156,26 @@ def sessionize_events(
             F.max(F.col("end_us") - F.col("start_us")).alias("longest_session_us"),
         )
     )
+
+
+def time_window_rollup(spark: SparkSession, sf_dir: str, bucket_hours: int = 24) -> DataFrame:
+    """Hypertable-style event-time rollup: tumbling windows over the
+    event stream, one agg row per (window, event_type).
+
+    The bucket is pure epoch-microsecond integer arithmetic — timezone-
+    and engine-independent, and exactly what Structured Streaming's
+    window() compiles to for a tumbling window. The streaming variant
+    (streaming/stream.py) applies the same agg with a watermark; this
+    batch form is the backfill path a hypertable rollup runs at 100 TB:
+    scan -> map-side partial agg -> one shuffle on (bucket, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_us = bucket_hours * 3_600_000_000
+    win = (F.col("ts_us") - (F.col("ts_us") % F.lit(bucket_us))).alias("win_start_us")
+    return (
+        ev.groupBy(win, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("string").alias("sum_value"),
+        )
+    )

@@ -203,6 +203,67 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select(F.col(id_col), sketch.cast("long").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_dist.
+
+    Pigeonhole blocking: split the 32-bit sketch into ``bands`` byte
+    bands; any pair within hamming distance bands-1 shares at least
+    one identical band, so the self-join is keyed on (band, value) —
+    buckets, never a cartesian product. Exact hamming (bit_count of
+    xor) filters candidates. Requires max_dist < bands.
+
+    At 100 TB: sketches are 4 bytes/doc, the band table is docs*bands
+    tiny rows, and hot buckets (boilerplate docs) can be capped by
+    bucket-size before the join.
+    """
+    if max_dist >= bands:
+        raise ValueError("pigeonhole blocking needs max_dist < bands")
+    sk = simhash32(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+    )
+    width = 32 // bands
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # sk feeds the band explode AND both hamming-check sides: persist
+    # so the token explode + 32-way aggregation runs once.
+    sk = sk.persist()
+    banded = sk.select("id", F.explode(band_vals).alias("bb")).select(
+        "id", "bb.band", "bb.bv"
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bv"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return (
+        cand.join(sk.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
+        .join(sk.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

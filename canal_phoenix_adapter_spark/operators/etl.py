@@ -82,6 +82,39 @@ def etl_import(
     return mapped.dropDuplicates(pk_cols)
 
 
+def range_split_stats(df: DataFrame, key_col: str, num_slices: int = 3) -> DataFrame:
+    """X1 made Spark-native: the reference splits big extracts into 3
+    `LIMIT offset,size` threads (PhoenixEtlService.java:264-287), which
+    re-scans the prefix per slice. The scalable equivalent is disjoint
+    key-range predicates (what spark.read.jdbc(partitionColumn,
+    lowerBound, upperBound, numPartitions) issues). This operator
+    computes the slice assignment and per-slice coverage so the split
+    is itself oracle-checkable: slices are disjoint, exhaustive, and
+    contiguous in key space.
+
+    Bounds come from one tiny agg broadcast back over the scan — no
+    collect, no driver loop."""
+    bounds = df.agg(
+        F.min(key_col).alias("__lo"), F.max(key_col).alias("__hi")
+    )
+    stride_den = F.col("__hi") - F.col("__lo") + 1
+    # floor(double-division), not cast: Spark's bigint cast truncates
+    # while DuckDB's rounds — floor agrees everywhere for positives.
+    slice_id = F.least(
+        F.lit(num_slices - 1).cast("bigint"),
+        F.floor((F.col(key_col) - F.col("__lo")) * num_slices / stride_den),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .groupBy(slice_id.alias("slice_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(key_col).alias("lo_key"),
+            F.max(key_col).alias("hi_key"),
+        )
+    )
+
+
 def count_table(df: DataFrame) -> DataFrame:
     """A1: SELECT COUNT(1) AS cnt FROM t (PhoenixAdapter.java:227),
     returned as a DataFrame so the driver can hash-check it."""

@@ -171,6 +171,59 @@ def align_to_schema(
 # restricted grammar with regexes — not a general SQL parser.
 # --------------------------------------------------------------------------
 
+def apply_ddl(df: DataFrame, sql: str, allow_drop: bool = True) -> DataFrame:
+    """Apply the ADD/DROP COLUMN intents of an ALTER TABLE statement to
+    a state DataFrame (C12 + C13): each ADD materializes the column at
+    its declared type with the declared DEFAULT backfilled for every
+    existing row (PhoenixSyncService.java:316-321,334-361); DROP
+    removes it when permitted (`drop: true`,
+    MappingConfig.java:106)."""
+    out = df
+    for intent in parse_ddl(sql):
+        if intent.kind == "add" and intent.column:
+            out = out.withColumn(
+                intent.column, F.lit(intent.default).cast(intent.dtype or T.StringType())
+            )
+        elif intent.kind == "drop" and intent.column and allow_drop:
+            out = out.drop(intent.column)
+    return out
+
+
+# Spark type -> engine-canonical type name, shared vocabulary with the
+# reference's INFORMATION_SCHEMA scan (S3, PhoenixEtlService.java:110-139)
+# and probe (S4, PhoenixSyncService.java:522-570). timestamp and
+# timestamp_ntz collapse: parquet TIMESTAMP(isAdjustedToUTC=false) reads
+# as NTZ in Spark 4 but plain TIMESTAMP everywhere else.
+_CANONICAL_TYPE = {
+    "tinyint": "tinyint", "smallint": "smallint", "int": "integer",
+    "bigint": "bigint", "float": "float", "double": "double",
+    "string": "varchar", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "varbinary",
+}
+
+
+def schema_inventory(df: DataFrame) -> DataFrame:
+    """The engine's source-schema scan (S3) / target probe (S4): column
+    name + canonical type as a DataFrame, the Spark analogue of reading
+    INFORMATION_SCHEMA.COLUMNS or the zero-row `WHERE 1=2` probe —
+    df.schema IS the probe, no data is read."""
+    rows = []
+    for pos, f in enumerate(df.schema.fields):
+        s = f.dataType.simpleString()
+        if s.startswith("decimal"):
+            canon = s
+        elif s.startswith("array<"):
+            canon = _CANONICAL_TYPE.get(s[6:-1], s[6:-1]) + "[]"
+        else:
+            canon = _CANONICAL_TYPE.get(s, s)
+        rows.append((pos + 1, f.name.lower(), canon))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "ordinal int, column_name string, data_type string"
+    )
+
+
 _ADD_RE = re.compile(
     r"add\s+(?:column\s+)?`?(\w+)`?\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
     r"(?:\s+unsigned)?)"

@@ -118,6 +118,66 @@ def lsh_hyperplane_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.cast("long").alias("bucket"))
 
 
+def ivf_cells(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF-style coarse quantizer without trained centroids: the cell is
+    (argmax-|component| dimension, its sign) — 2*dim inverted lists.
+    A trained k-means codebook slots into the same shape (cell id :=
+    nearest centroid, a broadcast join against the codebook); this
+    deterministic quantizer keeps the oracle SQL-expressible while the
+    plumbing (cell assignment -> per-cell candidate join) is identical.
+
+    Ties in |v_i| resolve to the first (lowest) dimension in both
+    engines: array_position / list_position return the first match.
+    """
+    absv = F.transform(F.col(vec_col), lambda x: F.abs(x))
+    idx = F.array_position(absv, F.array_max(absv))  # 1-based first max
+    signed = F.when(F.element_at(F.col(vec_col), idx.cast("int")) < 0, 1).otherwise(0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        (idx * 2 + signed).cast("long").alias("cell"),
+    )
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_queries: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k via IVF inverted lists: exact cosine ranking
+    restricted to the query's cell. Same scale shape as ann_topk_lsh —
+    the candidate join is keyed on the cell, so a query only meets its
+    list's vectors, never the full corpus; nprobe>1 = union more cells."""
+    cells = ivf_cells(df, id_col, vec_col).persist()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        cells, on="id"
+    )
+    queries = base.where(F.col("id") < num_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("cell")
+    )
+    cands = F.broadcast(queries).join(
+        base.withColumnRenamed("id", "neighbor_id"), on="cell"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -143,6 +143,76 @@ SELECT event_id AS seq,
 FROM events
 """
 
+TRUNCATE_MOD = 2500  # every 2500th event becomes a TRUNCATE marker
+
+
+def synthetic_changes_with_truncate(events: DataFrame) -> DataFrame:
+    """Like :func:`synthetic_changes` (no PK-changes) but events whose
+    ``event_id % 2500 == 0`` become TRUNCATE markers (C7): state is
+    wiped and only later events matter. Deterministic at every SF so
+    the DuckDB oracle replays the identical stream."""
+    is_trunc = F.col("event_id") % TRUNCATE_MOD == 0
+    return events.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_trunc, "TRUNCATE")
+        .when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+        .alias("op"),
+        F.col("user_id"),
+        F.lit(None).cast("bigint").alias("old_user_id"),
+        F.col("value"),
+        F.col("ts_us"),
+    )
+
+
+SYNTHETIC_CHANGES_TRUNCATE_SQL = """
+SELECT event_id AS seq,
+       CASE WHEN event_id % 2500 = 0 THEN 'TRUNCATE'
+            WHEN event_type = 'signup' THEN 'INSERT'
+            WHEN event_type = 'error'  THEN 'DELETE'
+            ELSE 'UPDATE' END AS op,
+       user_id, CAST(NULL AS BIGINT) AS old_user_id,
+       value, epoch_us(ts) AS ts_us
+FROM events
+"""
+
+
+def canal_json_stream(events: DataFrame) -> DataFrame:
+    """Render events.parquet as a stream of Canal-JSON envelope strings
+    (one Dml per event, single-row data array) — the wire format the
+    reference receives (PhoenixAdapter.java:143-152). Routing database
+    cycles deterministically so only ``user_id % 3 == 0`` events land
+    in the configured 'mytest' database; the rest must be dropped by
+    route() exactly like the reference drops unmatched keys
+    (PhoenixSyncService.java:159-179)."""
+    body = F.to_json(
+        F.struct(
+            F.lit("canal").alias("destination"),
+            F.lit("g1").alias("groupId"),
+            F.when(F.col("user_id") % 3 == 0, "mytest").otherwise("other").alias("database"),
+            F.lit("user").alias("table"),
+            F.when(F.col("event_type") == "signup", "INSERT")
+            .when(F.col("event_type") == "error", "DELETE")
+            .otherwise("UPDATE")
+            .alias("type"),
+            F.lit(False).alias("isDdl"),
+            F.lit(None).cast("string").alias("sql"),
+            F.col("event_id").alias("es"),
+            F.col("event_id").alias("ts"),
+            F.array(
+                F.create_map(
+                    F.lit("id"), F.col("user_id").cast("string"),
+                    F.lit("etype"), F.col("event_type"),
+                )
+            ).alias("data"),
+            F.lit(None).cast("array<map<string,string>>").alias("old"),
+            F.array(F.lit("id")).alias("pkNames"),
+        )
+    )
+    return events.select(body.alias("value"))
+
+
 SYNTHETIC_CHANGES_NO_PKCHANGE_SQL = """
 SELECT event_id AS seq,
        CASE event_type WHEN 'signup' THEN 'INSERT'

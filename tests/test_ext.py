@@ -164,3 +164,48 @@ def test_multimodal_stubs_raise(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media)
+
+
+def test_simhash_hamming_pairs_finds_identical_docs(spark):
+    from canal_phoenix_adapter_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely here")],
+        "doc_id bigint, text string",
+    )
+    pairs = simhash_hamming_pairs(df, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["hamming"] == 0 for r in pairs if r["id_a"] == 1)
+
+
+def test_simhash_hamming_pairs_rejects_bad_bands():
+    import pytest as _pytest
+
+    from canal_phoenix_adapter_spark.operators.dedup import simhash_hamming_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(None, "id", "t", max_dist=4, bands=4)
+
+
+def test_ivf_cells_deterministic_and_signed(spark):
+    from canal_phoenix_adapter_spark.operators.similarity import ivf_cells
+
+    df = spark.createDataFrame(
+        [(0, [0.1, -0.9, 0.2]), (1, [0.1, 0.9, 0.2]), (2, [0.95, 0.1, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    cells = {r["id"]: r["cell"] for r in ivf_cells(df).collect()}
+    # dim index is 1-based; cell = idx*2 + (1 if negative else 0)
+    assert cells == {0: 5, 1: 4, 2: 2}
+
+
+def test_range_split_slices_are_disjoint_exhaustive(spark):
+    from canal_phoenix_adapter_spark.operators.etl import range_split_stats
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "k bigint")
+    rows = {r["slice_id"]: r for r in range_split_stats(df, "k", 3).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert sum(r["n_rows"] for r in rows.values()) == 100
+    assert rows[0]["lo_key"] == 1 and rows[2]["hi_key"] == 100
+    assert rows[0]["hi_key"] < rows[1]["lo_key"] <= rows[1]["hi_key"] < rows[2]["lo_key"]

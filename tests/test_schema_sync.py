@@ -98,3 +98,27 @@ def test_parse_ddl_truncate_and_other():
     assert parse_ddl("TRUNCATE TABLE t")[0].kind == "truncate"
     assert parse_ddl("CREATE INDEX idx ON t(a)")[0].kind == "other"
     assert parse_ddl("alter table t drop index idx")[0].kind == "other"
+
+
+def test_apply_ddl_add_backfills_and_drop(spark):
+    from canal_phoenix_adapter_spark.operators.schema_sync import apply_ddl
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    out = apply_ddl(
+        df, "ALTER TABLE t ADD COLUMN note VARCHAR(8) DEFAULT 'x', DROP COLUMN name"
+    )
+    assert out.columns == ["id", "note"]
+    assert {r["note"] for r in out.collect()} == {"x"}
+
+
+def test_schema_inventory_canonical_types(spark):
+    from canal_phoenix_adapter_spark.operators.schema_sync import schema_inventory
+
+    df = spark.createDataFrame(
+        [], "id bigint, s string, d double, t timestamp, arr array<float>"
+    )
+    inv = {r["column_name"]: r["data_type"] for r in schema_inventory(df).collect()}
+    assert inv == {
+        "id": "bigint", "s": "varchar", "d": "double",
+        "t": "timestamp", "arr": "float[]",
+    }
