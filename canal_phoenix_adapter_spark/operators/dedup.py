@@ -36,17 +36,9 @@ def _tokens(text_col):
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). Built with
-    explode over a transform'd sequence — one generator, no UDF."""
-    toks = _tokens(F.col(text_col))
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return (
-        df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .dropDuplicates([id_col, "shingle"])
-    )
+    explode over a transform'd sequence — one generator, no UDF. Use
+    raw_shingles (below) when the consumer is multiset-invariant."""
+    return raw_shingles(df, id_col, text_col, n).dropDuplicates([id_col, "shingle"])
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -117,13 +109,33 @@ def ngram_jaccard_pairs(
     return out
 
 
+def raw_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
+    """Shingles WITHOUT the per-doc distinct: (id, shingle) with
+    multiplicity. Consumers whose aggregate is multiset-invariant
+    (min/max — i.e. MinHash) use this to skip the distinct's shuffle
+    entirely: duplicates cannot change a min."""
+    toks = _tokens(F.col(text_col))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return df.select(F.col(id_col), F.explode(ngrams).alias("shingle")).where(
+        F.col("shingle") != ""
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, n: int = 4
 ) -> DataFrame:
     """MinHash signature per doc: num_perm columns mh0..mh{k-1}, each
-    min over the permuted shingle hashes. One groupBy over shingles
-    computes every permutation (single shuffle, k aggregates)."""
-    sh = shingles(df, id_col, text_col, n).select(
+    min over the permuted shingle hashes.
+
+    Exactly ONE shuffle, and a partial-aggregated one: min is
+    multiset-invariant, so the shingle distinct is skipped (duplicate
+    shingles can't change a min) and the explode + md5 + 16
+    permutations all run map-side, with only per-doc partial minima
+    crossing the wire — k bigints per doc per input partition."""
+    sh = raw_shingles(df, id_col, text_col, n).select(
         F.col(id_col), md5_long(F.col("shingle")).alias("h")
     )
     aggs = []

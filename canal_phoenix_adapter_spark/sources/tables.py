@@ -17,8 +17,8 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Guarantee at least ``defaultParallelism`` partitions.
+def fan_out(spark: SparkSession, df: DataFrame, n_bytes: int | None = None) -> DataFrame:
+    """Guarantee full map-side parallelism on narrow inputs.
 
     The driver's testdata writes each table as ONE parquet row group,
     so the scan is a single split and everything up to the first
@@ -27,15 +27,21 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     repartition right after the scan costs one tiny shuffle (the raw
     table bytes) and buys full-width map parallelism.
 
-    At production scale a 100 TB table scans as tens of thousands of
-    splits, the condition is false, and this is a no-op — no shuffle
-    is ever added to a big input. Filters still push down to the scan:
-    Catalyst moves predicates through RepartitionOperation nodes.
+    The trigger is the file size (driver-side stat, no job, no plan
+    conversion): anything under one scan-split-per-core is "narrow".
+    At production scale a 100 TB table is thousands of splits, the
+    condition is false, and this is a no-op — no shuffle is ever added
+    to a big input. Filters still push down to the scan: Catalyst
+    moves predicates through RepartitionOperation nodes.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    except Exception:
+        max_split = 134217728
+    if n_bytes is not None and n_bytes >= target * max_split:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,8 +57,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         native precision) for window/watermark use.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        n_bytes = os.path.getsize(path)
+    except OSError:  # directory-style parquet or remote path: sum files
+        n_bytes = None
+        if os.path.isdir(path):
+            n_bytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
     if name != "events":
-        return fan_out(spark, spark.read.parquet(path))
+        return fan_out(spark, spark.read.parquet(path), n_bytes)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf locked down
@@ -72,7 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
-    return fan_out(spark, df)
+    return fan_out(spark, df, n_bytes)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
