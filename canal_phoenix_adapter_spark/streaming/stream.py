@@ -141,3 +141,93 @@ def run_cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_rollup_stream(
+    events: DataFrame,
+    bucket: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window rollup with late-data handling: the
+    streaming twin of analytics.time_window_rollup (same grouping, same
+    aggregates). The watermark bounds state: windows older than
+    max(event_time) - watermark finalize and evict; events later than
+    that are dropped — the knob the reference lacks entirely (its
+    ordering is transaction-log position, SURVEY §2e note).
+
+    Input must carry an event-time `ts` timestamp column; works on a
+    readStream DataFrame (append mode output) and on a batch DataFrame
+    (watermark is a no-op there, same results as the batch rollup).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type", "n_events", "approx_users", "sum_value",
+        )
+    )
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    timeout_ms: int = 1_800_000,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value sum, emitted per micro-batch,
+    state evicted on processing-time timeout (timeout_ms). This is the extension
+    point for operators Spark's built-ins can't express (the
+    reference has no analogue; SURVEY §7.4 scale path for per-entity
+    accumulators over unbounded streams).
+
+    State is one (count, sum) pair per user — O(active keys), bounded
+    by the timeout eviction.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

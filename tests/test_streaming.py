@@ -134,3 +134,90 @@ def test_parse_explode_route_batch(spark):
     assert got[2]["data"]["name"] == "alice2" and got[2]["old"] == {"name": "alice"}
     assert got[3]["data"]["name"] == "carol" and got[3]["old"] == {}
     assert got[4]["old"] == {"id": "2"}  # PK-change old image
+
+
+def test_windowed_rollup_stream_watermark_drops_late(spark, tmp_path):
+    """Event-time tumbling window + watermark: in-window events
+    aggregate; an event later than watermark behind the max event time
+    is dropped once the window has finalized."""
+    import datetime as dt
+
+    from canal_phoenix_adapter_spark.streaming.stream import windowed_rollup_stream
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+
+    def ev(eid, day, hour, utype, val):
+        return {
+            "event_id": eid,
+            "user_id": utype,
+            "event_type": "view",
+            "value": val,
+            "ts": f"2024-03-{day:02d}T{hour:02d}:00:00.000Z",
+        }
+
+    # batch 1: two events day 1, one event day 3 (advances watermark
+    # past day 1 + 1h) -- day-1 window can finalize
+    with open(os.path.join(src, "b1.json"), "w", encoding="utf-8") as f:
+        for e in [ev(1, 1, 1, 10, 1.0), ev(2, 1, 2, 11, 2.0), ev(3, 3, 12, 12, 4.0)]:
+            f.write(json.dumps(e) + "\n")
+
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    stream = spark.readStream.schema(schema).json(src)
+    rolled = windowed_rollup_stream(stream, bucket="1 day", watermark="1 hour")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only FINALIZED windows: day 1 (watermark moved
+    # past its end), not day 3 (still open)
+    rows = {r["win_start_us"]: r for r in spark.sql("SELECT * FROM rollup1").collect()}
+    day1_us = int(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert list(rows) == [day1_us]
+    assert rows[day1_us]["n_events"] == 2
+    assert float(rows[day1_us]["sum_value"]) == 3.0
+
+    # batch 2: a LATE day-1 event (behind the watermark) + day-4 event.
+    with open(os.path.join(src, "b2.json"), "w", encoding="utf-8") as f:
+        for e in [ev(4, 1, 3, 13, 100.0), ev(5, 4, 1, 14, 8.0)]:
+            f.write(json.dumps(e) + "\n")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches within one run."""
+    from canal_phoenix_adapter_spark.streaming.stream import stateful_running_totals
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "s1.json"), "w", encoding="utf-8") as f:
+        for uid, val in [(1, 1.0), (1, 2.0), (2, 5.0)]:
+            f.write(json.dumps({"user_id": uid, "value": val}) + "\n")
+
+    stream = spark.readStream.schema("user_id long, value double").json(src)
+    totals = stateful_running_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in
+           spark.sql("SELECT * FROM totals").collect()}
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
