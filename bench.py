@@ -56,14 +56,15 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - warmup is best-effort
             pass
 
-    # Two timed passes, report the min per query: the host occasionally
+    # Timed passes (default 3), report the min per query: the host occasionally
     # steals CPU for multiple seconds (observed 40s craters on a 1.6s
     # query with zero guest-side processes running), and min-of-N is
     # the standard estimator for true cost under asymmetric noise.
     # Caches are cleared before every pass, so each pass recomputes the
     # full pipeline from the parquet scans.
     times: dict[str, float] = {}
-    for _pass in range(2):
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for _pass in range(n_passes):
         for name in names:
             # Drop datasets persisted by earlier queries (operators
             # persist intermediates reused within one query; across
