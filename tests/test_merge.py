@@ -123,3 +123,34 @@ def test_keep_last_operator(spark):
     )
     rows = {r["k"]: r["v"] for r in keep_last(df, ["k"], "seq").collect()}
     assert rows == {1: "b", 2: "c"}
+
+
+def test_composite_pk_delete_and_update(spark):
+    """F1: composite keys everywhere (targetPk is a map,
+    config/MappingConfig.java:102) — merge keyed on (tenant, id),
+    including a PK-change that moves only ONE component of the key."""
+    changes = spark.createDataFrame(
+        [
+            (1, "INSERT", "t1", 1, None, None, "a"),
+            (2, "INSERT", "t1", 2, None, None, "b"),
+            (3, "INSERT", "t2", 1, None, None, "c"),
+            # delete (t1, 2) — same id exists under t2, must survive
+            (4, "DELETE", "t1", 2, None, None, None),
+            # PK-change: (t2, 1) -> (t2, 9); old_tenant null = unchanged
+            (5, "UPDATE", "t2", 9, None, 1, "c-moved"),
+            (6, "UPDATE", "t1", 1, None, None, "a2"),
+        ],
+        "seq long, op string, tenant string, id long, "
+        "old_tenant string, old_id long, val string",
+    )
+    out = merge_cdc(None, changes, ["tenant", "id"], old_prefix="old_")
+    got = {(r["tenant"], r["id"]): r["val"] for r in out.collect()}
+    assert got == {("t1", 1): "a2", ("t2", 9): "c-moved"}
+
+    # merge into existing state on the composite key
+    state = spark.createDataFrame(
+        [("t1", 1, "s"), ("t3", 7, "keep")], "tenant string, id long, val string"
+    )
+    out2 = merge_cdc(state, changes, ["tenant", "id"], old_prefix="old_")
+    got2 = {(r["tenant"], r["id"]): r["val"] for r in out2.collect()}
+    assert got2 == {("t1", 1): "a2", ("t2", 9): "c-moved", ("t3", 7): "keep"}
