@@ -45,8 +45,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: revenue per order for one market segment.
-    customer is the broadcast side; lineitem only shuffles on
-    l_orderkey for the aggregate."""
+
+    No forced broadcast: customer and orders scale linearly with the
+    fact table, so a baked-in hint would OOM executors at 1000x scale.
+    Catalyst/AQE picks broadcast when runtime stats fit the threshold
+    (they do at test SFs) and degrades to shuffle joins on o_orderkey /
+    o_custkey when they don't — the plan that survives a scale-up."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -60,9 +64,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(12,2)")
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -71,9 +73,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue by nation for one region — a 5-way join
-    where every dimension side is broadcast; the only fact shuffle is
-    the final groupBy(n_name)."""
+    """TPC-H Q5 shape: revenue by nation for one region.
+
+    Broadcast is FORCED only for the genuinely bounded dims (region: 5
+    rows, nation: 25 rows — fixed regardless of SF). supplier / orders
+    / customer scale with the data, so their join strategy is left to
+    Catalyst/AQE runtime stats: broadcast at test SFs, shuffle joins on
+    the equi-keys at cluster scale. Baking F.broadcast on a table that
+    grows 1000x is the classic plan that dies on the scale-up."""
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -86,10 +93,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == sup.s_nationkey),
         )

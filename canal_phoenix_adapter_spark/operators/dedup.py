@@ -93,9 +93,12 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is one row per document — it scales with the corpus, so no
+    # forced broadcast (AQE broadcasts it at small scale; at 100 TB the
+    # size lookup becomes a shuffle join on id, which is correct).
     out = (
-        pairs.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
+        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",

@@ -50,9 +50,11 @@ def test_projection_prunes_scan_columns(q):
 
 
 def test_q5_uses_broadcast_joins(q):
-    """Q5's nation/region/supplier/customer sides are tiny at any SF
-    relative to lineitem: the planner must broadcast, never
-    sort-merge-shuffle the fact table for a dimension lookup."""
+    """Q5's nation/region dims are bounded (25/5 rows at any SF) and
+    force-broadcast; the scaling sides (supplier/orders/customer) are
+    left to stats so they degrade to shuffle joins at cluster scale.
+    The plan must contain at least the dim broadcast — a sort-merge
+    against a 25-row table would mean the hint regressed."""
     assert has_broadcast_join(q("analytics_q5_join"))
 
 
