@@ -70,32 +70,38 @@ def collapse_changes(
     ]
     non_pk = [c for c in image_cols if c not in pk]
 
-    creates = changes.where(op.isin(OP_INSERT, OP_UPDATE)).select(
-        *[F.col(k).alias(f"__k_{k}") for k in pk],
-        F.col(seq_col).alias("__seq"),
-        F.lit(1).alias("__is_create"),
-        *image_cols,
-    )
-    null_image = [F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in image_cols]
-    deletes = changes.where(op == OP_DELETE).select(
-        *[F.col(k).alias(f"__k_{k}") for k in pk],
-        F.col(seq_col).alias("__seq"),
-        F.lit(0).alias("__is_create"),
-        *null_image,
-    )
-    timeline = creates.unionByName(deletes)
+    # Build the per-key timeline in ONE pass over the batch: each change
+    # row yields its main effect (create with the row image, or delete
+    # with a null image), plus — for a PK-changing UPDATE — the death of
+    # the old key at the same seq (reference reads the old image per
+    # PK column via old[pk] ?? data[pk], PhoenixSyncService.getPkVal,
+    # :575-593). An inline array + explode keeps this a single scan of
+    # the change source, where a 3-way union would scan it three times.
+    is_create = op.isin(OP_INSERT, OP_UPDATE)
+    null_image = [
+        F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in image_cols
+    ]
 
-    # PK-change: the old key dies at the same seq. Reference reads the
-    # old image per-PK-column via old[pk] ?? data[pk]
-    # (PhoenixSyncService.getPkVal, :575-593).
+    def entry_struct(keys, create_flag, image):
+        return F.struct(
+            *[k.alias(f"__k_{kn}") for kn, k in zip(pk, keys)],
+            F.col(seq_col).alias("__seq"),
+            create_flag.alias("__is_create"),
+            *image,
+        )
+
+    main = entry_struct(
+        [F.col(k) for k in pk],
+        F.when(is_create, F.lit(1)).otherwise(F.lit(0)),
+        [
+            F.when(is_create, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in image_cols
+        ],
+    )
+    entries = F.array(main)
+
     old_cols = [old_prefix + k for k in pk]
     if any(c in changes.columns for c in old_cols):
-        old_key = [
-            F.coalesce(F.col(old_prefix + k), F.col(k)).alias(f"__k_{k}")
-            if (old_prefix + k) in changes.columns
-            else F.col(k).alias(f"__k_{k}")
-            for k in pk
-        ]
         key_changed = F.lit(False)
         for k in pk:
             if (old_prefix + k) in changes.columns:
@@ -103,13 +109,19 @@ def collapse_changes(
                     F.col(old_prefix + k).isNotNull()
                     & ~F.col(old_prefix + k).eqNullSafe(F.col(k))
                 )
-        pk_deletes = changes.where(op.isin(OP_INSERT, OP_UPDATE) & key_changed).select(
-            *old_key,
-            F.col(seq_col).alias("__seq"),
-            F.lit(0).alias("__is_create"),
-            *null_image,
-        )
-        timeline = timeline.unionByName(pk_deletes)
+        old_key = [
+            F.coalesce(F.col(old_prefix + k), F.col(k))
+            if (old_prefix + k) in changes.columns
+            else F.col(k)
+            for k in pk
+        ]
+        old_death = F.when(
+            is_create & key_changed,
+            entry_struct(old_key, F.lit(0), null_image),
+        )  # null struct when not a PK-change; compacted away below
+        entries = F.array_compact(F.array(main, old_death))
+
+    timeline = changes.select(F.explode(entries).alias("__e")).select("__e.*")
 
     # Last writer wins per key. __is_create desc breaks the (otherwise
     # impossible) same-seq tie in favor of the create, mirroring the
