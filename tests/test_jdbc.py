@@ -1,0 +1,85 @@
+"""JDBC source/sink construction parity (S2/S5/S6/S7/X1/X2): the SQL
+strings and reader/writer configuration the reference builds, checked
+without a live server (no driver jar ships here; `.load()`/`.save()`
+are never called)."""
+
+from __future__ import annotations
+
+from canal_phoenix_adapter_spark.config import DbMapping
+from canal_phoenix_adapter_spark.sources.jdbc import (
+    delete_sql,
+    extract_query,
+    jdbc_writer,
+    qualified_table,
+    read_jdbc_table,
+    read_options,
+    truncate_sql,
+    upsert_sql,
+    write_options,
+)
+
+CFG = DbMapping(
+    database="mytest",
+    table="user",
+    target_table="mytest2.user",
+    target_pk={"id": "id"},
+    etl_condition="where sys_time >= '{0}'",
+)
+
+
+def test_qualified_table_escape_upper():
+    assert qualified_table(CFG) == '"MYTEST2"."USER"'
+    low = DbMapping(target_table="db.t", escape_upper=False)
+    assert qualified_table(low) == "db.t"
+
+
+def test_extract_query_condition_template():
+    assert (
+        extract_query(CFG, ["2024-01-01"])
+        == "SELECT * FROM mytest.user WHERE sys_time >= '2024-01-01'"
+    )
+    assert extract_query(DbMapping(database="d", table="t")) == "SELECT * FROM d.t"
+
+
+def test_upsert_delete_truncate_sql():
+    # UPSERT dialect + quoted-upper identifiers (PhoenixSyncService.java:370-423)
+    assert (
+        upsert_sql(CFG, ["id", "name"])
+        == 'UPSERT INTO "MYTEST2"."USER" ("ID", "NAME") VALUES (?, ?)'
+    )
+    assert delete_sql(CFG) == 'DELETE FROM "MYTEST2"."USER" WHERE "ID" = ?'
+    comp = DbMapping(target_table="d.t", target_pk={"a": "a", "b": "b"})
+    assert delete_sql(comp) == 'DELETE FROM "D"."T" WHERE "A" = ? AND "B" = ?'
+    assert truncate_sql(CFG) == 'DELETE FROM "MYTEST2"."USER"'
+
+
+def test_partitioned_reader_options(spark):
+    opts = read_options(
+        "jdbc:mysql://h/db",
+        CFG,
+        params=["2024-01-01"],
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100000,
+        num_partitions=8,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "100000"
+    # partitioned read folds the conditioned extract into a derived table
+    assert opts["dbtable"].startswith("(SELECT * FROM mytest.user WHERE")
+    # unpartitioned read ships the extract as a plain query
+    assert "query" in read_options("jdbc:mysql://h/db", CFG)
+    # reader construction itself succeeds (no load)
+    assert read_jdbc_table(
+        spark, url="jdbc:mysql://h/db", cfg=CFG, partition_column="id",
+        lower_bound=0, upper_bound=10,
+    ) is not None
+
+
+def test_writer_batchsize(spark):
+    opts = write_options("jdbc:phoenix:h", CFG, batch_size=5000)
+    assert opts["batchsize"] == "5000"
+    assert opts["dbtable"] == '"MYTEST2"."USER"'
+    df = spark.range(3).withColumnRenamed("id", "v")
+    assert jdbc_writer(df, url="jdbc:phoenix:h", cfg=CFG) is not None
