@@ -70,18 +70,32 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard: block on shared shingles so
     only docs with >= 1 common n-gram ever meet (no cartesian join),
     then Jaccard = shared / (|A| + |B| - shared).
 
-    At 100 TB the shingle join is the scale knob: shingle hashes are
-    bigints (8 bytes vs arbitrary text), hot shingles (stopword runs)
-    can be dropped by document frequency before the self-join.
+    At 100 TB the shingle self-join is the scale knob: shingle hashes
+    are bigints (8 bytes vs arbitrary text), and ``max_df`` drops
+    shingles appearing in more than that many documents before the
+    join. A shingle shared by d docs contributes d^2 join rows, so one
+    stopword-run shingle with d=10^6 alone produces 10^12 rows; capping
+    document frequency bounds every bucket and removes the skew AQE
+    would otherwise have to split. Counts stay exact for the surviving
+    pairs when max_df is high enough that dropped shingles are pure
+    boilerplate (they contribute equally to both sides' sizes only if
+    kept — so with max_df set, |A|/|B| are computed over KEPT shingles,
+    keeping the Jaccard internally consistent).
     """
     sh = shingles(df, id_col, text_col, n).select(
         F.col(id_col).alias("id"), md5_long(F.col("shingle")).alias("sh")
     )
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        sh = sh.withColumn("__df", F.count(F.lit(1)).over(w)).where(
+            F.col("__df") <= max_df
+        ).drop("__df")
     # sh feeds three consumers (sizes + both join sides): persist so the
     # shingle explode+dedup runs once. 8-byte hashes, spillable.
     sh = sh.persist()

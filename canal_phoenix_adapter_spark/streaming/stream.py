@@ -231,3 +231,25 @@ def stateful_running_totals(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose key was already seen,
+    with state bounded by the watermark (dropDuplicatesWithinWatermark
+    evicts keys older than max(event_time) - watermark; a duplicate
+    arriving inside the horizon is dropped, one arriving later is the
+    stream's responsibility to avoid — the standard at-least-once ->
+    effectively-once trick for CDC/event feeds at 100 TB/day, where
+    unbounded dedup state is impossible).
+
+    The batch twin is exact_dedup / dropDuplicates; same key columns,
+    same result on a replayed bounded input.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

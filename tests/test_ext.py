@@ -209,3 +209,25 @@ def test_range_split_slices_are_disjoint_exhaustive(spark):
     assert sum(r["n_rows"] for r in rows.values()) == 100
     assert rows[0]["lo_key"] == 1 and rows[2]["hi_key"] == 100
     assert rows[0]["hi_key"] < rows[1]["lo_key"] <= rows[1]["hi_key"] < rows[2]["lo_key"]
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """max_df bounds the shingle join: with max_df=2 a boilerplate
+    shingle shared by all 3 docs is dropped, so the only surviving
+    pair is the true near-dup sharing rare shingles too."""
+    from canal_phoenix_adapter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs daily"),
+            (2, "the quick brown fox jumps over lazy dogs nightly"),
+            (3, "the quick brown fox sits under a tree quietly"),
+        ],
+        "doc_id long, text string",
+    )
+    unfiltered = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05)
+    got_all = {(r["id_a"], r["id_b"]) for r in unfiltered.collect()}
+    assert (1, 2) in got_all and (1, 3) in got_all
+    filtered = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05, max_df=2)
+    got = {(r["id_a"], r["id_b"]) for r in filtered.collect()}
+    assert (1, 2) in got and (1, 3) not in got

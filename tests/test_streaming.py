@@ -221,3 +221,29 @@ def test_stateful_running_totals(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in
            spark.sql("SELECT * FROM totals").collect()}
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids within the
+    watermark horizon collapse to one row."""
+    from canal_phoenix_adapter_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "d1.json"), "w", encoding="utf-8") as f:
+        for eid, t in [(1, "01:00"), (1, "01:05"), (2, "01:10"), (2, "01:10"), (3, "02:00")]:
+            f.write(json.dumps({"event_id": eid, "ts": f"2024-03-01T{t}:00.000Z"}) + "\n")
+
+    stream = spark.readStream.schema("event_id long, ts timestamp").json(src)
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup1").collect())
+    assert ids == [1, 2, 3]
