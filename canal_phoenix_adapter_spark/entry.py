@@ -424,6 +424,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_maxdf",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hs0 AS (SELECT doc_id AS id, {_H.format(x='shingle')} AS sh FROM sh),
+    docfreq AS (SELECT sh, count(1) AS d FROM hs0 GROUP BY sh),
+    hs AS (SELECT id, hs0.sh FROM hs0 JOIN docfreq USING (sh) WHERE d <= 5),
+    sizes AS (SELECT id, count(1) AS sz FROM hs GROUP BY id),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(1) AS shared
+        FROM hs a JOIN hs b USING (sh) WHERE a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale Jaccard: shingles in more than max_df=5 docs are
+    dropped before the self-join (a d-doc shingle costs d^2 join rows),
+    bounding every bucket; sizes are over kept shingles on both sides."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=4, threshold=0.5, max_df=5,
+    )
+
+
 def _minhash_sql(num_perm: int = 16) -> str:
     mins = ",\n           ".join(
         f"min(((h % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
