@@ -167,7 +167,12 @@ def merge_cdc(
         if trunc_seq is not None:
             changes = changes.where(F.col(seq_col) > F.lit(trunc_seq))
             state = None  # truncate wipes accumulated state (C7)
-        changes = changes.where(op != OP_TRUNCATE)
+    # Unrecognized event types are logged-and-ignored by the reference
+    # (PhoenixSyncService.sync else-branch), never applied as deletes;
+    # DDL rows travel the schema_sync channel, not the merge.
+    changes = changes.where(op.isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+    if "is_ddl" in changes.columns:
+        changes = changes.where(~F.coalesce(F.col("is_ddl"), F.lit(False)))
 
     last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
     image_cols = [

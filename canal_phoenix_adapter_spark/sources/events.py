@@ -43,16 +43,36 @@ def parse_dml_json(df: DataFrame, json_col: str = "value") -> DataFrame:
     return df.select(F.from_json(F.col(json_col).cast("string"), DML_ENVELOPE).alias("dml")).select("dml.*")
 
 
+# seq packing: (binlog second) 31 bits | (delivery-ms tiebreak) 14 bits
+# | (row pos within envelope) 18 bits. See explode_dml docstring.
+_SEQ_TS_SHIFT = 1 << 18          # 262,144 rows per envelope
+_SEQ_ES_SHIFT = 1 << 32          # = _SEQ_TS_SHIFT * 2**14
+_SEQ_TS_MAX = (1 << 14) - 1      # 16,383 ms delivery-lag tiebreak window
+_SEQ_POS_MAX = _SEQ_TS_SHIFT - 1
+
+
 def explode_dml(df: DataFrame, seq_col: str = "seq") -> DataFrame:
     """Dml batch -> SingleDml rows (C1, support/SingleDml.java:67-92).
 
     * data[i] pairs with old[i] (changed-columns previous image).
     * TRUNCATE (and DDL) rows have null/empty data yet must survive as
       one row — hence explode_outer.
-    * ``seq`` assigns a total order reproducing binlog order: the
-      envelope's (es, ts) ordered batch position plus the row index
-      within the batch. Callers that already carry an explicit sequence
-      keep theirs.
+    * ``seq`` assigns a total order approximating the reference's
+      strict list-order apply (PhoenixSyncService.sync). ``es`` alone
+      is NOT a total order: it is the binlog execute time and MySQL
+      binlog timestamps have second granularity, so every envelope in
+      the same second shares es. seq therefore packs three components
+      into one bigint, most-significant first:
+        floor(es/1000)            — binlog second        (31 bits)
+        min(ts - es_floor, 16383) — canal delivery-time millis within
+                                    that second; breaks same-second
+                                    envelope ties in arrival order
+                                                         (14 bits)
+        min(pos, 262143)          — row index in the envelope (18 bits)
+      Envelopes lagging >16.4 s behind their binlog second clamp the
+      middle component (they still sort after punctual ones); callers
+      with an exact source offset (kafka offset / file position)
+      should carry their own seq instead.
 
     The output is one row per changed source row: (seq, database,
     table, type, is_ddl, sql, data map, old map).
@@ -64,8 +84,16 @@ def explode_dml(df: DataFrame, seq_col: str = "seq") -> DataFrame:
             .otherwise(F.array(F.lit(None).cast("map<string,string>")))
         ).alias("pos", "row_data"),
     )
+    es = F.coalesce(F.col("es"), F.lit(0))
+    ts = F.coalesce(F.col("ts"), es)
+    es_sec = F.floor(es / F.lit(1000))
+    ts_tie = F.least(F.greatest(ts - es_sec * 1000, F.lit(0)), F.lit(_SEQ_TS_MAX))
     out = zipped.select(
-        ((F.coalesce(F.col("es"), F.lit(0)) * F.lit(1_000_000)) + F.col("pos")).alias(seq_col),
+        (
+            es_sec * F.lit(_SEQ_ES_SHIFT)
+            + ts_tie * F.lit(_SEQ_TS_SHIFT)
+            + F.least(F.col("pos"), F.lit(_SEQ_POS_MAX))
+        ).alias(seq_col),
         F.col("destination"),
         F.col("groupId").alias("group_id"),
         F.col("database"),

@@ -136,6 +136,48 @@ def test_parse_explode_route_batch(spark):
     assert got[4]["old"] == {"id": "2"}  # PK-change old image
 
 
+def test_same_second_envelopes_order_by_delivery_ts(spark):
+    """es is binlog-second granularity: two UPDATEs to the same key in
+    envelopes sharing es must collapse deterministically to the later-
+    DELIVERED one (ts tiebreak), mirroring the reference's strict
+    list-order apply (PhoenixSyncService.sync)."""
+    from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+    from pyspark.sql import functions as F
+
+    e1 = dml(17000, "UPDATE", [{"id": "1", "name": "first", "balance": "1"}])
+    e2 = dml(17000, "UPDATE", [{"id": "1", "name": "second", "balance": "2"}])
+    e1["ts"], e2["ts"] = 17250, 17900  # same binlog second, e2 arrives later
+    raw = spark.createDataFrame([(json.dumps(e),) for e in (e1, e2)], "value string")
+    rows = explode_dml(route(parse_dml_json(raw), CFG))
+    seqs = [r["seq"] for r in rows.orderBy("seq").collect()]
+    assert seqs[0] < seqs[1]
+    typed = rows.select(
+        "seq",
+        F.col("op"),
+        F.element_at("data", "id").cast("long").alias("id"),
+        F.element_at("data", "name").alias("name"),
+    )
+    final = merge_cdc(None, typed, ["id"], check_truncate=False).collect()
+    assert [(r["id"], r["name"]) for r in final] == [(1, "second")]
+
+
+def test_merge_ignores_unknown_and_ddl_ops(spark):
+    """Unknown event types (and DDL rows) are ignored, never applied as
+    deletes (reference logs-and-skips, PhoenixSyncService.sync)."""
+    from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+
+    changes = spark.createDataFrame(
+        [
+            (1, "INSERT", 1, "a", False),
+            (2, "GTID", 1, None, False),      # unknown op: must not delete id 1
+            (3, "ALTER", 2, "ddl", True),     # DDL row: not merged
+        ],
+        "seq long, op string, id long, name string, is_ddl boolean",
+    )
+    got = {r["id"]: r["name"] for r in merge_cdc(None, changes, ["id"]).collect()}
+    assert got == {1: "a"}
+
+
 def test_windowed_rollup_stream_watermark_drops_late(spark, tmp_path):
     """Event-time tumbling window + watermark: in-window events
     aggregate; an event later than watermark behind the max event time
