@@ -37,8 +37,21 @@ from canal_phoenix_adapter_spark.sources.events import (
 class ParquetStateStore:
     """Versioned keyed-state table on parquet: each epoch writes a new
     snapshot dir and repoints _CURRENT (atomic rename of a small
-    pointer file), so readers never see a half-written snapshot and a
-    failed epoch replay simply overwrites its own version dir."""
+    pointer file), so readers never see a half-written snapshot.
+
+    The _CURRENT repoint IS the epoch's commit marker (C10 atomicity):
+      * crash before the repoint -> _CURRENT still names the previous
+        version; the replayed epoch reads it and overwrites the
+        orphaned v{N} dir (a different path than the one being read).
+      * crash after the repoint but before the streaming checkpoint
+        commits -> the replayed epoch sees current_version() == its
+        epoch_id and must SKIP the merge (apply_cdc_epoch does);
+        re-merging would both double-apply and self-overwrite the
+        v{N} dir it is lazily reading from, which Spark rejects
+        ("Cannot overwrite a path that is also being read from").
+    write() therefore must never target the version its input was read
+    from — callers route through apply_cdc_epoch, which guarantees it.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -102,6 +115,38 @@ def typed_changes(
     return rows.select(*cols)
 
 
+def apply_cdc_epoch(
+    store: ParquetStateStore,
+    batch_df: DataFrame,
+    epoch_id: int,
+    pk: list[str],
+) -> bool:
+    """One foreachBatch epoch body: merge the typed change batch into
+    the versioned state store. Returns True iff a new version was
+    committed.
+
+    Replay-safe (C10, the reference's transactional batch + rollback,
+    BatchExecutor.java:60-91, re-expressed as epoch idempotence): if
+    _CURRENT already names this epoch (or a later one), the merge
+    committed before the crash and the replay is a no-op — see
+    ParquetStateStore's commit-marker contract."""
+    if batch_df.isEmpty():
+        return False
+    cur = store.current_version()
+    if cur is not None and cur >= epoch_id:
+        return False
+    state = store.read()
+    if state is not None:
+        state = align_to_schema(
+            state,
+            T.StructType([f for f in batch_df.schema.fields
+                          if f.name not in ("seq", "op") and not f.name.startswith("old_")]),
+        )
+    new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
+    store.write(new_state, epoch_id)
+    return True
+
+
 def run_cdc_stream(
     spark: SparkSession,
     source_path: str,
@@ -119,17 +164,7 @@ def run_cdc_stream(
     pk = [src or tgt for tgt, src in cfg.db_mapping.target_pk.items()]
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        state = store.read()
-        if state is not None:
-            state = align_to_schema(
-                state,
-                T.StructType([f for f in batch_df.schema.fields
-                              if f.name not in ("seq", "op") and not f.name.startswith("old_")]),
-            )
-        new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
-        store.write(new_state, epoch_id)
+        apply_cdc_epoch(store, batch_df, epoch_id, pk)
 
     stream = read_canal_stream(spark, source_path)
     changes = typed_changes(stream, cfg, value_schema)

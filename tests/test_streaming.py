@@ -136,6 +136,48 @@ def test_parse_explode_route_batch(spark):
     assert got[4]["old"] == {"id": "2"}  # PK-change old image
 
 
+def test_epoch_replay_after_crash_converges(spark, tmp_path):
+    """C10 rollback semantics made observable: an epoch replayed after
+    a crash converges to the identical state, whichever side of the
+    commit marker the crash fell on.
+
+    * crash AFTER store commit, BEFORE checkpoint commit: replay sees
+      current_version()==epoch_id and no-ops (previously this
+      self-overwrote the version dir it was lazily reading — wedged).
+    * crash BEFORE store commit (pointer still old, orphan v1 dir on
+      disk): replay re-merges from v0 and overwrites the orphan,
+      reaching the same state."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    batch0 = spark.createDataFrame(
+        [(1, "INSERT", 1, "a", 1.0, None), (2, "INSERT", 2, "b", 2.0, None)],
+        "seq long, op string, id long, name string, balance double, old_id long",
+    )
+    batch1 = spark.createDataFrame(
+        [(3, "UPDATE", 1, "a2", 9.0, None), (4, "DELETE", 2, "b", 2.0, None)],
+        "seq long, op string, id long, name string, balance double, old_id long",
+    )
+
+    def snapshot():
+        return sorted(map(tuple, store.read().collect()))
+
+    assert apply_cdc_epoch(store, batch0, 0, ["id"])
+    assert apply_cdc_epoch(store, batch1, 1, ["id"])
+    expected = snapshot()
+    assert store.current_version() == 1
+
+    # crash after commit: replay of epoch 1 must no-op, not wedge
+    assert apply_cdc_epoch(store, batch1, 1, ["id"]) is False
+    assert snapshot() == expected and store.current_version() == 1
+
+    # crash before commit: pointer back to v0, orphan v1 left behind
+    with open(os.path.join(str(tmp_path / "state"), "_CURRENT"), "w", encoding="utf-8") as f:
+        json.dump({"version": 0}, f)
+    assert apply_cdc_epoch(store, batch1, 1, ["id"]) is True
+    assert snapshot() == expected and store.current_version() == 1
+
+
 def test_same_second_envelopes_order_by_delivery_ts(spark):
     """es is binlog-second granularity: two UPDATEs to the same key in
     envelopes sharing es must collapse deterministically to the later-
