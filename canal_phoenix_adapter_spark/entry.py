@@ -477,7 +477,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4) -> str:
+def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, max_bucket: int | None = None) -> str:
     rpb = num_perm // bands
     band_selects = []
     for b in range(bands):
@@ -486,13 +486,20 @@ def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4) -> str:
             f"SELECT doc_id AS id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
         )
     buckets = "\n        UNION ALL\n        ".join(band_selects)
+    cap_ctes = ""
+    src = "buckets"
+    if max_bucket is not None:
+        cap_ctes = f""",
+    bsz AS (SELECT band, bh FROM buckets GROUP BY band, bh HAVING count(1) <= {max_bucket}),
+    capped AS (SELECT id, buckets.band, buckets.bh FROM buckets JOIN bsz USING (band, bh))"""
+        src = "capped"
     return f"""
     WITH sig AS ({_minhash_sql(num_perm)}),
     buckets AS (
         {buckets}
-    )
+    ){cap_ctes}
     SELECT DISTINCT x.id AS id_a, y.id AS id_b
-    FROM buckets x JOIN buckets y USING (band, bh)
+    FROM {src} x JOIN {src} y USING (band, bh)
     WHERE x.id < y.id
     """
 
@@ -503,6 +510,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         num_perm=16, bands=4, n=4,
+    )
+
+
+@register("dedup_minhash_lsh_capped", _minhash_lsh_sql(16, 4, max_bucket=2))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB LSH variant: band buckets with more than max_bucket=2
+    members are dropped before the candidate self-join, bounding every
+    bucket's d^2 cost. At sf0.01 this actually drops buckets (three
+    size-3 buckets exist), so the drop path is oracle-exercised."""
+    return dedup.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_perm=16, bands=4, n=4, max_bucket=2,
     )
 
 
@@ -617,10 +636,64 @@ def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, num_queries: int = 8, k: in
 
 @register("sim_ann_lsh", _ann_lsh_sql())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 within random-hyperplane LSH buckets (8 planes)."""
+    """ANN top-5 within random-hyperplane LSH buckets (8 planes).
+    dim=64 is testdata pipeline config (TESTDATA.md embeddings)."""
     return similarity.ann_topk_lsh(
-        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5, num_planes=8
+        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5, num_planes=8,
+        dim=64,
     )
+
+
+def _embedding_lsh_sql(
+    num_planes: int = 16, bands: int = 4, dim: int = 64, threshold: float = 0.4
+) -> str:
+    from canal_phoenix_adapter_spark.operators.similarity import plane_sign
+
+    rpb = num_planes // bands
+    band_selects = []
+    for b in range(bands):
+        terms = []
+        for j in range(rpb):
+            coeffs = ", ".join(
+                str(float(plane_sign(b * rpb + j, d))) for d in range(dim)
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(ve, [{coeffs}]) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+            )
+        bucket = " + ".join(terms)
+        band_selects.append(
+            f"SELECT id, ve, {b} AS band, CAST({bucket} AS BIGINT) AS bucket FROM v"
+        )
+    banded = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    banded AS (
+        {banded}
+    )
+    SELECT DISTINCT a.id AS id_a, c.id AS id_b
+    FROM banded a JOIN banded c USING (band, bucket)
+    WHERE a.id < c.id
+      AND list_dot_product(a.ve, c.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(c.ve, c.ve)))
+          >= {threshold}
+    """
+
+
+@register("dedup_embedding_cosine_lsh", _embedding_lsh_sql())
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup: equi-join on banded hyperplane-LSH
+    buckets (4 bands x 4 planes, OR-amplified recall) + exact cosine
+    >= 0.4 within buckets. Unlike dedup_embedding_cosine (the
+    max_id-capped all-pairs oracle cross-check) this runs over the FULL
+    table with no cap — the plan has no nested-loop join (asserted by
+    tests/test_plans.py)."""
+    return dedup.embedding_near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        num_planes=16, bands=4, dim=64,
+    ).select("id_a", "id_b")
 
 
 _MARKER_SQL = {
@@ -1074,21 +1147,28 @@ def analytics_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.time_window_rollup(spark, sf_dir, bucket_hours=24)
 
 
-def _simhash_pairs_sql(max_dist: int = 3, bands: int = 4) -> str:
+def _simhash_pairs_sql(max_dist: int = 3, bands: int = 4, max_bucket: int | None = None) -> str:
     width = 32 // bands
     mask = (1 << width) - 1
     band_rows = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id AS id, {b} AS band, (simhash >> {b * width}) & {mask} AS bv FROM sig"
         for b in range(bands)
     )
+    cap_ctes = ""
+    src = "banded"
+    if max_bucket is not None:
+        cap_ctes = f""",
+    bsz AS (SELECT band, bv FROM banded GROUP BY band, bv HAVING count(1) <= {max_bucket}),
+    capped AS (SELECT id, banded.band, banded.bv FROM banded JOIN bsz USING (band, bv))"""
+        src = "capped"
     return f"""
     WITH sig AS ({_simhash_sql()}),
     banded AS (
         {band_rows}
-    ),
+    ){cap_ctes},
     cand AS (
         SELECT DISTINCT x.id AS id_a, y.id AS id_b
-        FROM banded x JOIN banded y USING (band, bv)
+        FROM {src} x JOIN {src} y USING (band, bv)
         WHERE x.id < y.id
     )
     SELECT id_a, id_b,
@@ -1105,6 +1185,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-band blocking + exact hamming <= 3."""
     return dedup.simhash_hamming_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_dist=3, bands=4
+    )
+
+
+@register("dedup_simhash_pairs_capped", _simhash_pairs_sql(3, 4, max_bucket=16))
+def dedup_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SimHash variant: band buckets over max_bucket=16
+    members (boilerplate collapsing onto one byte value — sizes reach
+    90 at sf0.01) are dropped before the candidate self-join."""
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=3, bands=4, max_bucket=16,
     )
 
 

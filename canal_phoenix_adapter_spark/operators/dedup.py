@@ -171,6 +171,22 @@ def minhash_signatures(
     )
 
 
+def _cap_bucket_size(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows whose bucket (group of key_cols) has more than
+    ``max_bucket`` members — the universal skew guard for LSH-style
+    candidate self-joins. A bucket of d members emits d^2 join rows, so
+    one boilerplate bucket with d=10^6 alone produces 10^12 candidates;
+    capping bounds every bucket's cost at max_bucket^2 and removes the
+    skew AQE would otherwise have to split. Same pattern as the max_df
+    shingle cap in ngram_jaccard_pairs."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__bs", F.count(F.lit(1)).over(w))
+        .where(F.col("__bs") <= max_bucket)
+        .drop("__bs")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -178,13 +194,18 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     n: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: split the k-wide signature
     into `bands` bands of k/bands rows; docs sharing any band bucket
     are candidate near-dups. Output: distinct (id_a, id_b) pairs.
 
     Scale shape: the only shuffles are (a) the signature groupBy and
-    (b) a self-join keyed on (band, band_hash) — buckets, not docs."""
+    (b) a self-join keyed on (band, band_hash) — buckets, not docs.
+    ``max_bucket`` is the 100 TB skew guard: buckets larger than it
+    (boilerplate bands shared by huge doc populations) are dropped
+    before the self-join, bounding every bucket's d^2 candidate cost
+    (see _cap_bucket_size)."""
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     rows_per_band = num_perm // bands
     # Emit all bands in ONE pass over the signature table (explode of
@@ -202,9 +223,14 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bh")
+    if max_bucket is not None:
+        buckets = _cap_bucket_size(buckets, ["band", "bh"], max_bucket)
     # The self-join reads the bucket table twice; persist so the
     # signature pipeline (shingle explode + groupBy) runs once. The
     # persisted table is docs x bands tiny rows — safe to spill.
+    # Cache lifecycle: the handle stays referenced by the returned
+    # plan; callers running many dedup passes in one driver should
+    # spark.catalog.clearCache() between passes (see module docstring).
     buckets = buckets.persist()
     return (
         buckets.alias("x")
@@ -247,6 +273,7 @@ def simhash_hamming_pairs(
     text_col: str,
     max_dist: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_dist.
 
@@ -257,8 +284,10 @@ def simhash_hamming_pairs(
     xor) filters candidates. Requires max_dist < bands.
 
     At 100 TB: sketches are 4 bytes/doc, the band table is docs*bands
-    tiny rows, and hot buckets (boilerplate docs) can be capped by
-    bucket-size before the join.
+    tiny rows, and ``max_bucket`` caps hot buckets (boilerplate docs
+    collapsing onto one band value) before the join — a dropped bucket
+    costs recall on near-identical boilerplate only, while an uncapped
+    one costs d^2 join rows (see _cap_bucket_size).
     """
     if max_dist >= bands:
         raise ValueError("pigeonhole blocking needs max_dist < bands")
@@ -283,6 +312,8 @@ def simhash_hamming_pairs(
     banded = sk.select("id", F.explode(band_vals).alias("bb")).select(
         "id", "bb.band", "bb.bv"
     )
+    if max_bucket is not None:
+        banded = _cap_bucket_size(banded, ["band", "bv"], max_bucket)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bv"])
@@ -309,12 +340,15 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     max_id: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= t).
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= t),
+    EXACT all-pairs variant.
 
-    Test-scale path: blocked self-join + fold-based dot product in
-    double precision (no UDF). The 100 TB path is LSH bucketing first
-    (similarity.lsh_hyperplane_buckets) and this exact check only
-    within buckets.
+    This is a non-equi self-join — Spark executes it as a broadcast
+    nested loop, O(n^2) comparisons. It exists only as the exhaustive
+    oracle cross-check at bounded size (``max_id`` caps the input);
+    the scale path is embedding_near_dup_pairs_lsh below, which
+    equi-joins on an LSH bucket and runs the identical exact cosine
+    check within buckets.
     """
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if max_id is not None:
@@ -340,4 +374,88 @@ def embedding_near_dup_pairs(
             (dot / (norm("a") * norm("b"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, banded-LSH bucketed — the
+    100 TB path.
+
+    Shape: one projection computes (id, vector) plus ``bands``
+    independent hyperplane-LSH buckets inline with the scan and
+    explodes them to (id, v, band, bucket); the self-join is an
+    EQUI-join on (band, bucket) — hash-partitioned, never a nested
+    loop; the exact double-precision cosine check runs only within
+    buckets, and dropDuplicates collapses pairs colliding in several
+    bands. OR-amplification across bands is what buys recall: a pair
+    at angle theta collides in a band with p = (1 - theta/pi)^(planes
+    per band) and in ANY band with 1-(1-p)^bands, so near-duplicates
+    (cosine -> 1) are found with probability ~1 while the comparison
+    count stays sum-of-squared-bucket-sizes per band, not n^2.
+    ``max_bucket`` additionally drops degenerate hot buckets (e.g. a
+    mass of near-zero vectors agreeing on every sign) before the join.
+
+    ``dim`` is required pipeline config (see lsh_bucket_expr); no
+    Spark action runs during construction.
+    """
+    from canal_phoenix_adapter_spark.operators.similarity import lsh_bucket_expr
+
+    if dim is None:
+        raise ValueError("embedding_near_dup_pairs_lsh requires dim")
+    if num_planes % bands:
+        raise ValueError("bands must divide num_planes")
+    rpb = num_planes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket_expr(vec_col, rpb, dim, first_plane=b * rpb).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    v = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.explode(band_structs).alias("bb"),
+        )
+        .select("id", "v", "bb.band", "bb.bucket")
+    )
+    if max_bucket is not None:
+        v = _cap_bucket_size(v, ["band", "bucket"], max_bucket)
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(f"{side}.v", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), on=["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -88,6 +88,39 @@ def plane_sign(plane: int, dim: int) -> int:
     return (int(h[31], 16) % 2) * 2 - 1
 
 
+def lsh_bucket_expr(
+    vec_col: str, num_planes: int, dim: int, first_plane: int = 0
+) -> F.Column:
+    """Column expression for the random-hyperplane LSH bucket id:
+    bit j of the bucket is sign(v . plane_{first_plane+j}). The planes
+    are +-1 vectors, so each dot product is a signed sum of components
+    — all ``num_planes`` folds evaluate in a single codegen projection,
+    no shuffle and no driver-side action. ``dim`` must come from the
+    caller (schema metadata / pipeline config): probing it with a
+    Spark job inside operator construction is a scale anti-pattern.
+    ``first_plane`` selects an independent plane family, letting
+    banded (OR-amplified) consumers build several bucket tables.
+
+    Each dot product is a zip_with + aggregate fold against a literal
+    coefficient array — codegen emits a LOOP per plane, not dim inlined
+    element_at terms (whose bounds-check branches overflow Janino's
+    method limit beyond ~512 terms and silently drop the whole stage
+    to interpreted mode)."""
+    bucket = None
+    for j in range(num_planes):
+        coefs = F.array(
+            *[F.lit(float(plane_sign(first_plane + j, d))) for d in range(dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coefs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
 def lsh_hyperplane_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -99,29 +132,22 @@ def lsh_hyperplane_buckets(
     Output (id, bucket bigint). Vectors in the same bucket are ANN
     candidates; expected collision rate falls with angle.
 
-    The planes are +-1 vectors, so v . plane is a signed sum of
-    components — expressed as one fold per plane, all evaluated in a
-    single projection (no shuffle at all until a later groupBy)."""
+    ``dim`` is required: the caller knows the embedding width (it is
+    pipeline config, like the model that produced the vectors), and an
+    automatic probe would run a Spark action during plan construction."""
     if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
-    bucket = None
-    for p in range(num_planes):
-        acc = None
-        for d in range(dim):
-            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(
-                float(plane_sign(p, d))
-            )
-            acc = term if acc is None else acc + term
-        bit = F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col).alias("id"), bucket.cast("long").alias("bucket"))
+        raise ValueError(
+            "lsh_hyperplane_buckets requires dim (embedding width); "
+            "pass it from pipeline config instead of probing the data"
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket_expr(vec_col, num_planes, dim).alias("bucket"),
+    )
 
 
-def ivf_cells(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """IVF-style coarse quantizer without trained centroids: the cell is
+def ivf_cell_expr(vec_col: str) -> F.Column:
+    """Column expression for the IVF-style coarse cell id:
     (argmax-|component| dimension, its sign) — 2*dim inverted lists.
     A trained k-means codebook slots into the same shape (cell id :=
     nearest centroid, a broadcast join against the codebook); this
@@ -134,9 +160,15 @@ def ivf_cells(
     absv = F.transform(F.col(vec_col), lambda x: F.abs(x))
     idx = F.array_position(absv, F.array_max(absv))  # 1-based first max
     signed = F.when(F.element_at(F.col(vec_col), idx.cast("int")) < 0, 1).otherwise(0)
+    return (idx * 2 + signed).cast("long")
+
+
+def ivf_cells(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse quantizer as a standalone (id, cell) table."""
     return df.select(
-        F.col(id_col).alias("id"),
-        (idx * 2 + signed).cast("long").alias("cell"),
+        F.col(id_col).alias("id"), ivf_cell_expr(vec_col).alias("cell")
     )
 
 
@@ -150,10 +182,16 @@ def ann_topk_ivf(
     """Approximate top-k via IVF inverted lists: exact cosine ranking
     restricted to the query's cell. Same scale shape as ann_topk_lsh —
     the candidate join is keyed on the cell, so a query only meets its
-    list's vectors, never the full corpus; nprobe>1 = union more cells."""
-    cells = ivf_cells(df, id_col, vec_col).persist()
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        cells, on="id"
+    list's vectors, never the full corpus; nprobe>1 = union more cells.
+
+    The cell id is computed inline with the scan projection (one pass
+    over the corpus, zero extra shuffles); the tiny query side
+    recomputes it for num_queries rows, which is cheaper than the
+    join-back-on-id + persist it replaces."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_cell_expr(vec_col).alias("cell"),
     )
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("cell")
@@ -185,17 +223,22 @@ def ann_topk_lsh(
     num_queries: int = 8,
     k: int = 5,
     num_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the
     query's LSH bucket. Recall < 1 by construction; the point is the
     join is keyed on (bucket) — at 100 TB each query only meets its
-    bucket's candidates instead of the full corpus."""
-    # persist: the bucket table feeds both the query side and the
-    # candidate side; without it the (planes x dims)-term fold runs
-    # twice over the corpus.
-    buckets = lsh_hyperplane_buckets(df, id_col, vec_col, num_planes).persist()
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        buckets, on="id"
+    bucket's candidates instead of the full corpus.
+
+    The bucket is computed inline with the scan projection (one pass
+    over the corpus, zero extra shuffles, no persist to manage);
+    ``dim`` is required pipeline config — see lsh_bucket_expr."""
+    if dim is None:
+        raise ValueError("ann_topk_lsh requires dim (embedding width)")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(vec_col, num_planes, dim).alias("bucket"),
     )
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")

@@ -104,6 +104,55 @@ def test_lsh_buckets_collide_for_identical(spark):
     assert b[0] == b[1]
 
 
+def test_lsh_buckets_require_dim():
+    """No Spark action during construction: dim probing was removed,
+    the operator must refuse rather than run a job."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        similarity.lsh_hyperplane_buckets(None, num_planes=4)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_topk_lsh(None)
+    with pytest.raises(ValueError, match="dim"):
+        dedup.embedding_near_dup_pairs_lsh(None)
+
+
+def test_embedding_near_dup_lsh_matches_all_pairs_on_dups(spark):
+    """The bucketed path finds the identical-vector pair (identical
+    vectors land in the same bucket by construction) and never emits a
+    below-threshold pair."""
+    pairs = dedup.embedding_near_dup_pairs_lsh(
+        vec_df(spark), threshold=0.95, num_planes=4, dim=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 3) not in got
+
+
+def test_minhash_lsh_max_bucket_drops_hot_buckets(spark):
+    """With max_bucket=1 every band bucket holding both identical docs
+    is dropped, so the (1,2) candidate disappears; with max_bucket=2
+    it survives."""
+    capped1 = dedup.minhash_lsh_candidates(
+        docs_df(spark), "doc_id", "text", num_perm=8, bands=4, n=2, max_bucket=1
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped1.collect()} == set()
+    capped2 = dedup.minhash_lsh_candidates(
+        docs_df(spark), "doc_id", "text", num_perm=8, bands=4, n=2, max_bucket=2
+    )
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in capped2.collect()}
+
+
+def test_simhash_pairs_max_bucket_drops_hot_buckets(spark):
+    uncapped = dedup.simhash_hamming_pairs(
+        docs_df(spark), "doc_id", "text", max_dist=3, bands=4
+    )
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    capped = dedup.simhash_hamming_pairs(
+        docs_df(spark), "doc_id", "text", max_dist=3, bands=4, max_bucket=1
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == set()
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [

@@ -76,6 +76,28 @@ def test_keep_last_single_shuffle_budget(q):
     assert shuffle_count(q("etl_idempotent_load")) <= 2
 
 
+def test_embedding_lsh_near_dup_has_no_nested_loop(q):
+    """The scale path for embedding near-dup must be an EQUI-join on
+    the LSH bucket: a BroadcastNestedLoopJoin / CartesianProduct here
+    means the O(n^2) all-pairs plan regressed back in."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    text = explain_str(q("dedup_embedding_cosine_lsh"))
+    assert "BroadcastNestedLoopJoin" not in text, "nested-loop join in LSH near-dup"
+    assert "CartesianProduct" not in text, "cartesian product in LSH near-dup"
+
+
+def test_capped_band_joins_have_no_nested_loop(q):
+    """Capped LSH/SimHash candidate joins stay equi-joins on the band
+    key; the bucket-size window must not change the join strategy."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    for name in ("dedup_minhash_lsh_capped", "dedup_simhash_pairs_capped"):
+        text = explain_str(q(name))
+        assert "BroadcastNestedLoopJoin" not in text, name
+        assert "CartesianProduct" not in text, name
+
+
 def test_exact_dedup_shuffles_digest_not_text(q):
     """Exact dedup must shuffle the 64-hex digest, not document text:
     the only wide columns allowed into the exchange are doc_id+sha."""
