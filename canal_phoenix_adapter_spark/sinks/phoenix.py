@@ -1,0 +1,312 @@
+"""Executor-side Phoenix/JDBC write path (BatchExecutor parity).
+
+The reference actually executes the DML it builds: prepared
+UPSERT/DELETE through a batched, transactional executor
+(support/BatchExecutor.java:21-105 — lazy connection, autocommit off,
+counted execute, commit/rollback), dispatched per PK-hash partition on
+its own connection (service/PhoenixSyncService.java:96-132), with a
+schema-heal-then-replay retry when the target lacks a table/column
+(:103-131) and per-row dispatch INSERT/UPDATE->upsert (PK-change
+deletes the old key first, :425-456), DELETE->delete (:473-498),
+TRUNCATE->truncate (:505-513).
+
+Spark re-expression: `write_changes` repartitions the change batch on
+the PK columns (the reference's ``abs(hash(pk)) % threads`` becomes a
+hash repartition — same per-key co-location guarantee, cluster-sized
+instead of a hardcoded 3) and sorts within partitions by ``seq`` so
+each partition applies its keys' events in order; `foreachPartition`
+then drives one `BatchExecutor` per partition — Spark executors
+replace the reference's thread pool, and partition granularity is the
+transaction granularity exactly as in the reference.
+
+No JDBC driver jar ships in this container, so the connection comes
+from an injectable zero-arg factory returning any DB-API-shaped
+object (``cursor()/commit()/rollback()/close()``). Tests inject a
+recording fake; production injects `phoenixdb.connect` /
+`jaydebeapi.connect` / psycopg — the loop is identical.
+
+At 100 TB this path is the *sink*, not the compute: everything wide
+(collapse, dedup, joins) has already happened in DataFrame algebra;
+what ships to Python here is exactly the rows to be written, batched
+per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from canal_phoenix_adapter_spark.config import MappingConfig
+from canal_phoenix_adapter_spark.operators.transform import mapping_columns
+from canal_phoenix_adapter_spark.sources.jdbc import (
+    delete_sql,
+    quote_ident,
+    truncate_sql,
+    upsert_sql,
+)
+
+OP_INSERT, OP_UPDATE, OP_DELETE, OP_TRUNCATE = "INSERT", "UPDATE", "DELETE", "TRUNCATE"
+
+#: exception class names the reference treats as heal-able
+#: (PhoenixSyncService.java:105-107 endsWith checks)
+_SCHEMA_ERROR_SUFFIXES = ("ColumnNotFoundException", "TableNotFoundException")
+
+
+class TargetSchemaError(RuntimeError):
+    """Python-side stand-in for Phoenix's ColumnNotFound/TableNotFound:
+    raising it from a connection marks the failure heal-able."""
+
+
+def is_schema_error(e: BaseException) -> bool:
+    return isinstance(e, TargetSchemaError) or type(e).__name__.endswith(
+        _SCHEMA_ERROR_SUFFIXES
+    )
+
+
+class BatchExecutor:
+    """support/BatchExecutor.java:21-105 parity on DB-API: lazy
+    connection with autocommit off, counted ``execute``, commit /
+    rollback resetting the counter, idempotent close."""
+
+    def __init__(self, connection_factory: Callable[[], Any]):
+        self._factory = connection_factory
+        self._conn: Any = None
+        self.idx = 0  # rows executed since last commit (java :27)
+
+    def conn(self) -> Any:
+        if self._conn is None:
+            self._conn = self._factory()
+            try:  # autocommit off (java :37); not every DB-API exposes it
+                self._conn.autocommit = False
+            except AttributeError:
+                pass
+        return self._conn
+
+    def execute(self, sql: str, params: list[Any]) -> None:
+        cur = self.conn().cursor()
+        try:
+            cur.execute(sql, params)
+            self.idx += 1
+        finally:
+            cur.close()
+
+    def execute_update(self, sql: str) -> int:
+        """Un-parameterized statement (java executeUpdate, :52-58) —
+        the DDL/TRUNCATE path."""
+        cur = self.conn().cursor()
+        try:
+            cur.execute(sql)
+            return getattr(cur, "rowcount", -1)
+        finally:
+            cur.close()
+
+    def commit(self) -> None:
+        self.conn().commit()
+        self.idx = 0
+
+    def rollback(self) -> None:
+        self.conn().rollback()
+        self.idx = 0
+
+    def close(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+
+def _image_columns(item: dict, seq_col: str, op_col: str, old_prefix: str) -> list[str]:
+    return [
+        c for c in item
+        if c not in (seq_col, op_col) and not c.startswith(old_prefix)
+    ]
+
+
+def _check_target(
+    cfg: MappingConfig, tgt: str, target_columns: set[str] | None
+) -> bool:
+    """Reference column-presence check (PhoenixSyncService.java:399-411):
+    True = write the column, False = skip it (skipMissing), raise when
+    the target lacks it and skipping is not allowed."""
+    if target_columns is None or tgt.lower() in target_columns:
+        return True
+    if cfg.db_mapping.skip_missing:
+        return False
+    raise TargetSchemaError(f"Target column: {tgt} not matched")
+
+
+def upsert_item(
+    executor: BatchExecutor,
+    cfg: MappingConfig,
+    item: dict,
+    target_columns: set[str] | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    old_prefix: str = "old_",
+) -> None:
+    """INSERT/UPDATE apply (PhoenixSyncService.insert, :370-468): build
+    the UPSERT column list through the mapping (skipMissing columns
+    dropped, missing ones fatal otherwise), and when the event moved
+    the row's PK, DELETE the old key first (:425-456) — order matters
+    and is asserted by tests."""
+    m = cfg.db_mapping
+    colmap = mapping_columns(m, _image_columns(item, seq_col, op_col, old_prefix))
+    cols: list[str] = []
+    vals: list[Any] = []
+    for tgt, src in colmap.items():
+        if not _check_target(cfg, m.escape(tgt), target_columns):
+            continue
+        cols.append(tgt)
+        vals.append(item.get(src))
+
+    key_changed = False
+    del_vals: list[Any] = []
+    for tgt, src in m.target_pk.items():
+        pk_src = src or tgt
+        old_val = item.get(old_prefix + pk_src)
+        if old_val is not None and old_val != item.get(pk_src):
+            key_changed = True
+        del_vals.append(old_val if old_val is not None else item.get(pk_src))
+    if key_changed:
+        executor.execute(delete_sql(m), del_vals)
+    executor.execute(upsert_sql(m, [m.escape(c) for c in cols]), vals)
+
+
+def delete_item(
+    executor: BatchExecutor,
+    cfg: MappingConfig,
+    item: dict,
+) -> None:
+    """DELETE apply (PhoenixSyncService.delete, :473-498): PK-equality
+    predicate from the row image (composite PKs supported)."""
+    m = cfg.db_mapping
+    vals = [item.get(src or tgt) for tgt, src in m.target_pk.items()]
+    executor.execute(delete_sql(m), vals)
+
+
+def sync_item(
+    executor: BatchExecutor,
+    cfg: MappingConfig,
+    item: dict,
+    target_columns: set[str] | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    old_prefix: str = "old_",
+) -> None:
+    """Per-row dispatch (PhoenixSyncService.java:234-254): INSERT and
+    UPDATE both route to upsert (Phoenix UPSERT is idempotent on the
+    PK), DELETE/TRUNCATE to their statements; unrecognized types are
+    ignored exactly like the reference's else-branch."""
+    op = (item.get(op_col) or "").upper()
+    if op in (OP_INSERT, OP_UPDATE):
+        upsert_item(executor, cfg, item, target_columns, seq_col, op_col, old_prefix)
+    elif op == OP_DELETE:
+        delete_item(executor, cfg, item)
+    elif op == OP_TRUNCATE:
+        executor.execute(truncate_sql(cfg.db_mapping), [])
+
+
+def apply_partition(
+    rows: Iterable[Any],
+    cfg: MappingConfig,
+    connection_factory: Callable[[], Any],
+    target_columns: set[str] | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    old_prefix: str = "old_",
+    commit_batch: int | None = None,
+    heal: Callable[[Any], bool] | None = None,
+) -> int:
+    """The per-partition transactional apply loop
+    (PhoenixSyncService.java:96-132): apply every item in order,
+    commit; on failure roll back, and if the failure is a heal-able
+    schema error and a ``heal`` hook is provided (the reference calls
+    PhoenixEtlService.syncSchema), heal then REPLAY the whole
+    partition once and commit — second failure rolls back and raises.
+
+    ``commit_batch`` additionally commits every N executed statements
+    (the ETL import's commitBatch flush, PhoenixEtlService.java:448;
+    config/MappingConfig.java:116). Returns statements executed.
+
+    The items are buffered in a list because the heal path replays
+    them — partition size is the caller's batching decision, exactly
+    as the reference buffers its per-thread dmlsPartition lists.
+    """
+    items = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+    if not items:
+        return 0
+    executor = BatchExecutor(connection_factory)
+    tcols = {c.lower() for c in target_columns} if target_columns is not None else None
+    executed = 0
+
+    def apply_all() -> int:
+        n = 0
+        for item in items:
+            sync_item(executor, cfg, item, tcols, seq_col, op_col, old_prefix)
+            n += 1
+            if commit_batch and executor.idx >= commit_batch:
+                executor.commit()
+        return n
+
+    try:
+        try:
+            executed = apply_all()
+            executor.commit()
+        except Exception as e:  # noqa: BLE001 - mirror reference catch-all
+            executor.rollback()
+            if not is_schema_error(e) or heal is None or not heal(executor.conn()):
+                raise
+            # heal succeeded: replay once (java :118-127)
+            executed = apply_all()
+            try:
+                executor.commit()
+            except Exception:
+                executor.rollback()
+                raise
+    finally:
+        executor.close()
+    return executed
+
+
+def write_changes(
+    df: DataFrame,
+    cfg: MappingConfig,
+    connection_factory: Callable[[], Any],
+    target_columns: set[str] | None = None,
+    num_partitions: int | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    old_prefix: str = "old_",
+    commit_batch: int | None = None,
+    heal: Callable[[Any], bool] | None = None,
+) -> None:
+    """Distributed sink entry point: hash-partition the change batch on
+    its PK source columns (per-key ordered parallelism C8 — every
+    event for one key lands in one partition, the reference's
+    ``pkHash`` at PhoenixSyncService.java:609-628), order each
+    partition by ``seq``, and run :func:`apply_partition` per
+    partition via ``foreachPartition``.
+
+    ``cfg.concurrent=False`` (C9, MappingConfig.java:17 default)
+    collapses to ONE partition — the reference's hash=0 serial mode.
+
+    ``connection_factory`` must be picklable (module-level function or
+    closure); it runs on executors, one connection per partition.
+    """
+    m = cfg.db_mapping
+    pk_src = m.pk_source_columns()
+    if cfg.concurrent and pk_src:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        parted = df.repartition(n, *pk_src)
+    else:
+        parted = df.repartition(1)
+    parted = parted.sortWithinPartitions(seq_col)
+    parted.foreachPartition(
+        lambda rows: apply_partition(
+            rows, cfg, connection_factory, target_columns,
+            seq_col, op_col, old_prefix, commit_batch, heal,
+        )
+    )

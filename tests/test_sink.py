@@ -1,0 +1,347 @@
+"""Executor-side Phoenix write loop (sinks/phoenix.py) vs the
+reference's BatchExecutor semantics (support/BatchExecutor.java:21-105,
+dispatch at PhoenixSyncService.java:96-132, :234-254, :370-513)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from canal_phoenix_adapter_spark.config import DbMapping, MappingConfig
+from canal_phoenix_adapter_spark.sinks.phoenix import (
+    BatchExecutor,
+    TargetSchemaError,
+    apply_partition,
+    write_changes,
+)
+
+
+class FakeCursor:
+    def __init__(self, conn):
+        self.conn = conn
+        self.rowcount = 1
+
+    def execute(self, sql, params=None):
+        if self.conn.fail_on and self.conn.fail_on in sql and not self.conn.healed:
+            raise self.conn.fail_with
+        self.conn.log.append(("execute", sql, list(params or [])))
+
+    def close(self):
+        pass
+
+
+class FakeConnection:
+    """Recording DB-API connection; optionally fails on a SQL substring
+    until `healed` flips (the schema-heal-replay scenario)."""
+
+    def __init__(self, fail_on=None, fail_with=None):
+        self.log = []
+        self.fail_on = fail_on
+        self.fail_with = fail_with or TargetSchemaError("boom")
+        self.healed = False
+
+    def cursor(self):
+        return FakeCursor(self)
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def rollback(self):
+        self.log.append(("rollback",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+def make_cfg(concurrent=False, skip_missing=False, composite=False):
+    pk = {"ID": "id", "SUB": "sub"} if composite else {"ID": "id"}
+    return MappingConfig(
+        destination="canal",
+        concurrent=concurrent,
+        db_mapping=DbMapping(
+            database="mytest",
+            table="user",
+            target_table="MYTEST.USER",
+            target_pk=pk,
+            skip_missing=skip_missing,
+        ),
+    )
+
+
+def ops_of(log):
+    return [e[0] for e in log]
+
+
+def sqls_of(log):
+    return [e[1] for e in log if e[0] == "execute"]
+
+
+def test_upsert_then_commit():
+    conn = FakeConnection()
+    cfg = make_cfg()
+    n = apply_partition(
+        [{"seq": 1, "op": "INSERT", "id": 7, "name": "a"}], cfg, lambda: conn
+    )
+    assert n == 1
+    sql = sqls_of(conn.log)[0]
+    assert sql.startswith('UPSERT INTO "MYTEST"."USER" (')
+    assert '"ID"' in sql and '"NAME"' in sql
+    assert conn.log[0][2] == [7, "a"]
+    assert ops_of(conn.log) == ["execute", "commit", "close"]
+
+
+def test_pk_change_deletes_old_key_first():
+    """UPDATE that moved the PK: DELETE old key, THEN upsert the new
+    image (PhoenixSyncService.java:425-456 order)."""
+    conn = FakeConnection()
+    apply_partition(
+        [{"seq": 2, "op": "UPDATE", "id": 8, "old_id": 7, "name": "b"}],
+        make_cfg(),
+        lambda: conn,
+    )
+    sqls = sqls_of(conn.log)
+    assert sqls[0].startswith('DELETE FROM "MYTEST"."USER" WHERE "ID" = ?')
+    assert conn.log[0][2] == [7]  # old key
+    assert sqls[1].startswith("UPSERT INTO")
+    assert ops_of(conn.log) == ["execute", "execute", "commit", "close"]
+
+
+def test_update_without_pk_change_skips_delete():
+    conn = FakeConnection()
+    apply_partition(
+        [{"seq": 2, "op": "UPDATE", "id": 7, "old_id": None, "name": "b"}],
+        make_cfg(),
+        lambda: conn,
+    )
+    assert ops_of(conn.log) == ["execute", "commit", "close"]
+
+
+def test_delete_uses_composite_pk_predicate():
+    conn = FakeConnection()
+    apply_partition(
+        [{"seq": 3, "op": "DELETE", "id": 7, "sub": 2, "name": "x"}],
+        make_cfg(composite=True),
+        lambda: conn,
+    )
+    sql = sqls_of(conn.log)[0]
+    assert sql == 'DELETE FROM "MYTEST"."USER" WHERE "ID" = ? AND "SUB" = ?'
+    assert conn.log[0][2] == [7, 2]
+
+
+def test_truncate_and_unknown_op():
+    conn = FakeConnection()
+    n = apply_partition(
+        [
+            {"seq": 1, "op": "TRUNCATE", "id": None, "name": None},
+            {"seq": 2, "op": "CREATE", "id": 1, "name": "ddl-ish"},  # ignored
+        ],
+        make_cfg(),
+        lambda: conn,
+    )
+    assert n == 2
+    assert sqls_of(conn.log) == ['DELETE FROM "MYTEST"."USER"']
+
+
+def test_rollback_on_error_and_raise():
+    conn = FakeConnection(fail_on="UPSERT", fail_with=RuntimeError("io"))
+    with pytest.raises(RuntimeError, match="io"):
+        apply_partition(
+            [{"seq": 1, "op": "INSERT", "id": 1, "name": "a"}],
+            make_cfg(),
+            lambda: conn,
+        )
+    assert ops_of(conn.log) == ["rollback", "close"]
+
+
+def test_schema_error_heals_and_replays():
+    """ColumnNotFound-style failure: rollback -> heal -> replay the
+    whole partition -> commit (PhoenixSyncService.java:103-131)."""
+    conn = FakeConnection(fail_on="UPSERT")
+
+    def heal(c):
+        c.healed = True
+        c.log.append(("heal",))
+        return True
+
+    n = apply_partition(
+        [
+            {"seq": 1, "op": "INSERT", "id": 1, "name": "a"},
+            {"seq": 2, "op": "DELETE", "id": 9, "name": None},
+        ],
+        make_cfg(),
+        lambda: conn,
+        heal=heal,
+    )
+    assert n == 2
+    # first attempt: DELETE for seq-2 never ran (fail at first UPSERT);
+    # then rollback, heal, full replay of both items, commit.
+    assert ops_of(conn.log) == [
+        "rollback", "heal", "execute", "execute", "commit", "close",
+    ]
+
+
+def test_schema_error_without_heal_raises():
+    conn = FakeConnection(fail_on="UPSERT")
+    with pytest.raises(TargetSchemaError):
+        apply_partition(
+            [{"seq": 1, "op": "INSERT", "id": 1, "name": "a"}],
+            make_cfg(),
+            lambda: conn,
+        )
+    assert ops_of(conn.log) == ["rollback", "close"]
+
+
+def test_skip_missing_drops_column_vs_raises():
+    """skipMissing=true: a column absent from the target is skipped
+    with the rest written; false: hard error
+    (PhoenixSyncService.java:399-411, config/MappingConfig.java:107)."""
+    conn = FakeConnection()
+    item = {"seq": 1, "op": "INSERT", "id": 1, "name": "a", "extra": "z"}
+    apply_partition(
+        [item], make_cfg(skip_missing=True), lambda: conn,
+        target_columns={"ID", "NAME"},
+    )
+    sql = sqls_of(conn.log)[0]
+    assert '"EXTRA"' not in sql and '"NAME"' in sql
+    assert conn.log[0][2] == [1, "a"]
+
+    with pytest.raises(TargetSchemaError, match="EXTRA"):
+        apply_partition(
+            [dict(item)], make_cfg(skip_missing=False), lambda: conn,
+            target_columns={"ID", "NAME"},
+        )
+
+
+def test_commit_batch_flushes_every_n():
+    conn = FakeConnection()
+    items = [
+        {"seq": i, "op": "INSERT", "id": i, "name": str(i)} for i in range(5)
+    ]
+    apply_partition([dict(i) for i in items], make_cfg(), lambda: conn, commit_batch=2)
+    # commits after rows 2 and 4, final commit flushes the tail
+    assert ops_of(conn.log) == [
+        "execute", "execute", "commit",
+        "execute", "execute", "commit",
+        "execute", "commit", "close",
+    ]
+
+
+def test_batch_executor_counts_and_resets():
+    conn = FakeConnection()
+    ex = BatchExecutor(lambda: conn)
+    ex.execute("UPSERT INTO t VALUES (?)", [1])
+    ex.execute("UPSERT INTO t VALUES (?)", [2])
+    assert ex.idx == 2
+    ex.commit()
+    assert ex.idx == 0
+    ex.execute("DELETE FROM t", [])
+    ex.rollback()
+    assert ex.idx == 0
+    ex.close()
+    ex.close()  # idempotent
+
+
+def _recording_factory(out_dir):
+    """Picklable executor-side connection factory: records applied
+    statements as jsonl, one file per partition (pid+id keyed)."""
+
+    class JsonlCursor:
+        def __init__(self, c):
+            self.c = c
+
+        def execute(self, sql, params=None):
+            self.c.rows.append({"sql": sql, "params": list(params or [])})
+
+        def close(self):
+            pass
+
+    class JsonlConn:
+        def __init__(self):
+            self.rows = []
+
+        def cursor(self):
+            return JsonlCursor(self)
+
+        def commit(self):
+            path = os.path.join(out_dir, f"p{os.getpid()}_{id(self)}.jsonl")
+            with open(path, "a", encoding="utf-8") as f:
+                for r in self.rows:
+                    f.write(json.dumps(r) + "\n")
+            self.rows = []
+
+        def rollback(self):
+            self.rows = []
+
+        def close(self):
+            pass
+
+    def factory():
+        return JsonlConn()
+
+    return factory
+
+
+def test_write_changes_end_to_end(spark, tmp_path):  # noqa: F811
+    """foreachPartition path on a real DataFrame: every change row is
+    applied exactly once, per-key events stay ordered by seq, and
+    serial mode (concurrent=False) produces ONE partition stream."""
+    out = tmp_path / "applied"
+    out.mkdir()
+    rows = [
+        (1, "INSERT", 1, None, "a"),
+        (2, "UPDATE", 1, None, "b"),
+        (3, "INSERT", 2, None, "c"),
+        (4, "UPDATE", 3, 2, "moved"),  # PK change 2 -> 3
+        (5, "DELETE", 1, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq bigint, op string, id bigint, old_id bigint, name string"
+    )
+    write_changes(df, make_cfg(concurrent=False), _recording_factory(str(out)))
+
+    files = sorted(os.listdir(out))
+    assert len(files) == 1  # serial mode: one partition, one connection
+    applied = [
+        json.loads(line)
+        for line in open(out / files[0], encoding="utf-8").read().splitlines()
+    ]
+    # 5 events, one extra DELETE for the PK change
+    assert len(applied) == 6
+    upserts = [a for a in applied if a["sql"].startswith("UPSERT")]
+    deletes = [a for a in applied if a["sql"].startswith("DELETE")]
+    assert len(upserts) == 4 and len(deletes) == 2
+    # PK-change: DELETE of old key 2 immediately precedes UPSERT of 3
+    i = next(j for j, a in enumerate(applied) if a["params"] == [2])
+    assert applied[i]["sql"].startswith("DELETE")
+    assert applied[i + 1]["sql"].startswith("UPSERT") and 3 in applied[i + 1]["params"]
+
+
+def test_write_changes_concurrent_keeps_key_order(spark, tmp_path):  # noqa: F811
+    """concurrent=True: many partitions, but all events of one key sit
+    in one partition in seq order (C8 per-key ordered parallelism)."""
+    out = tmp_path / "applied"
+    out.mkdir()
+    rows = [
+        (seq, "UPDATE" if seq % 3 else "INSERT", uid, None, f"v{seq}")
+        for seq, uid in ((s, s % 7) for s in range(1, 43))
+    ]
+    df = spark.createDataFrame(
+        rows, "seq bigint, op string, id bigint, old_id bigint, name string"
+    )
+    write_changes(
+        df, make_cfg(concurrent=True), _recording_factory(str(out)), num_partitions=4
+    )
+    seen: dict[int, list[int]] = {}
+    owner: dict[int, str] = {}
+    for fname in os.listdir(out):
+        for line in open(out / fname, encoding="utf-8").read().splitlines():
+            rec = json.loads(line)
+            uid, val = rec["params"][0], rec["params"][1]
+            seq = int(val[1:])
+            assert owner.setdefault(uid, fname) == fname, "key split across partitions"
+            seen.setdefault(uid, []).append(seq)
+    assert sum(len(v) for v in seen.values()) == 42
+    for uid, seqs in seen.items():
+        assert seqs == sorted(seqs), f"key {uid} applied out of order"
