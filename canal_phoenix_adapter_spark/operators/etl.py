@@ -115,6 +115,58 @@ def range_split_stats(df: DataFrame, key_col: str, num_slices: int = 3) -> DataF
     )
 
 
+def peel_debug(params: list[object] | None) -> tuple[bool, list[object] | None]:
+    """Split the `_debug` marker off the params list
+    (PhoenixEtlService.java:233-236: debug = params[0]=='_debug',
+    remaining params shift down)."""
+    if params and params[0] == "_debug":
+        return True, list(params[1:])
+    return False, params
+
+
+def run_etl_import(
+    source: DataFrame,
+    cfg: DbMapping,
+    params: list[object] | None = None,
+    target_schema: T.StructType | None = None,
+    sink=None,
+) -> dict:
+    """Execute the backfill and return the reference's EtlResult
+    envelope (PhoenixEtlService.java:220-307 / EtlResult fields
+    succeeded/resultMessage/errorMessage): ``{"succeeded": bool,
+    "rowsProcessed": int, "resultMessage": str|None, "errors": [str],
+    "debug": bool}``.
+
+    ``sink`` is a callable ``DataFrame -> rows_written`` (e.g. a
+    jdbc_writer save or sinks.phoenix.write_changes wrapper); default
+    counts the pipeline output — the one driver-side scalar the
+    envelope requires, same as the reference's successCount."""
+    debug, params = peel_debug(params)
+    errors: list[str] = []
+    rows = 0
+    try:
+        df = etl_import(source, cfg, params, target_schema)
+        rows = int(sink(df)) if sink is not None else df.count()
+        message = f"imported into {cfg.target_table}: {rows} rows"
+    except Exception as e:  # noqa: BLE001 - envelope reports, mirror :296-299
+        errors.append(f"{cfg.target_table} etl failed! ==>{e}")
+        message = None
+    return {
+        "succeeded": not errors,
+        "rowsProcessed": rows if not errors else 0,
+        "resultMessage": message,
+        "errors": errors,
+        "debug": debug,
+    }
+
+
+def count_result(df: DataFrame, cfg: DbMapping) -> dict:
+    """The count(task) envelope (PhoenixAdapter.java:234-252):
+    ``{"succeeded": True, "count": n, "targetTable": t}``."""
+    n = count_table(df).first()["cnt"]
+    return {"succeeded": True, "count": int(n), "targetTable": cfg.target_table}
+
+
 def count_table(df: DataFrame) -> DataFrame:
     """A1: SELECT COUNT(1) AS cnt FROM t (PhoenixAdapter.java:227),
     returned as a DataFrame so the driver can hash-check it."""

@@ -147,6 +147,7 @@ def merge_cdc(
     old_prefix: str = "old_",
     broadcast_changes: bool = True,
     check_truncate: bool = True,
+    skip_missing: bool = False,
 ) -> DataFrame:
     """Apply a CDC change batch to a keyed state table; returns the new
     state (C3-C9 + C7 truncate). Pure DataFrame algebra — the same
@@ -160,6 +161,13 @@ def merge_cdc(
     ``check_truncate=False`` skips the truncate-seq pre-scan (one full
     pass over the batch) when the caller knows the stream carries no
     TRUNCATE events — e.g. a source whose DDL channel is separate.
+
+    ``skip_missing`` (config/MappingConfig.java:107, honored at
+    PhoenixSyncService.java:399-411): batch columns the existing state
+    does not have are DROPPED (the batch is aligned down to the state
+    schema) instead of healing the state up to the batch schema — the
+    reference's skip-the-column-with-a-warning behavior, expressed at
+    batch granularity.
     """
     op = F.upper(F.col(op_col))
     if check_truncate:
@@ -187,7 +195,10 @@ def merge_cdc(
     if state is None:
         return survivors
 
-    state = align_to_schema(state, survivors.schema)
+    if skip_missing:
+        survivors = align_to_schema(survivors, state.schema)
+    else:
+        state = align_to_schema(state, survivors.schema)
     touched = last.select(*[F.col(f"__k_{k}").alias(k) for k in pk]).dropDuplicates()
     if broadcast_changes:
         touched = F.broadcast(touched)

@@ -171,15 +171,19 @@ def align_to_schema(
 # restricted grammar with regexes — not a general SQL parser.
 # --------------------------------------------------------------------------
 
-def apply_ddl(df: DataFrame, sql: str, allow_drop: bool = True) -> DataFrame:
+def apply_ddl(
+    df: DataFrame, sql: str, allow_drop: bool = True, limit: bool = True
+) -> DataFrame:
     """Apply the ADD/DROP COLUMN intents of an ALTER TABLE statement to
     a state DataFrame (C12 + C13): each ADD materializes the column at
     its declared type with the declared DEFAULT backfilled for every
     existing row (PhoenixSyncService.java:316-321,334-361); DROP
     removes it when permitted (`drop: true`,
-    MappingConfig.java:106)."""
+    MappingConfig.java:106). ``limit`` = the mapping's limit flag
+    (MappingConfig.java:107): keep declared DECIMAL(p,s) precision
+    rather than the default decimal."""
     out = df
-    for intent in parse_ddl(sql):
+    for intent in parse_ddl(sql, limit=limit):
         if intent.kind == "add" and intent.column:
             out = out.withColumn(
                 intent.column, F.lit(intent.default).cast(intent.dtype or T.StringType())
@@ -241,10 +245,12 @@ class DdlIntent:
     default: object | None = None
 
 
-def parse_ddl(sql: str) -> list[DdlIntent]:
+def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
     """Extract ADD/DROP COLUMN intents from an ALTER TABLE statement
     (or TRUNCATE). Unrecognized DDL yields [DdlIntent('other')] — the
-    reference likewise ignores statements it cannot act on."""
+    reference likewise ignores statements it cannot act on. ``limit``
+    threads the mapping's precision flag into the type mapping
+    (support/TypeUtil.java:79-83,102-111)."""
     if not sql:
         return []
     s = sql.strip()
@@ -260,7 +266,7 @@ def parse_ddl(sql: str) -> list[DdlIntent]:
             if isinstance(default, str) and default.upper() in ("NULL",):
                 default = None
             intents.append(
-                DdlIntent("add", m.group(1), mysql_type_to_spark(m.group(2), limit=True),
+                DdlIntent("add", m.group(1), mysql_type_to_spark(m.group(2), limit=limit),
                           default)
             )
             continue

@@ -63,6 +63,13 @@ def apply_mapping(
     (PhoenixSyncService.java:370-465): map/rename -> enum decode ->
     type coercion (when a target schema is known) -> identifier
     normalization (escapeUpper).
+
+    ``skipMissing`` (config/MappingConfig.java:107, honored at
+    PhoenixSyncService.java:399-411): when a target schema is known
+    and a mapped column is absent from it, drop the column instead of
+    carrying it through to a heal/failure downstream. Without the
+    flag, unknown columns pass through untouched — the schema-heal
+    path (align_to_schema/evolve) owns them.
     """
     colmap = mapping_columns(cfg, df.columns)
     target_types = (
@@ -73,6 +80,12 @@ def apply_mapping(
     enum_lc = {k.lower(): v for k, v in (cfg.enum_columns or {}).items()}
     exprs = []
     for tgt, src in colmap.items():
+        if (
+            cfg.skip_missing
+            and target_schema is not None
+            and tgt.lower() not in target_types
+        ):
+            continue
         c = F.col(src)
         labels = enum_lc.get(tgt.lower()) or enum_lc.get(src.lower())
         if labels:

@@ -90,6 +90,12 @@ def read_options(
     if partition_column is None:
         opts["query"] = extract_query(cfg, params)
     else:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires both lower_bound and upper_bound "
+                "(otherwise Spark receives the string 'None' and fails at "
+                ".load() with an opaque JDBC parse error)"
+            )
         # 'query' and partitionColumn are mutually exclusive in the
         # Spark JDBC source: partitioned reads use dbtable with the
         # condition folded into a derived-table alias.

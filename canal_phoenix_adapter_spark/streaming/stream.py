@@ -120,6 +120,7 @@ def apply_cdc_epoch(
     batch_df: DataFrame,
     epoch_id: int,
     pk: list[str],
+    on_schema_change=None,
 ) -> bool:
     """One foreachBatch epoch body: merge the typed change batch into
     the versioned state store. Returns True iff a new version was
@@ -129,13 +130,19 @@ def apply_cdc_epoch(
     BatchExecutor.java:60-91, re-expressed as epoch idempotence): if
     _CURRENT already names this epoch (or a later one), the merge
     committed before the crash and the replay is a no-op — see
-    ParquetStateStore's commit-marker contract."""
+    ParquetStateStore's commit-marker contract.
+
+    ``on_schema_change`` (S9 injection point): zero-arg callable fired
+    after commit when this epoch created the state table or changed
+    its column set — the engine's version of the reference's notify
+    after syncSchema DDL (PhoenixEtlService.java:162,174-215)."""
     if batch_df.isEmpty():
         return False
     cur = store.current_version()
     if cur is not None and cur >= epoch_id:
         return False
     state = store.read()
+    prev_cols = None if state is None else {c.lower() for c in state.columns}
     if state is not None:
         state = align_to_schema(
             state,
@@ -144,6 +151,10 @@ def apply_cdc_epoch(
         )
     new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
     store.write(new_state, epoch_id)
+    if on_schema_change is not None:
+        new_cols = {c.lower() for c in new_state.columns}
+        if prev_cols is None or prev_cols != new_cols:
+            on_schema_change()
     return True
 
 
@@ -155,16 +166,26 @@ def run_cdc_stream(
     cfg: MappingConfig,
     value_schema: T.StructType,
     available_now: bool = True,
+    notify_hook=None,
 ):
     """Wire the full pipeline: file stream -> typed changes ->
     foreachBatch(merge into versioned parquet state). Returns the
     query handle; with available_now it drains pending files and stops
-    (the test/batch-replay mode)."""
+    (the test/batch-replay mode).
+
+    ``notify_hook``: callable(payload dict) fired on schema-changing
+    epochs with the reference's ``{database, table}`` body; defaults
+    to the HTTP notifier when ``cfg.notify_url`` is set (S9,
+    PhoenixEtlService.java:174-215), else no-op."""
+    from canal_phoenix_adapter_spark.notify import make_notifier, notify_payload
+
     store = ParquetStateStore(spark, state_path)
     pk = [src or tgt for tgt, src in cfg.db_mapping.target_pk.items()]
+    hook = notify_hook if notify_hook is not None else make_notifier(cfg)
+    on_change = (lambda: hook(notify_payload(cfg))) if hook is not None else None
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_cdc_epoch(store, batch_df, epoch_id, pk)
+        apply_cdc_epoch(store, batch_df, epoch_id, pk, on_schema_change=on_change)
 
     stream = read_canal_stream(spark, source_path)
     changes = typed_changes(stream, cfg, value_schema)

@@ -331,3 +331,68 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup1").collect())
     assert ids == [1, 2, 3]
+
+
+def test_notify_hook_fires_on_schema_changing_epochs(spark, tmp_path):
+    """S9 injection point: the hook fires on the epoch that CREATES the
+    state and on an epoch whose batch widens the column set (the
+    engine's syncSchema-DDL moments, PhoenixEtlService.java:162), and
+    stays silent on a steady-schema epoch."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    fired = []
+    hook = lambda: fired.append(store.current_version())  # noqa: E731
+
+    base = "seq long, op string, id long, name string, old_id long"
+    b0 = spark.createDataFrame([(1, "INSERT", 1, "a", None)], base)
+    b1 = spark.createDataFrame([(2, "UPDATE", 1, "a2", None)], base)
+    b2 = spark.createDataFrame(
+        [(3, "UPDATE", 1, "a3", None, "x")], base + ", added string"
+    )
+
+    assert apply_cdc_epoch(store, b0, 0, ["id"], on_schema_change=hook)
+    assert fired == [0]  # create
+    assert apply_cdc_epoch(store, b1, 1, ["id"], on_schema_change=hook)
+    assert fired == [0]  # steady schema: silent
+    assert apply_cdc_epoch(store, b2, 2, ["id"], on_schema_change=hook)
+    assert fired == [0, 2]  # widened by the healed ALTER
+    assert "added" in {c for c in store.read().columns}
+
+
+def test_run_cdc_stream_notifies_via_cfg_hook(spark, tmp_path):
+    """run_cdc_stream wires the payload-shaped hook: first (creating)
+    epoch of a fresh state fires {database, table}."""
+    src = str(tmp_path / "src")
+    write_events(src, EVENTS)
+    payloads = []
+    q = run_cdc_stream(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        CFG, VALUE_SCHEMA, notify_hook=payloads.append,
+    )
+    q.awaitTermination(120)
+    assert payloads == [{"database": "mytest2", "table": "user"}]
+
+
+def test_checkpoint_loss_replay_converges(spark, tmp_path):
+    """Kill-and-replay golden run (C10 under failure): wipe the
+    streaming checkpoint after a completed run — the harshest replay,
+    every epoch re-fires from zero — and the committed state hash must
+    not change (epoch idempotence via the _CURRENT commit marker)."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(src, EVENTS)
+    q = run_cdc_stream(spark, src, state, ckpt, CFG, VALUE_SCHEMA)
+    q.awaitTermination(120)
+    store = ParquetStateStore(spark, state)
+    before = sorted(map(tuple, store.read().collect()))
+    v_before = store.current_version()
+
+    shutil.rmtree(ckpt)  # simulate total checkpoint loss
+    q = run_cdc_stream(spark, src, state, ckpt, CFG, VALUE_SCHEMA)
+    q.awaitTermination(120)
+    assert sorted(map(tuple, store.read().collect())) == before
+    assert store.current_version() == v_before
