@@ -27,7 +27,12 @@ HEADLINE = [
     "proj_type_coercion",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard_maxdf",
+    "dedup_simhash_pairs_capped",
+    "dedup_embedding_cosine_lsh",
     "sim_topk_cosine",
+    "sim_ann_ivf",
     "text_quality",
     "analytics_q1_pricing",
     "analytics_q5_join",

@@ -14,6 +14,15 @@ DataFrame-in/DataFrame-out function designed for 100 TB:
 
 All hashing is md5-derived (functions/hashing.py) so the DuckDB
 oracle reproduces values bit-for-bit. No Python UDFs anywhere.
+
+Cache lifecycle: the sketch/bucket operators ``persist()`` one small
+intermediate (signatures / bucket table / shingle hashes) because it
+feeds 2-3 consumers inside the returned plan; the blocks are released
+only when the DataFrame is garbage-collected or the caller clears
+them. CALLERS OWN THE CACHE: a long-lived driver running repeated
+dedup passes should ``spark.catalog.clearCache()`` between passes
+(bench.py does exactly this) — otherwise old blocks linger until
+storage-memory eviction.
 """
 
 from __future__ import annotations
@@ -350,28 +359,25 @@ def embedding_near_dup_pairs(
     equi-joins on an LSH bucket and runs the identical exact cosine
     check within buckets.
     """
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from canal_phoenix_adapter_spark.operators.similarity import _dot, _norm
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
     if max_id is not None:
         v = v.where(F.col("id") < max_id)
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(f"{side}.v", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     return (
         v.alias("a")
         .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -390,14 +396,21 @@ def embedding_near_dup_pairs_lsh(
     """Embedding-cosine near-dup pairs, banded-LSH bucketed — the
     100 TB path.
 
-    Shape: one projection computes (id, vector) plus ``bands``
-    independent hyperplane-LSH buckets inline with the scan and
-    explodes them to (id, v, band, bucket); the self-join is an
-    EQUI-join on (band, bucket) — hash-partitioned, never a nested
-    loop; the exact double-precision cosine check runs only within
-    buckets, and dropDuplicates collapses pairs colliding in several
-    bands. OR-amplification across bands is what buys recall: a pair
-    at angle theta collides in a band with p = (1 - theta/pi)^(planes
+    Shape (three narrow stages, no wide shuffle ever carries a
+    vector):
+      1. one scan projection computes the ``bands`` hyperplane-LSH
+         bucket ids inline and explodes to (id, band, bucket) — three
+         LONGS per row, the vectors stay in the scan;
+      2. the candidate self-join is an EQUI-join on (band, bucket) —
+         hash-partitioned, never a nested loop — and the colliding
+         pairs are DISTINCT'd *before* any vector math, so a pair
+         sharing several bands costs one comparison, not four;
+      3. the distinct pair set (tiny relative to the corpus) joins
+         back to (id, vector) twice — AQE broadcasts the pair side,
+         so the 100 TB vector table is never shuffled — and the exact
+         double-precision cosine check runs once per candidate pair.
+    OR-amplification across bands is what buys recall: a pair at
+    angle theta collides in a band with p = (1 - theta/pi)^(planes
     per band) and in ANY band with 1-(1-p)^bands, so near-duplicates
     (cosine -> 1) are found with probability ~1 while the comparison
     count stays sum-of-squared-bucket-sizes per band, not n^2.
@@ -425,37 +438,37 @@ def embedding_near_dup_pairs_lsh(
             for b in range(bands)
         ]
     )
-    v = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            F.explode(band_structs).alias("bb"),
-        )
-        .select("id", "v", "bb.band", "bb.bucket")
-    )
+    banded = df.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
     if max_bucket is not None:
-        v = _cap_bucket_size(v, ["band", "bucket"], max_bucket)
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(f"{side}.v", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from canal_phoenix_adapter_spark.operators.similarity import _dot, _norm
+
+    # norms once per VECTOR in the scan projection, not per candidate
+    # pair — bit-identical value (same fold), ~1/3 of the pair math
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     return (
-        v.alias("a")
-        .join(v.alias("b"), on=["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
+        cand.join(vecs.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(vecs.alias("b"), F.col("id_b") == F.col("b.id"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

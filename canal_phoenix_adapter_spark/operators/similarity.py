@@ -52,10 +52,20 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: the first ``num_queries`` ids (deterministic
     query set) against every other vector. Returns
-    (query_id, neighbor_id, rank) with rank 1..k, ties broken by id."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    (query_id, neighbor_id, rank) with rank 1..k, ties broken by id.
+
+    Norms are computed ONCE per vector in the scan projection, not per
+    (query, candidate) pair — at q queries that is a q-fold saving on
+    the corpus-side fold, and the value is bit-identical (same
+    expression, same summation order)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
     queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     pairs = F.broadcast(queries).join(
         base.where(F.col("id") >= 0), F.col("query_id") != F.col("id")
@@ -63,9 +73,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
-            "cos"
-        ),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -105,20 +113,25 @@ def lsh_bucket_expr(
     coefficient array — codegen emits a LOOP per plane, not dim inlined
     element_at terms (whose bounds-check branches overflow Janino's
     method limit beyond ~512 terms and silently drop the whole stage
-    to interpreted mode)."""
-    bucket = None
+    to interpreted mode). The whole bucket is built as ONE parsed SQL
+    expression string: composing it from planes*dim F.lit Column
+    objects costs that many py4j round-trips of driver time per query
+    construction (measured: seconds at 16 planes x 64 dims) before a
+    single task runs; one expr() parse is milliseconds.
+
+    ``vec_col`` must be a plain SQL-safe column name (it is spliced
+    into the expression)."""
+    bits = []
     for j in range(num_planes):
-        coefs = F.array(
-            *[F.lit(float(plane_sign(first_plane + j, d))) for d in range(dim)]
+        coefs = ",".join(
+            f"{float(plane_sign(first_plane + j, d))!r}D" for d in range(dim)
         )
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), coefs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({coefs}), "
+            "(x, c) -> CAST(x AS DOUBLE) * c), 0D, (acc, x) -> acc + x)"
         )
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j)
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+        bits.append(f"IF({dot} >= 0, {1 << j}L, 0L)")
+    return F.expr(f"CAST({' + '.join(bits)} AS BIGINT)")
 
 
 def lsh_hyperplane_buckets(
@@ -191,10 +204,12 @@ def ann_topk_ivf(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
         ivf_cell_expr(vec_col).alias("cell"),
     )
     queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("cell")
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("cell"),
     )
     cands = F.broadcast(queries).join(
         base.withColumnRenamed("id", "neighbor_id"), on="cell"
@@ -202,9 +217,7 @@ def ann_topk_ivf(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
-            "cos"
-        ),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -238,10 +251,12 @@ def ann_topk_lsh(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
         lsh_bucket_expr(vec_col, num_planes, dim).alias("bucket"),
     )
     queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket"),
     )
     cands = F.broadcast(queries).join(
         base.withColumnRenamed("id", "neighbor_id"),
@@ -250,9 +265,7 @@ def ann_topk_lsh(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias(
-            "cos"
-        ),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
