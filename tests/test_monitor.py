@@ -1,0 +1,98 @@
+"""Config hot reload (S10) vs monitor/PhoenixConfigMonitor.java:35-163:
+create/change/delete events, outerAdapterKey change rejection, bad
+YAML isolation."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+from canal_phoenix_adapter_spark.monitor import ConfigMonitor
+
+
+def write_yaml(dirpath, name, database="mytest", table="user", target="M.T",
+               outer_key=None, extra=""):
+    body = textwrap.dedent(
+        f"""
+        destination: example
+        {f'outerAdapterKey: {outer_key}' if outer_key else ''}
+        dbMapping:
+          database: {database}
+          table: {table}
+          targetTable: {target}
+          targetPk:
+            id: id
+        {extra}
+        """
+    )
+    path = os.path.join(dirpath, name)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(body)
+    return path
+
+
+def bump_mtime(path):
+    st = os.stat(path)
+    os.utime(path, (st.st_atime, st.st_mtime + 10))
+
+
+def test_create_change_delete_cycle(tmp_path):
+    mon = ConfigMonitor(str(tmp_path))
+    assert mon.poll() == {"created": [], "changed": [], "deleted": []}
+
+    p = write_yaml(str(tmp_path), "user.yml")
+    ev = mon.poll()
+    assert ev["created"] == ["user.yml"]
+    assert mon.configs["user.yml"].db_mapping.target_table == "M.T"
+    assert "user.yml" in mon.configs_for("example_mytest-user")
+
+    write_yaml(str(tmp_path), "user.yml", target="M.T2")
+    bump_mtime(p)
+    ev = mon.poll()
+    assert ev["changed"] == ["user.yml"]
+    assert mon.configs["user.yml"].db_mapping.target_table == "M.T2"
+
+    os.remove(p)
+    ev = mon.poll()
+    assert ev["deleted"] == ["user.yml"]
+    assert mon.configs == {} and mon.configs_for("example_mytest-user") == {}
+
+
+def test_outer_adapter_key_change_rejected(tmp_path):
+    p = write_yaml(str(tmp_path), "user.yml", outer_key="k1")
+    mon = ConfigMonitor(str(tmp_path), outer_adapter_key="k1")
+    mon.poll()
+    assert mon.configs["user.yml"].outer_adapter_key == "k1"
+
+    write_yaml(str(tmp_path), "user.yml", outer_key="k2", target="M.T9")
+    bump_mtime(p)
+    ev = mon.poll()
+    assert ev["changed"] == []  # rejected, old config retained
+    assert mon.configs["user.yml"].outer_adapter_key == "k1"
+    assert mon.configs["user.yml"].db_mapping.target_table == "M.T"
+
+
+def test_key_filter_skips_other_adapters(tmp_path):
+    write_yaml(str(tmp_path), "mine.yml", outer_key="k1")
+    write_yaml(str(tmp_path), "other.yml", table="t2", outer_key="k2")
+    write_yaml(str(tmp_path), "unkeyed.yml", table="t3")
+    mon = ConfigMonitor(str(tmp_path), outer_adapter_key="k1")
+    mon.poll()
+    assert set(mon.configs) == {"mine.yml"}
+
+
+def test_bad_yaml_does_not_kill_the_loop(tmp_path):
+    write_yaml(str(tmp_path), "good.yml")
+    with open(os.path.join(str(tmp_path), "bad.yml"), "w", encoding="utf-8") as f:
+        f.write("dbMapping:\n  database: d\n")  # missing table/targetTable
+    ev = ConfigMonitor(str(tmp_path)).poll()
+    assert ev["created"] == ["good.yml"]
+
+
+def test_routing_key_groups_multiple_configs(tmp_path):
+    write_yaml(str(tmp_path), "a.yml", target="M.A")
+    write_yaml(str(tmp_path), "b.yml", target="M.B")
+    mon = ConfigMonitor(str(tmp_path))
+    mon.poll()
+    grouped = mon.configs_for("example_mytest-user")
+    assert set(grouped) == {"a.yml", "b.yml"}
