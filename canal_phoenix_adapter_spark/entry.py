@@ -525,6 +525,43 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Connected components over the MinHash-LSH pairs via transitive
+    closure: reach(n, m) grows one edge per recursion until fixpoint
+    (UNION dedups, so cycles terminate); cluster = min reachable id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_sql(num_perm, bands)}),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+    )
+    SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """
+
+
+@register("dedup_clusters", _clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation: connected components (min-id label)
+    over the MinHash-LSH candidate pairs — the transitive-closure step
+    between pairwise candidates and keep-one-per-cluster. Spark side
+    is iterative min-label propagation (operators/dedup.dup_clusters);
+    the oracle is the DuckDB recursive-CTE fixpoint of the same
+    relation."""
+    pairs = dedup.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        num_perm=16, bands=4, n=4,
+    )
+    return dedup.dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
 def _simhash_sql() -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"

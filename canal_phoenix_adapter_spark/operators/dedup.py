@@ -472,3 +472,81 @@ def embedding_near_dup_pairs_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id)
+    where cluster_id = min id in the component. This is the step a
+    real dedup pipeline runs between candidate-pair generation (any of
+    the pair operators above) and keep-one-per-cluster — pairwise
+    output alone over-deletes when A~B and B~C but A!~C.
+
+    Pregel-style min-label propagation in pure DataFrame algebra: each
+    iteration joins the label table to the symmetric edge list and
+    takes the per-node min of neighbor labels. Iterations = graph
+    diameter (near-dup clusters are shallow — boilerplate stars and
+    short chains — so typically <5). Each iteration is fully
+    distributed: one join + one groupBy, both keyed on node id; the
+    driver sees only a per-iteration convergence scalar (the strictly
+    decreasing label sum), never data. ``localCheckpoint`` truncates
+    the iteration's lineage so the plan does not grow unboundedly —
+    the standard Spark treatment for iterative algorithms.
+
+    Only ids that appear in some pair are labeled; singleton docs are
+    their own cluster by definition and need no rows here.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so the sum is a strict-progress
+        # witness: unchanged sum == fixpoint reached.
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Keep-one-per-cluster materialization: drop every row whose id
+    appears in ``clusters`` with cluster_id != id (the min-id member
+    is the canonical representative; singletons are untouched since
+    they have no cluster row). One broadcast-able anti join — the
+    clusters table is O(near-dup docs), tiny next to the corpus."""
+    victims = clusters.where(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(victims), on=id_col, how="left_anti")

@@ -280,3 +280,24 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     filtered = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05, max_df=2)
     got = {(r["id_a"], r["id_b"]) for r in filtered.collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_dup_clusters_chain_cycle_and_star(spark):
+    """Min-label components: a chain (1-2-3), a cycle (4-5-6-4), a
+    star (7-8, 7-9), an isolated pair (10-11)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8), (7, 9), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 7, 10: 10, 11: 10}
+
+
+def test_keep_canonical_drops_non_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    clusters = dedup.dup_clusters(pairs)
+    kept = dedup.keep_canonical(docs, clusters, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5]
