@@ -82,6 +82,39 @@ class ParquetStateStore:
             json.dump({"version": epoch_id}, f)
         os.replace(tmp, self._pointer())
 
+    def versions(self) -> list[int]:
+        """Snapshot versions on disk, ascending."""
+        out = []
+        try:
+            for name in os.listdir(self.path):
+                if name.startswith("v") and name[1:].isdigit():
+                    out.append(int(name[1:]))
+        except FileNotFoundError:
+            pass
+        return sorted(out)
+
+    def prune(self, keep_last: int = 2) -> list[int]:
+        """Retention GC: drop snapshot dirs older than the newest
+        ``keep_last`` COMMITTED versions (a long-running stream writes
+        one snapshot per epoch — without pruning, state size x epochs
+        accumulates forever). Never drops the _CURRENT version or
+        anything newer than it (an orphan from a mid-crash epoch is
+        the replay's write target, stream.py:37-54 contract). Returns
+        the pruned versions. Call it from foreachBatch cadence or a
+        janitor cron; it only touches strictly-older snapshot dirs, so
+        it is safe concurrent with readers of _CURRENT."""
+        import shutil
+
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep_last = max(1, keep_last)
+        committed = [v for v in self.versions() if v <= cur]
+        doomed = committed[:-keep_last] if len(committed) > keep_last else []
+        for v in doomed:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+        return doomed
+
 
 def read_canal_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None

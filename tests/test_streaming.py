@@ -396,3 +396,31 @@ def test_checkpoint_loss_replay_converges(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(map(tuple, store.read().collect())) == before
     assert store.current_version() == v_before
+
+
+def test_state_store_prune_retention(spark, tmp_path):
+    """Retention GC: old committed snapshots go, the current one and
+    newer orphans stay, replay still works from what remains."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    base = "seq long, op string, id long, name string, old_id long"
+    for epoch in range(4):
+        batch = spark.createDataFrame(
+            [(epoch * 10 + 1, "INSERT", epoch, f"n{epoch}", None)], base
+        )
+        assert apply_cdc_epoch(store, batch, epoch, ["id"])
+    assert store.versions() == [0, 1, 2, 3]
+
+    assert store.prune(keep_last=2) == [0, 1]
+    assert store.versions() == [2, 3] and store.current_version() == 3
+    assert sorted(r["id"] for r in store.read().collect()) == [0, 1, 2, 3]
+
+    # an orphan NEWER than _CURRENT (crash-before-commit) is never pruned
+    os.makedirs(os.path.join(str(tmp_path / "state"), "v9"))
+    assert store.prune(keep_last=1) == [2]
+    assert store.versions() == [3, 9]
+
+    # keep_last floors at 1: the current version always survives
+    assert store.prune(keep_last=0) == []
+    assert 3 in store.versions()
