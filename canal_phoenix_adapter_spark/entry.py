@@ -1015,6 +1015,97 @@ def analytics_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.sessionize_events(spark, sf_dir, gap_minutes=60)
 
 
+@register(
+    "analytics_q4_semijoin",
+    """
+    SELECT o_orderpriority, count(1) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > TIMESTAMP '1998-06-01')
+    GROUP BY o_orderpriority
+    """,
+)
+def analytics_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape EXISTS as a left_semi join."""
+    return analytics.q4_priority_semijoin(spark, sf_dir)
+
+
+@register(
+    "analytics_q22_antijoin",
+    """
+    SELECT c_nationkey, count(1) AS n_customers,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR)
+               AS sum_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def analytics_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape NOT EXISTS as a left_anti join (customers with
+    no order since 2000-01-01 — a window chosen to be non-empty at
+    every test SF)."""
+    out = analytics.q22_no_orders_antijoin(spark, sf_dir)
+    return out.select(
+        "c_nationkey", "n_customers",
+        F.col("sum_acctbal").cast("decimal(18,2)").cast("string").alias("sum_acctbal"),
+    )
+
+
+@register(
+    "analytics_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(1) AS n_items,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (grouping sets in one pass)."""
+    out = analytics.rollup_pricing(spark, sf_dir)
+    return out.select(
+        "l_returnflag", "l_linestatus", "n_items",
+        F.col("sum_qty").cast("decimal(18,2)").cast("string").alias("sum_qty"),
+    )
+
+
+@register(
+    "analytics_q17_small_qty",
+    """
+    WITH pp AS (
+        SELECT l_partkey AS pk,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+               count(1) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR)
+               AS small_qty_revenue,
+           count(1) AS n_small
+    FROM lineitem JOIN pp ON l_partkey = pp.pk
+    WHERE CAST(5 AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * cnt < sum_qty
+    GROUP BY l_partkey
+    """,
+)
+def analytics_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape correlated AVG, algebraized to exact decimal
+    math (5*q*cnt < sum) so no double division crosses engines."""
+    out = analytics.q17_small_quantity_revenue(spark, sf_dir)
+    return out.select(
+        "l_partkey",
+        F.col("small_qty_revenue").cast("decimal(18,2)").cast("string")
+        .alias("small_qty_revenue"),
+        "n_small",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Coverage round 2: truncate apply, envelope routing, serial mode,
 # schema evolution (S3/S4/S8, C2, C7, C9, C11-C13), X1 range split,

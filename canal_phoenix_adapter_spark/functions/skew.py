@@ -1,0 +1,59 @@
+"""Skew mitigation: salted join for hot keys.
+
+AQE's skew-join split (spark.sql.adaptive.skewJoin) handles most
+skew by splitting oversized shuffle partitions, but it cannot split a
+SINGLE key's rows across tasks when one key dominates (the classic
+null-key / default-value / celebrity-entity problem at 100 TB).
+Salting can: the skewed side gets a salt in [0, n) derived from its
+non-key columns, the other side is replicated once per salt value,
+and the join key becomes (key, salt) — one hot key fans out over n
+tasks.
+
+Cost model: replicates the OTHER side n times — use when that side is
+dimension-sized (or pre-filtered) and the skewed side has a hot key
+AQE cannot split. This composes with, not replaces, AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+    salt_expr: Column | None = None,
+) -> DataFrame:
+    """Join ``skewed`` (hot-keyed big side) to ``other`` on ``on``,
+    fanning each key over ``num_salts`` sub-keys.
+
+    The salt must be independent of the join key (same key must land
+    on DIFFERENT salts) yet deterministic under task retry (a rand()
+    salt re-rolls when a stage recomputes, which is correct for joins
+    but makes runs unreproducible); default: xxhash64 of the skewed
+    side's non-key columns mod n. Pass ``salt_expr`` to override
+    (e.g. a monotonic row attribute).
+
+    Result == plain ``skewed.join(other, on, how)`` row-for-row; only
+    the physical key space changes. Supported how: inner / left /
+    left_outer (the replicated side is the lookup side).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    non_key = [c for c in skewed.columns if c not in on]
+    if salt_expr is None:
+        if not non_key:
+            raise ValueError("no non-key columns to derive a salt from; pass salt_expr")
+        salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(num_salts))
+    s = skewed.withColumn(SALT_COL, salt_expr.cast("int"))
+    o = other.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")),
+    )
+    return s.join(o, on=[*on, SALT_COL], how=how).drop(SALT_COL)

@@ -186,3 +186,86 @@ def time_window_rollup(spark: SparkSession, sf_dir: str, bucket_hours: int = 24)
             F.sum(F.col("value").cast("decimal(18,4)")).cast("string").alias("sum_value"),
         )
     )
+
+
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for orders with at
+    least one late-shipped lineitem — an EXISTS, expressed as a
+    left_semi join so each order is counted once no matter how many
+    lineitems match. The semi join ships only o_orderkey/priority
+    through the probe side and short-circuits on first match; a plain
+    inner join + distinct would shuffle every matching lineitem."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q22_no_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with no RECENT order (none since
+    2000-01-01), counted per nation — a NOT EXISTS as a left_anti
+    join. The anti join is the set-difference plan that scales: the
+    orders side is filtered at the scan (pushed predicate) and reduced
+    to distinct custkeys by the join itself, never collected or
+    broadcast by force (AQE broadcasts when stats allow)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("sum_acctbal"),
+        )
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (returnflag -> linestatus ->
+    grand total) — one pass, Spark expands the grouping sets in the
+    aggregate instead of unioning three scans. Decimal sums, exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(qty).alias("sum_qty"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average — the correlated-AVG subquery as a
+    per-key aggregate joined back to the fact table.
+
+    The comparison q < 0.2 * avg is algebraized to 5*q*cnt < sum_qty
+    (all positive), so the whole predicate is exact integer/decimal
+    math — no double division whose IEEE rounding could disagree
+    between engines or across partition counts. The per-part aggregate
+    is one row per partkey (bounded by the part dimension, not the
+    fact table) and joins back on the partition key AQE already
+    shuffled on — a classic re-usable partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .where(
+            (F.lit(5).cast("decimal(12,2)") * qty * F.col("cnt"))
+            < F.col("sum_qty")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(price).alias("small_qty_revenue"), F.count(F.lit(1)).alias("n_small"))
+    )

@@ -301,3 +301,46 @@ def test_keep_canonical_drops_non_representatives(spark):
     clusters = dedup.dup_clusters(pairs)
     kept = dedup.keep_canonical(docs, clusters, "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change results — only the physical key space.
+    One hot key (0) dominating the fact side; dim side replicated."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 3 if i % 10 else 0, i, f"v{i}") for i in range(200)],
+        "k long, seq long, payload string",
+    )
+    dim = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two"), (7, "seven")], "k long, name string")
+
+    plain = fact.join(dim, on=["k"]).select("k", "seq", "name")
+    salted = salted_join(fact, dim, on=["k"], num_salts=8).select("k", "seq", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    # left join keeps unmatched fact rows exactly once
+    fact2 = fact.union(spark.createDataFrame([(99, 999, "orphan")], fact.schema))
+    plain_l = fact2.join(dim, on=["k"], how="left").select("k", "seq", "name")
+    salted_l = salted_join(fact2, dim, on=["k"], how="left", num_salts=8).select("k", "seq", "name")
+    assert sorted(map(tuple, salted_l.collect(), )) == sorted(map(tuple, plain_l.collect()))
+
+    # the join key space actually includes the salt
+    with_salt = salted_join(fact, dim, on=["k"], num_salts=8)
+    assert "__salt" not in with_salt.columns
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must receive more than one distinct salt —
+    the whole point of the exercise."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.functions.skew import SALT_COL, salted_join  # noqa: F401
+
+    fact = spark.createDataFrame(
+        [(0, i, f"v{i}") for i in range(64)], "k long, seq long, payload string"
+    )
+    salt = F.pmod(F.xxhash64("seq", "payload"), F.lit(8)).cast("int")
+    n = fact.select(salt.alias("s")).distinct().count()
+    assert n > 1

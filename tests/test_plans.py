@@ -106,3 +106,30 @@ def test_exact_dedup_shuffles_digest_not_text(q):
     scans = read_schema_columns(df)
     for cols in scans:
         assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_semijoin_and_antijoin_shapes(q):
+    """Q4 must plan a LeftSemi (EXISTS short-circuit, not inner+
+    distinct); Q22 a LeftAnti with its date filter pushed to the
+    orders scan."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    assert "LeftSemi" in explain_str(q("analytics_q4_semijoin"))
+    anti = q("analytics_q22_antijoin")
+    assert "LeftAnti" in explain_str(anti)
+    assert any("o_orderdate" in f for f in pushed_filters(anti))
+
+
+def test_rollup_is_single_expand_not_union(q):
+    """ROLLUP must plan one Expand over one scan — a 3-way union of
+    separate aggregations would read the fact table three times."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    import re
+
+    text = explain_str(q("analytics_rollup"))
+    assert "Expand" in text
+    # formatted explain lists each operator once in the detail section
+    # as "(N) Scan parquet"
+    scans = len(re.findall(r"\(\d+\) (?:Scan parquet|FileScan)", text))
+    assert scans == 1, f"rollup re-scans the fact table ({scans} scans)"
