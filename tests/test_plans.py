@@ -133,3 +133,36 @@ def test_rollup_is_single_expand_not_union(q):
     # as "(N) Scan parquet"
     scans = len(re.findall(r"\(\d+\) (?:Scan parquet|FileScan)", text))
     assert scans == 1, f"rollup re-scans the fact table ({scans} scans)"
+
+
+def test_no_nested_loop_or_row_udf_anywhere(q):
+    """Global scale-regression net over EVERY registered gate query:
+    no CartesianProduct, no BroadcastNestedLoopJoin, no row-at-a-time
+    PythonUDF (BatchEvalPython) in any plan. The one documented
+    exception is dedup_embedding_cosine — the max_id-bounded all-pairs
+    oracle cross-check whose docstring declares the nested loop.
+    Plan construction only; nothing executes.
+
+    Allowed nested loops — all have a CONSTANT-size side, so they are
+    O(n), not O(n^2), and stay O(n) at any SF:
+      * dedup_embedding_cosine — max_id-bounded all-pairs oracle
+        cross-check (docstring declares it);
+      * sim_topk_cosine — the exact baseline scores num_queries=8
+        broadcast rows against the corpus (O(q*n), q constant);
+      * etl_range_split — scalar join of a broadcast 1-row min/max
+        aggregate onto the scan."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    ALLOWED_NESTED_LOOP = {
+        "dedup_embedding_cosine", "sim_topk_cosine", "etl_range_split",
+    }
+    offenders = []
+    for name in E.QUERIES:
+        text = explain_str(q(name))
+        if name not in ALLOWED_NESTED_LOOP and (
+            "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text
+        ):
+            offenders.append((name, "nested-loop/cartesian"))
+        if "BatchEvalPython" in text:  # row-at-a-time Python UDF
+            offenders.append((name, "row Python UDF"))
+    assert not offenders, offenders

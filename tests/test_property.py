@@ -105,3 +105,97 @@ def test_merge_cdc_equals_naive_fold(spark, evts, data):
     )
     got_batched = spark_fold(spark, evts, cuts)
     assert got_batched == expected
+
+
+# ---------------------------------------------------------------------------
+# Executor-side write loop (sinks/phoenix.py): for any op sequence, the
+# statement stream the sink emits replays to the same final table state
+# as the naive fold — commit batching must not change semantics.
+# ---------------------------------------------------------------------------
+
+
+def _replay_statements(log):
+    """Interpret the recorded UPSERT/DELETE statement stream the way
+    Phoenix would: last-writer-wins on the PK."""
+    state = {}
+    for entry in log:
+        if entry[0] != "execute":
+            continue
+        sql, params = entry[1], entry[2]
+        if sql.startswith("UPSERT"):
+            state[params[0]] = params[1]
+        elif sql.startswith("DELETE") and "WHERE" in sql:
+            state.pop(params[0], None)
+        elif sql.startswith("DELETE"):  # truncate flavor
+            state.clear()
+    return state
+
+
+@given(events(), st.sampled_from([None, 1, 3]))
+@settings(max_examples=60, deadline=None)
+def test_sink_statement_stream_matches_fold(evts, commit_batch):
+    from canal_phoenix_adapter_spark.config import DbMapping, MappingConfig
+    from canal_phoenix_adapter_spark.sinks.phoenix import apply_partition
+    from tests.test_sink import FakeConnection
+
+    cfg = MappingConfig(
+        db_mapping=DbMapping(
+            database="d", table="t", target_table="D.T", target_pk={"ID": "id"}
+        )
+    )
+    items = []
+    for seq, op, key, val, old in evts:
+        items.append(
+            {"seq": seq, "op": op, "id": key, "old_id": old, "val": val}
+        )
+    conn = FakeConnection()
+    apply_partition(items, cfg, lambda: conn, commit_batch=commit_batch)
+    # image columns are (id, val) — old_id is old_-prefixed and seq/op
+    # are metadata — so UPSERT params arrive as [id, val] and DELETE
+    # params as [id]; the replay therefore reconstructs {id: val}
+    # exactly like the naive fold.
+    assert _replay_statements(conn.log) == naive_fold(evts)
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters == union-find ground truth for random edge sets
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_clusters_matches_union_find(spark, edges):
+    from canal_phoenix_adapter_spark.operators.dedup import dup_clusters
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == expected
