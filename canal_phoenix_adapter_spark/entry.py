@@ -354,6 +354,7 @@ from canal_phoenix_adapter_spark.operators import (  # noqa: E402
     analytics,
     dedup,
     multimodal,
+    sampling,
     similarity,
     text as text_ops,
 )
@@ -1104,6 +1105,105 @@ def analytics_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("small_qty_revenue"),
         "n_small",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (operators/sampling.py): deterministic splits,
+# exact group quantiles, vocabulary, contamination
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET = _H.format(x="concat('split:', CAST(doc_id AS VARCHAR))") + " % 10000"
+
+
+@register(
+    "sampling_hash_split",
+    f"""
+    SELECT CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(1) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """,
+)
+def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment by md5 bucket — same
+    doc -> same split on any cluster, any partitioning, forever."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "sampling_group_quantiles",
+    """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rk,
+               count(1) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang,
+           max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) THEN n_chars END) AS q_50,
+           max(CASE WHEN rk = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1) THEN n_chars END) AS q_90
+    FROM ranked GROUP BY lang
+    """,
+)
+def sampling_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT discrete length quantiles (ceil-rank
+    percentile_disc semantics — no interpolated doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.group_quantiles(docs, "lang", "n_chars", [0.5, 0.9])
+
+
+@register(
+    "text_vocab_topk",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents
+        ) WHERE length(token) >= 1
+    ),
+    counts AS (SELECT token, count(1) AS doc_freq FROM tok GROUP BY token)
+    SELECT * FROM (
+        SELECT row_number() OVER (ORDER BY doc_freq DESC, token ASC) AS rank,
+               token, doc_freq
+        FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by document frequency."""
+    return sampling.vocab_topk(load_table(spark, sf_dir, "documents"), "text", k=20)
+
+
+_PROBES = ["merge batch", "window spark", "key agg row", "zz-never-present"]
+
+
+@register(
+    "text_contamination",
+    f"""
+    WITH probes AS (
+        SELECT unnest([{", ".join(repr(p) for p in _PROBES)}]) AS probe
+    )
+    SELECT doc_id, count(1) AS n_probes_hit, min(probe) AS first_probe
+    FROM documents JOIN probes ON contains(text, probe)
+    GROUP BY doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs containing any probe string
+    (broadcast probe set, streaming contains scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = spark.createDataFrame([(p,) for p in _PROBES], "probe string")
+    return sampling.contamination_hits(docs, probes)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,133 @@
+"""Dataset-assembly operators for training pipelines: deterministic
+splits, per-group exact quantiles, vocabulary building, benchmark
+contamination checks (SURVEY.md §7.4 extension surface).
+
+Every operator is pure DataFrame algebra with md5-derived determinism
+(functions/hashing.py), so the DuckDB oracle reproduces results
+bit-for-bit and a re-run on different cluster sizes / partition
+counts yields the identical dataset — the property training-data
+reproducibility actually requires (Spark's rand()/sample() reshuffle
+per retry; a hash split never does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.functions.hashing import md5_long
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5(salt,key)
+    mod 10_000, split boundaries at cumulative fractions. Same key ->
+    same split, forever, on any cluster — and adding a new split
+    rescales nothing that matters (boundaries only move at the edge).
+
+    Returns df + a `split` column. Fractions must sum to <= 1; any
+    remainder is labeled 'rest'."""
+    total = sum(fractions.values())
+    if total > 1.000001:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = md5_long(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % 10_000
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise("rest"))
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Per-group EXACT discrete quantiles (percentile_disc semantics):
+    the q-quantile is the value at 1-based rank ceil(q * n) in the
+    group's sort order. Window rank + ceil positions — deterministic
+    and engine-agnostic, where interpolating percentiles (Spark
+    `percentile`) would emit IEEE-order-dependent doubles.
+
+    One shuffle on the group key; output one row per group with a
+    `q_<pct>` column per requested quantile."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    aggs = []
+    for q in quantiles:
+        pos = F.ceil(F.lit(q) * F.col("__n"))
+        aggs.append(
+            F.max(F.when(F.col("__rk") == F.greatest(pos, F.lit(1)), F.col(value_col)))
+            .alias(f"q_{int(q * 100)}")
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by document
+    frequency (ties broken lexicographically). The wordcount of
+    training pipelines: one explode + two partial-aggregated shuffles
+    (token df, then the global top-k via window over a single
+    ordering key). Lowercased; tokens shorter than min_len dropped.
+
+    At 100 TB the explode dominates; there is no per-token state
+    beyond the aggregation — no collect, no driver-side vocabulary.
+    The global top-k runs as orderBy().limit(k), which Spark plans as
+    TakeOrderedAndProject — per-partition top-k merged on one tiny
+    result — NOT as a global-window sort that would drag the whole
+    vocabulary through a single task; the rank window then orders only
+    the k surviving rows."""
+    toks = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("token")
+    ).where(F.length("token") >= min_len)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    top = counts.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), "token", "doc_freq"
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Benchmark-contamination scan: which documents contain which
+    probe strings (eval-set n-grams, canary strings). The probe set is
+    small by construction (an eval suite), so it broadcasts and the
+    scan streams: contains() per (doc, probe) without ever shuffling
+    document text. Returns (doc_id, probe, n_hits aggregated per doc).
+
+    Substring semantics (`contains`), not token-boundary — the
+    conservative choice for decontamination (over-matches rather than
+    under-matches)."""
+    hits = docs.join(
+        F.broadcast(probes),
+        F.col(text_col).contains(F.col(probe_col)),
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_probes_hit"),
+        F.min(probe_col).alias("first_probe"),
+    )

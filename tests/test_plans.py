@@ -150,11 +150,14 @@ def test_no_nested_loop_or_row_udf_anywhere(q):
       * sim_topk_cosine — the exact baseline scores num_queries=8
         broadcast rows against the corpus (O(q*n), q constant);
       * etl_range_split — scalar join of a broadcast 1-row min/max
-        aggregate onto the scan."""
+        aggregate onto the scan;
+      * text_contamination — substring theta-join against a broadcast
+        probe set (an eval suite: constant size by construction)."""
     from canal_phoenix_adapter_spark.plans.explain import explain_str
 
     ALLOWED_NESTED_LOOP = {
         "dedup_embedding_cosine", "sim_topk_cosine", "etl_range_split",
+        "text_contamination",
     }
     offenders = []
     for name in E.QUERIES:

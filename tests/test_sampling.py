@@ -1,0 +1,68 @@
+"""Dataset-assembly operators (operators/sampling.py): deterministic
+splits, exact quantiles, vocab top-k, contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.operators import sampling
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(df, "doc_id", frac)
+    b = sampling.hash_split(df.repartition(13), "doc_id", frac)
+    ma = {r["doc_id"]: r["split"] for r in a.collect()}
+    mb = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert ma == mb  # same key -> same split under any partitioning
+    counts = {k: sum(1 for v in ma.values() if v == k) for k in frac}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.05 < counts["val"] / 2000 < 0.15
+
+
+def test_hash_split_rejects_over_one():
+    with pytest.raises(ValueError, match="> 1"):
+        sampling.hash_split(None, "id", {"a": 0.9, "b": 0.2})
+
+
+def test_hash_split_remainder_labeled_rest(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = sampling.hash_split(df, "doc_id", {"train": 0.5})
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "rest"}
+
+
+def test_group_quantiles_exact(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [("b", 42)],
+        "g string, v long",
+    )
+    out = {r["g"]: (r["q_50"], r["q_90"]) for r in
+           sampling.group_quantiles(df, "g", "v", [0.5, 0.9]).collect()}
+    # ceil-rank percentile_disc: q50 of 1..10 -> rank 5 -> 5; q90 -> rank 9 -> 9
+    assert out["a"] == (5, 9)
+    assert out["b"] == (42, 42)  # singleton group: every quantile = the value
+
+
+def test_vocab_topk_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "a c"), (4, "a a a")],
+        "doc_id long, text string",
+    )
+    rows = sampling.vocab_topk(df, "text", k=2).collect()
+    assert [(r["rank"], r["token"], r["doc_freq"]) for r in rows] == [
+        (1, "a", 4), (2, "b", 2),
+    ]
+
+
+def test_contamination_hits(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "clean document"), (3, "quick brown and fox")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([("quick brown",), ("fox",)], "probe string")
+    got = {r["doc_id"]: (r["n_probes_hit"], r["first_probe"])
+           for r in sampling.contamination_hits(docs, probes).collect()}
+    assert got == {1: (2, "fox"), 3: (2, "fox")}  # doc 2 clean, absent
