@@ -342,3 +342,52 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def run_cdc_stream_to_sink(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    cfg: MappingConfig,
+    value_schema: T.StructType,
+    connection_factory,
+    target_columns: set[str] | None = None,
+    available_now: bool = True,
+    commit_batch: int | None = None,
+    heal=None,
+):
+    """The reference's actual topology: Canal stream -> typed changes
+    -> executor-side Phoenix apply per epoch (no intermediate state
+    table). Each foreachBatch epoch routes the batch through
+    sinks.phoenix.write_changes — PK-hash partitioned, per-key
+    seq-ordered, one transaction per partition with heal-replay —
+    exactly the PhoenixSyncService sync loop driven by Structured
+    Streaming instead of a message-queue consumer thread.
+
+    Exactly-once caveat (same as the reference's): the epoch may
+    replay after a crash, so the write path must be idempotent — it
+    is, because UPSERT/DELETE on the PK are natural upserts
+    (PhoenixSyncService relies on the identical property). The
+    streaming checkpoint provides at-least-once epoch delivery;
+    idempotent apply upgrades it to effectively-once."""
+    from canal_phoenix_adapter_spark.sinks.phoenix import write_changes
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_changes(
+            batch_df, cfg, connection_factory,
+            target_columns=target_columns,
+            commit_batch=commit_batch, heal=heal,
+        )
+
+    stream = read_canal_stream(spark, source_path)
+    changes = typed_changes(stream, cfg, value_schema)
+    writer = (
+        changes.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

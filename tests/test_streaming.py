@@ -424,3 +424,35 @@ def test_state_store_prune_retention(spark, tmp_path):
     # keep_last floors at 1: the current version always survives
     assert store.prune(keep_last=0) == []
     assert 3 in store.versions()
+
+
+def test_run_cdc_stream_to_sink_applies_all_events(spark, tmp_path):
+    """Reference topology end-to-end: Canal JSON stream -> typed
+    changes -> executor-side statement apply. The recorded statement
+    stream must replay to the same final state as the golden
+    scenario's expected table."""
+    from tests.test_sink import _recording_factory
+    from canal_phoenix_adapter_spark.streaming.stream import run_cdc_stream_to_sink
+
+    src = str(tmp_path / "src")
+    out = tmp_path / "applied"
+    out.mkdir()
+    write_events(src, EVENTS)
+    q = run_cdc_stream_to_sink(
+        spark, src, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA,
+        _recording_factory(str(out)),
+    )
+    q.awaitTermination(120)
+
+    state = {}
+    for fname in sorted(os.listdir(out)):
+        for line in open(out / fname, encoding="utf-8").read().splitlines():
+            rec = json.loads(line)
+            sql, params = rec["sql"], rec["params"]
+            if sql.startswith("UPSERT"):
+                state[params[0]] = (params[1], params[2])
+            elif "WHERE" in sql:
+                state.pop(params[0], None)
+            else:
+                state.clear()
+    assert state == {k: (n, b) for k, (n, b) in EXPECTED.items()}
