@@ -1206,6 +1206,32 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_hits(docs, probes)
 
 
+@register(
+    "mm_frame_sample",
+    """
+    WITH vids AS (
+        SELECT doc_id, text, CAST(floor(strlen(text) / 16.0) AS BIGINT) AS nf
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 16 + 1 AS BIGINT) AS byte_offset,
+           CAST(concat('0x',
+                substr(md5(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)), 1, 15))
+                AS BIGINT) AS frame_sig
+    FROM vids, unnest(range(0, greatest(nf, 1), 4)) AS t(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over video payloads: real explode +
+    binary-slice plumbing, md5 frame signature standing in for the
+    decoder (operators/multimodal.frame_sample). The oracle slices the
+    source text — byte-identical to the payload for this ASCII corpus
+    (the payload IS encode(text))."""
+    media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
+
+
 # ---------------------------------------------------------------------------
 # Coverage round 2: truncate apply, envelope routing, serial mode,
 # schema evolution (S3/S4/S8, C2, C7, C9, C11-C13), X1 range split,

@@ -92,6 +92,41 @@ def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
     )
 
 
-def frame_sample(media: DataFrame, every_n: int = 10):  # pragma: no cover - stub
-    """Video frame sampling stub — same contract as decode_image."""
-    raise NotImplementedError("video codecs not available in container")
+def frame_sample(
+    media: DataFrame, every_n: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Video frame sampling: REAL plumbing, fake codec.
+
+    A real pipeline seeks every n-th frame and decodes it; without
+    codecs in this container, a "frame" is modeled as ``frame_bytes``
+    consecutive payload bytes at its offset — which makes every
+    scale-relevant part real: the per-video frame-index explode
+    (sequence with step — no Python loop), the binary slicing of the
+    payload (``substring`` on BinaryType, executor-side), and the
+    per-frame signature (md5 of the sliced bytes). Swapping in a real
+    decoder replaces ONLY the signature expression with an Arrow
+    mapInPandas decode of the sliced bytes; the sampling topology —
+    one generator per video, frames resolved without shuffling
+    payloads — is exactly this.
+
+    Output: (doc_id, frame_idx, byte_offset, frame_sig) for every
+    every_n-th frame of each video payload."""
+    vids = media.where(F.col("media_type") == "video")
+    n_frames = F.floor(F.length("payload") / F.lit(frame_bytes))
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(n_frames - 1, F.lit(0)).cast("int"),
+            F.lit(every_n),
+        )
+    )
+    out = vids.select("doc_id", "payload", idx.alias("frame_idx"))
+    offset = (F.col("frame_idx") * frame_bytes + 1).cast("int")
+    frame = F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    sig = F.conv(F.substring(F.md5(frame), 1, 15), 16, 10).cast("long")
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        offset.cast("long").alias("byte_offset"),
+        sig.alias("frame_sig"),
+    )

@@ -344,3 +344,22 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64("seq", "payload"), F.lit(8)).cast("int")
     n = fact.select(salt.alias("s")).distinct().count()
     assert n > 1
+
+
+def test_frame_sample_plumbing(spark):
+    """Every-n frame sampling: correct index stride, byte offsets,
+    non-video rows excluded, sub-frame payloads still yield frame 0."""
+    docs = spark.createDataFrame(
+        [
+            (2, "x" * 70),   # video (2 % 3 == 2): 4 frames of 16 -> idx 0, 4 -> just 0,? 70//16=4 frames idx 0..3 step 4 -> [0]
+            (5, "y" * 200),  # video: 12 frames -> idx 0,4,8
+            (8, "short"),    # video, < 16 bytes -> frame 0 only
+            (1, "z" * 200),  # audio: excluded
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    from canal_phoenix_adapter_spark.operators.multimodal import as_media_table, frame_sample
+
+    out = frame_sample(as_media_table(docs), every_n=4, frame_bytes=16)
+    got = {(r["doc_id"], r["frame_idx"], r["byte_offset"]) for r in out.collect()}
+    assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129), (8, 0, 1)}
