@@ -34,8 +34,12 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_ann_ivf",
     "text_quality",
+    "text_vocab_topk",
+    "sampling_hash_split",
+    "mm_frame_sample",
     "analytics_q1_pricing",
     "analytics_q5_join",
+    "analytics_q17_small_qty",
 ]
 
 
