@@ -502,28 +502,22 @@ def dup_clusters(
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().persist()
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    nodes = fwd.select("src").union(rev.select("src")).distinct()
+    # Self-loops fold the node's OWN label into the same neighbor-min
+    # aggregation, so each iteration is exactly one join + one groupBy
+    # (no separate left-join merge step).
+    loops = nodes.withColumn("dst", F.col("src"))
+    edges = fwd.union(rev).union(loops).distinct().persist()
+    labels = nodes.select(
+        F.col("src").alias("id"), F.col("src").alias("lbl")
+    ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
-        neighbor_min = (
+        labels = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                labels["id"],
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("id"), "lbl")
             .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so the sum is a strict-progress
