@@ -251,3 +251,21 @@ SELECT event_id AS seq,
        value, epoch_us(ts) AS ts_us
 FROM events
 """
+
+
+def route_all(
+    df: DataFrame, configs: dict[str, MappingConfig]
+) -> dict[str, DataFrame]:
+    """Multi-config dispatch (C2 at adapter granularity): the reference
+    looks up EVERY MappingConfig registered for an event's routing key
+    and applies the event to each (PhoenixSyncService.java:163-168
+    configMap.values() loop; several yml files may target one source
+    table). Spark-side each config gets its own routed stream off the
+    same parsed envelope DataFrame — one source scan, N filtered
+    branches (Catalyst collapses the shared prefix; with the file/
+    kafka source cached or streaming, the envelope parse runs once
+    per micro-batch).
+
+    Pairs with monitor.ConfigMonitor: ``route_all(df, mon.configs)``
+    re-evaluated per batch sees hot-reloaded configs."""
+    return {name: route(df, cfg) for name, cfg in configs.items()}

@@ -456,3 +456,39 @@ def test_run_cdc_stream_to_sink_applies_all_events(spark, tmp_path):
             else:
                 state.clear()
     assert state == {k: (n, b) for k, (n, b) in EXPECTED.items()}
+
+
+def test_route_all_multi_config_dispatch(spark):
+    """Two configs on the same source table both receive the event;
+    a third config on another table gets only its own."""
+    from canal_phoenix_adapter_spark.config import config_from_dict
+    from canal_phoenix_adapter_spark.sources.events import route_all
+
+    def cfg(table, target):
+        return config_from_dict(
+            {
+                "destination": "example",
+                "dbMapping": {
+                    "database": "mytest", "table": table,
+                    "targetTable": target, "targetPk": {"id": "id"},
+                },
+            }
+        )
+
+    configs = {
+        "a.yml": cfg("user", "M.USER_A"),
+        "b.yml": cfg("user", "M.USER_B"),
+        "c.yml": cfg("other", "M.OTHER"),
+    }
+    events = spark.createDataFrame(
+        [
+            ("example", None, "mytest", "user", "INSERT"),
+            ("example", None, "mytest", "other", "INSERT"),
+        ],
+        "destination string, group_id string, database string, table string, op string",
+    )
+    routed = route_all(events, configs)
+    assert routed["a.yml"].count() == 1
+    assert routed["b.yml"].count() == 1
+    assert routed["c.yml"].count() == 1
+    assert routed["c.yml"].first()["table"] == "other"
