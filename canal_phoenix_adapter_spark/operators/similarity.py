@@ -275,3 +275,114 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _dist2_expr(vec_col: str, centroid: list[float]) -> F.Column:
+    """Squared L2 distance to a literal centroid, as one fold."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.lit(centroid),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(df: DataFrame, vec_col: str, codebook: list[list[float]]) -> F.Column:
+    """Cell id = argmin squared-L2 over the codebook, evaluated as one
+    scan-local projection (k distance folds + array_position) — no
+    join, no shuffle; the codebook rides into the plan as literals."""
+    dists = F.array(*[_dist2_expr(vec_col, c) for c in codebook])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def ivf_train_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    This fills the slot ivf_cell_expr documents ("a trained k-means
+    codebook slots into the same shape"). Everything data-sized stays
+    distributed: assignment is a scan-local argmin projection; the
+    update step is posexplode -> groupBy(cell, pos).avg — one shuffle
+    of (cell, pos, component) triples. Only the k x dim centroid
+    matrix (model parameters, not data) is collected per iteration,
+    which is what makes the next iteration's literals possible.
+
+    Determinism: seeds are the k lowest-id vectors (TakeOrdered), and
+    every subsequent step is deterministic arithmetic — same data,
+    same codebook, on any cluster. Empty cells keep their previous
+    centroid (standard Lloyd's fallback)."""
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    codebook = [[float(x) for x in r["v"]] for r in seeds]
+    for _ in range(iters):
+        assigned = df.select(
+            assign_cells(df, vec_col, codebook).alias("cell"),
+            F.posexplode(F.col(vec_col)),
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select("cell", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        for r in means:
+            codebook[int(r["cell"])] = [float(x) for x in r["centroid"]]
+    return codebook
+
+
+def ann_topk_ivf_trained(
+    df: DataFrame,
+    codebook: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_queries: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """ann_topk_ivf with a TRAINED codebook: identical topology (cell
+    computed inline with the scan, candidate join keyed on the cell,
+    exact cosine ranking within the cell) — only the quantizer
+    changed, exactly as ivf_cell_expr's docstring promises."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        assign_cells(df, vec_col, codebook).alias("cell"),
+    )
+    queries = base.where(F.col("id") < num_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("cell"),
+    )
+    cands = F.broadcast(queries).join(
+        base.withColumnRenamed("id", "neighbor_id"), on="cell"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -363,3 +363,39 @@ def test_frame_sample_plumbing(spark):
     out = frame_sample(as_media_table(docs), every_n=4, frame_bytes=16)
     got = {(r["doc_id"], r["frame_idx"], r["byte_offset"]) for r in out.collect()}
     assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129), (8, 0, 1)}
+
+
+def test_ivf_trained_codebook_and_ann(spark):
+    """Lloyd's k-means on separable data converges to the two blobs,
+    assignment is deterministic, and the trained-codebook ANN finds
+    within-blob neighbors."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        center = 5.0 if blob else -5.0
+        rows.append((i, [center + random.uniform(-0.5, 0.5) for _ in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = similarity.ivf_train_codebook(df, k=2, iters=3)
+    assert len(cb) == 2 and len(cb[0]) == 4
+    # centroids end up near the blob centers (one each)
+    means = sorted(sum(c) / len(c) for c in cb)
+    assert means[0] < -4 and means[1] > 4
+
+    cells = df.select(
+        "vec_id", similarity.assign_cells(df, "embedding", cb).alias("cell")
+    )
+    got = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    # all even ids together, all odd ids together
+    assert len({got[i] for i in range(0, 40, 2)}) == 1
+    assert len({got[i] for i in range(1, 40, 2)}) == 1
+    assert got[0] != got[1]
+
+    ann = similarity.ann_topk_ivf_trained(df, cb, num_queries=2, k=3)
+    neigh = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    # query 0 (blob 0) only meets even ids; query 1 only odd ids
+    assert all(n % 2 == 0 for q, n in neigh if q == 0)
+    assert all(n % 2 == 1 for q, n in neigh if q == 1)
