@@ -125,6 +125,31 @@ def _image_columns(item: dict, seq_col: str, op_col: str, old_prefix: str) -> li
     ]
 
 
+def _check_value(cfg: MappingConfig, tgt: str, src: str, value: Any) -> Any:
+    """Write-time enum decode (DbMapping.checkColumnValue,
+    config/MappingConfig.java:277-287): a 1-based index into the
+    column's enum list becomes its label; out-of-range or non-enum
+    values pass through unchanged."""
+    enums = cfg.db_mapping.enum_columns or {}
+    labels = None
+    for key in (tgt, src):
+        for k, v in enums.items():
+            if k.lower() == key.lower():
+                labels = v
+                break
+        if labels is not None:
+            break
+    if labels is None or value is None:
+        return value
+    try:
+        i = int(str(value))
+    except (TypeError, ValueError):
+        return value
+    if i < 1 or i > len(labels):
+        return value
+    return labels[i - 1]
+
+
 def _check_target(
     cfg: MappingConfig, tgt: str, target_columns: set[str] | None
 ) -> bool:
@@ -160,7 +185,7 @@ def upsert_item(
         if not _check_target(cfg, m.escape(tgt), target_columns):
             continue
         cols.append(tgt)
-        vals.append(item.get(src))
+        vals.append(_check_value(cfg, tgt, src, item.get(src)))
 
     key_changed = False
     del_vals: list[Any] = []

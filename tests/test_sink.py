@@ -345,3 +345,22 @@ def test_write_changes_concurrent_keeps_key_order(spark, tmp_path):  # noqa: F81
     assert sum(len(v) for v in seen.values()) == 42
     for uid, seqs in seen.items():
         assert seqs == sorted(seqs), f"key {uid} applied out of order"
+
+
+def test_write_time_enum_decode():
+    """checkColumnValue parity (MappingConfig.java:277-287): 1-based
+    enum index -> label at write time; out-of-range passes through."""
+    cfg = make_cfg()
+    cfg.db_mapping.enum_columns = {"GENDER": ["Male", "Female"]}
+    conn = FakeConnection()
+    apply_partition(
+        [
+            {"seq": 1, "op": "INSERT", "id": 1, "gender": "2"},
+            {"seq": 2, "op": "INSERT", "id": 2, "gender": "9"},  # out of range
+            {"seq": 3, "op": "INSERT", "id": 3, "gender": None},
+        ],
+        cfg,
+        lambda: conn,
+    )
+    vals = [e[2] for e in conn.log if e[0] == "execute"]
+    assert vals == [[1, "Female"], [2, "9"], [3, None]]
