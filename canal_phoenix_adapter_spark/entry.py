@@ -563,6 +563,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_canonical_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Corpus minus non-representative cluster members: the recursive
+    closure marks victims (cluster_id != id), the anti join keeps the
+    rest."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_sql(num_perm, bands)}),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ),
+    victims AS (
+        SELECT n AS doc_id FROM reach GROUP BY n HAVING min(m) <> n
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+    """
+
+
+@register("dedup_keep_canonical", _keep_canonical_sql())
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup materialization: candidate pairs ->
+    connected components -> drop every non-representative member
+    (keep_canonical's broadcast anti join). What a training pipeline
+    actually ships: the deduplicated corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_perm=16, bands=4, n=4
+    )
+    clusters = dedup.dup_clusters(pairs)
+    return dedup.keep_canonical(docs, clusters, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _simhash_sql() -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"

@@ -257,18 +257,25 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Computed as 32 conditional-sum aggregates after one token explode:
     a single shuffle keyed on the doc id; the sketch is a plain bigint
-    usable for bucketing / hamming-distance candidate search."""
+    usable for bucketing / hamming-distance candidate search.
+
+    The md5 hash is hoisted into the projection feeding the aggregate
+    (same treatment as minhash_signatures): each of the 32 bit-sums
+    then reads a plain bigint column instead of embedding its own copy
+    of the md5+conv tree in the partial-aggregate codegen."""
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).where(F.col("tok") != "")
-    h = md5_long(F.col("tok"))
+    hashed = toks.select(F.col(id_col), md5_long(F.col("tok")).alias("h"))
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(32)
     ]
-    sums = toks.groupBy(id_col).agg(*aggs)
+    sums = hashed.groupBy(id_col).agg(*aggs)
     sketch = None
     for i in range(32):
         bit = F.when(F.col(f"b{i}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
