@@ -177,3 +177,40 @@ def count_filtered(df: DataFrame, cfg: DbMapping, params: list[object] | None = 
     """A2: COUNT(1) over the conditioned extract
     (PhoenixEtlService.java:250-261)."""
     return count_table(append_condition(df, cfg, params))
+
+
+def etl_to_sink(
+    source: DataFrame,
+    cfg: DbMapping,
+    connection_factory,
+    params: list[object] | None = None,
+    target_schema: T.StructType | None = None,
+    commit_batch: int | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Full backfill EXECUTED: the etl_import pipeline shipped through
+    the executor-side Phoenix write loop (executeSqlImport parity,
+    PhoenixEtlService.java:404-468 — row-wise UPSERT with commitBatch
+    flushes, one transaction scope per partition).
+
+    Backfill rows are all INSERTs; seq is the per-partition arrival
+    order (backfill has no cross-row ordering constraint — the PK
+    dedup already happened in etl_import). Returns the EtlResult
+    envelope."""
+    from canal_phoenix_adapter_spark.config import MappingConfig
+    from canal_phoenix_adapter_spark.sinks.phoenix import write_changes
+
+    wrapper = MappingConfig(concurrent=True, db_mapping=cfg)
+
+    def sink(df: DataFrame) -> int:
+        rows = df.withColumn("op", F.lit("INSERT")).withColumn(
+            "seq", F.monotonically_increasing_id()
+        )
+        write_changes(
+            rows, wrapper, connection_factory,
+            commit_batch=commit_batch or cfg.commit_batch,
+            num_partitions=num_partitions,
+        )
+        return df.count()
+
+    return run_etl_import(source, cfg, params, target_schema, sink=sink)

@@ -364,3 +364,30 @@ def test_write_time_enum_decode():
     )
     vals = [e[2] for e in conn.log if e[0] == "execute"]
     assert vals == [[1, "Female"], [2, "9"], [3, None]]
+
+
+def test_etl_to_sink_backfills_through_writer(spark, tmp_path):
+    """S2 -> S5 executed end-to-end: conditional extract + mapping +
+    idempotent dedup, then row-wise UPSERTs through the executor-side
+    loop, EtlResult envelope back."""
+    from canal_phoenix_adapter_spark.operators.etl import etl_to_sink
+
+    out = tmp_path / "applied"
+    out.mkdir()
+    src = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 50), (2, "b", 50), (3, "c", 500)],
+        "id long, name string, sys_time long",
+    )
+    cfg = DbMapping(
+        database="d", table="t", target_table="MYTEST.USER",
+        target_pk={"ID": "id"}, etl_condition="where sys_time >= {0}",
+    )
+    res = etl_to_sink(src, cfg, _recording_factory(str(out)), params=["50"])
+    assert res["succeeded"] is True and res["rowsProcessed"] == 2
+
+    applied = []
+    for fname in os.listdir(out):
+        for line in open(out / fname, encoding="utf-8").read().splitlines():
+            applied.append(json.loads(line))
+    upserted = {a["params"][0] for a in applied if a["sql"].startswith("UPSERT")}
+    assert upserted == {2, 3}  # filtered to sys_time>=50, deduped on PK
