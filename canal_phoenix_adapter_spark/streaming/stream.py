@@ -200,6 +200,7 @@ def run_cdc_stream(
     value_schema: T.StructType,
     available_now: bool = True,
     notify_hook=None,
+    retain_versions: int | None = None,
 ):
     """Wire the full pipeline: file stream -> typed changes ->
     foreachBatch(merge into versioned parquet state). Returns the
@@ -209,7 +210,11 @@ def run_cdc_stream(
     ``notify_hook``: callable(payload dict) fired on schema-changing
     epochs with the reference's ``{database, table}`` body; defaults
     to the HTTP notifier when ``cfg.notify_url`` is set (S9,
-    PhoenixEtlService.java:174-215), else no-op."""
+    PhoenixEtlService.java:174-215), else no-op.
+
+    ``retain_versions``: when set, prune committed snapshots older
+    than the newest N after every committing epoch (the long-running
+    deployment needs this or state size x epochs accumulates)."""
     from canal_phoenix_adapter_spark.notify import make_notifier, notify_payload
 
     store = ParquetStateStore(spark, state_path)
@@ -218,7 +223,11 @@ def run_cdc_stream(
     on_change = (lambda: hook(notify_payload(cfg))) if hook is not None else None
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_cdc_epoch(store, batch_df, epoch_id, pk, on_schema_change=on_change)
+        committed = apply_cdc_epoch(
+            store, batch_df, epoch_id, pk, on_schema_change=on_change
+        )
+        if committed and retain_versions is not None:
+            store.prune(keep_last=retain_versions)
 
     stream = read_canal_stream(spark, source_path)
     changes = typed_changes(stream, cfg, value_schema)

@@ -492,3 +492,19 @@ def test_route_all_multi_config_dispatch(spark):
     assert routed["b.yml"].count() == 1
     assert routed["c.yml"].count() == 1
     assert routed["c.yml"].first()["table"] == "other"
+
+
+def test_run_cdc_stream_with_retention(spark, tmp_path):
+    """retain_versions prunes per committing epoch: after the run only
+    the newest snapshots remain and the state is still correct."""
+    src = str(tmp_path / "src")
+    write_events(src, EVENTS)
+    q = run_cdc_stream(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        CFG, VALUE_SCHEMA, retain_versions=1,
+    )
+    q.awaitTermination(120)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    assert len(store.versions()) == 1
+    got = {r["id"]: (r["name"], r["balance"]) for r in store.read().collect()}
+    assert got == EXPECTED
