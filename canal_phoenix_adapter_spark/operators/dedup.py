@@ -101,10 +101,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), md5_long(F.col("shingle")).alias("sh")
     )
     if max_df is not None:
-        w = Window.partitionBy("sh")
-        sh = sh.withColumn("__df", F.count(F.lit(1)).over(w)).where(
-            F.col("__df") <= max_df
-        ).drop("__df")
+        sh = _cap_bucket_size(sh, ["sh"], max_df)
     # sh feeds three consumers (sizes + both join sides): persist so the
     # shingle explode+dedup runs once. 8-byte hashes, spillable.
     sh = sh.persist()
@@ -187,13 +184,19 @@ def _cap_bucket_size(df: DataFrame, key_cols: list[str], max_bucket: int) -> Dat
     one boilerplate bucket with d=10^6 alone produces 10^12 candidates;
     capping bounds every bucket's cost at max_bucket^2 and removes the
     skew AQE would otherwise have to split. Same pattern as the max_df
-    shingle cap in ngram_jaccard_pairs."""
-    w = Window.partitionBy(*key_cols)
-    return (
-        df.withColumn("__bs", F.count(F.lit(1)).over(w))
-        .where(F.col("__bs") <= max_bucket)
-        .drop("__bs")
+    shingle cap in ngram_jaccard_pairs.
+
+    Shape: aggregate the over-cap bucket KEYS (map-side partial
+    combine, output bounded by n/max_bucket rows) and anti-join them
+    away — not a count-over-window, which would shuffle AND sort the
+    full row table just to attach a count it then filters on."""
+    bad = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .where(F.col("__bs") > max_bucket)
+        .select(*key_cols)
     )
+    return df.join(bad, on=key_cols, how="left_anti")
 
 
 def minhash_lsh_candidates(
