@@ -427,6 +427,14 @@ def embedding_near_dup_pairs_lsh(
     ``max_bucket`` additionally drops degenerate hot buckets (e.g. a
     mass of near-zero vectors agreeing on every sign) before the join.
 
+    SIZING ``num_planes``: the collision RATE per band is fixed by
+    planes-per-band, so at fixed planes the candidate count (and wall
+    time) grows quadratically with the corpus. Hold expected bucket
+    SIZE constant instead: add ~2 planes per band per 4x corpus growth
+    (planes ∝ log2(n)). tools/scale_smoke.py measures exactly this —
+    fixed 16 planes go superlinear by 8x corpus while log-scaled
+    planes stay near-linear.
+
     ``dim`` is required pipeline config (see lsh_bucket_expr); no
     Spark action runs during construction.
     """

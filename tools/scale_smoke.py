@@ -1,0 +1,85 @@
+"""Scale-sanity harness: multiply the sf0.1 tables N-fold (id-offset
+copies, so dedup/LSH keys stay distinct) and measure how the heavy
+operators scale. Near-linear wall growth => the plan has no hidden
+quadratic; superlinear growth names the operator to fix.
+
+Usage: python tools/scale_smoke.py [N ...]   (default: 1 4 8)
+
+This is a diagnostic, not the bench: it synthesizes data in memory
+(union of offset copies reading the same parquet N times) and prints
+one JSON line per factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from canal_phoenix_adapter_spark.operators import dedup, sampling, similarity  # noqa: E402
+from canal_phoenix_adapter_spark.session import get_spark  # noqa: E402
+from canal_phoenix_adapter_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def multiply(df, id_col: str, n: int, stride: int = 10_000_000):
+    """n id-offset copies of df; every copy's keys are disjoint."""
+    out = None
+    for i in range(n):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    spark = get_spark("scale-smoke")
+    docs0 = load_table(spark, SF_DIR, "documents")
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+
+    for n in factors:
+        docs = multiply(docs0, "doc_id", n)
+        emb = multiply(emb0, "vec_id", n)
+        ops = {
+            "dedup_exact": lambda: dedup.exact_dedup(docs, "doc_id", "text"),
+            "minhash_lsh_capped": lambda: dedup.minhash_lsh_candidates(
+                docs, "doc_id", "text", num_perm=16, bands=4, n=4, max_bucket=50
+            ),
+            "simhash_pairs_capped": lambda: dedup.simhash_hamming_pairs(
+                docs, "doc_id", "text", max_dist=3, bands=4, max_bucket=200
+            ),
+            # Fixed planes: collision RATE is constant, so candidates
+            # (and wall) grow ~quadratically with corpus size — visible
+            # here, and the reason the next entry exists.
+            "embedding_lsh_fixed16": lambda: dedup.embedding_near_dup_pairs_lsh(
+                emb, threshold=0.4, num_planes=16, bands=4, dim=64, max_bucket=2000
+            ),
+            # The scaling discipline: planes grow with log2(corpus)
+            # (+2 bits per 4x data per band here), holding expected
+            # bucket SIZE (hence sum-of-squared-bucket-sizes) roughly
+            # constant — wall should grow ~linearly.
+            "embedding_lsh_scaled_planes": lambda: dedup.embedding_near_dup_pairs_lsh(
+                emb, threshold=0.4,
+                num_planes=16 + 4 * max(0, (n.bit_length() - 1)),
+                bands=4, dim=64, max_bucket=2000,
+            ),
+            "ann_ivf": lambda: similarity.ann_topk_ivf(emb),
+            "vocab_topk": lambda: sampling.vocab_topk(docs, "text", k=20),
+        }
+        times = {}
+        for name, build in ops.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"factor": n, "times": times}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
