@@ -1273,6 +1273,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
 
 
+def _adaptive_filter_sql() -> str:
+    stopword_list = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+    qual = (
+        f"(CAST(len(list_filter(low, x -> x IN ({stopword_list}))) AS DOUBLE) / len(toks)) * 0.4"
+        " + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3"
+        " + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 0.3"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS low
+        FROM documents
+    ),
+    q AS (SELECT doc_id, lang, {qual} AS quality FROM t),
+    ranked AS (
+        SELECT lang, quality,
+               row_number() OVER (PARTITION BY lang ORDER BY quality ASC) AS rk,
+               count(1) OVER (PARTITION BY lang) AS n
+        FROM q
+    ),
+    cut AS (
+        SELECT lang,
+               max(CASE WHEN rk = greatest(CAST(ceil(0.1 * n) AS BIGINT), 1)
+                        THEN quality END) AS q_10
+        FROM ranked GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang FROM q JOIN cut USING (lang)
+    WHERE q.quality >= cut.q_10
+    """
+
+
+@register("text_adaptive_filter", _adaptive_filter_sql())
+def text_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering: keep documents at or above their
+    LANGUAGE's 10th-percentile quality — the composition a real
+    pipeline runs (per-group thresholds, not one global magic number).
+    quality_features -> exact per-lang quantile (ceil-rank) -> join +
+    filter; the cutoff table is one row per language, broadcastable.
+    Doubles compare safely because both engines build the identical
+    quality expression (text_quality hash-matches bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_ops.quality_features(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    cut = sampling.group_quantiles(q, "lang", "quality", [0.1])
+    return (
+        q.join(F.broadcast(cut), on="lang")
+        .where(F.col("quality") >= F.col("q_10"))
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Coverage round 2: truncate apply, envelope routing, serial mode,
 # schema evolution (S3/S4/S8, C2, C7, C9, C11-C13), X1 range split,

@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from canal_phoenix_adapter_spark.operators import dedup, sampling, similarity  # noqa: E402
+from canal_phoenix_adapter_spark.operators.merge import merge_cdc  # noqa: E402
 from canal_phoenix_adapter_spark.session import get_spark  # noqa: E402
+from canal_phoenix_adapter_spark.sources.events import synthetic_changes  # noqa: E402
 from canal_phoenix_adapter_spark.sources.tables import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,11 +44,21 @@ def main() -> None:
     spark = get_spark("scale-smoke")
     docs0 = load_table(spark, SF_DIR, "documents")
     emb0 = load_table(spark, SF_DIR, "embeddings")
+    events0 = load_table(spark, SF_DIR, "events")
 
     for n in factors:
         docs = multiply(docs0, "doc_id", n)
         emb = multiply(emb0, "vec_id", n)
+        # events: offset the SEQ (event_id) but keep user_ids shared so
+        # the per-key event density grows n-fold — the hard direction
+        # for the keep-last window.
+        changes = synthetic_changes(
+            multiply(events0, "event_id", n), with_pk_change=False
+        )
         ops = {
+            "cdc_merge": lambda: merge_cdc(
+                None, changes, ["user_id"], check_truncate=False
+            ),
             "dedup_exact": lambda: dedup.exact_dedup(docs, "doc_id", "text"),
             "minhash_lsh_capped": lambda: dedup.minhash_lsh_candidates(
                 docs, "doc_id", "text", num_perm=16, bands=4, n=4, max_bucket=50
