@@ -1273,6 +1273,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
 
 
+@register(
+    "mm_thumbnail",
+    f"""
+    SELECT doc_id,
+           CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+           CASE WHEN greatest(doc_id % 640 + 16, doc_id % 480 + 16) <= 64
+                THEN CAST(doc_id % 640 + 16 AS BIGINT)
+                ELSE greatest(CAST(floor((doc_id % 640 + 16) * 64.0
+                     / greatest(doc_id % 640 + 16, doc_id % 480 + 16)) AS BIGINT), 1)
+           END AS thumb_w,
+           CASE WHEN greatest(doc_id % 640 + 16, doc_id % 480 + 16) <= 64
+                THEN CAST(doc_id % 480 + 16 AS BIGINT)
+                ELSE greatest(CAST(floor((doc_id % 480 + 16) * 64.0
+                     / greatest(doc_id % 640 + 16, doc_id % 480 + 16)) AS BIGINT), 1)
+           END AS thumb_h,
+           {_H.format(x="substring(text, 1, 32)")} AS thumb_sig
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail geometry + payload-head signature
+    for image rows (operators/multimodal.thumbnail_plan): the resize
+    op's real integer arithmetic and routing, codec-free."""
+    media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
+    return multimodal.thumbnail_plan(media, max_side=64)
+
+
 def _adaptive_filter_sql() -> str:
     stopword_list = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
     qual = (

@@ -130,3 +130,37 @@ def frame_sample(
         offset.cast("long").alias("byte_offset"),
         sig.alias("frame_sig"),
     )
+
+
+def thumbnail_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize plumbing, codec-free: compute each image's thumbnail
+    geometry (aspect-preserving integer fit into max_side x max_side —
+    real arithmetic a production resize needs regardless of codec) and
+    a deterministic stand-in for the thumbnail payload (md5 signature
+    of the first 32 payload bytes). A real implementation swaps the
+    signature for an Arrow mapInPandas decode-resize-encode of the
+    payload column; geometry, routing (images only), and the
+    no-payload-shuffle shape stay exactly as planned here."""
+    imgs = media.where(F.col("media_type") == "image")
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    long_side = F.greatest(w, h)
+
+    def fit(side):
+        # floor-scaled integer fit, never upscale, floor >= 1
+        scaled = F.greatest(
+            F.floor(side * max_side / long_side).cast("long"), F.lit(1)
+        )
+        return F.when(long_side <= max_side, side).otherwise(scaled)
+
+    sig = F.conv(
+        F.substring(F.md5(F.expr("substring(payload, 1, 32)")), 1, 15), 16, 10
+    ).cast("long")
+    return imgs.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        fit(w).alias("thumb_w"),
+        fit(h).alias("thumb_h"),
+        sig.alias("thumb_sig"),
+    )
