@@ -400,3 +400,86 @@ def run_cdc_stream_to_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class BucketedStateStore:
+    """Keyed state as a PK-bucketed, PK-sorted managed table — the
+    100 TB state layout. A hash-bucketed table's on-disk layout IS the
+    join partitioning, so a non-broadcast merge (broadcast_changes=
+    False, the huge-batch regime) sort-merge-anti-joins the state
+    WITHOUT an Exchange on the state side: only the change set
+    shuffles, however big the state is (test_plans-style comparative
+    assertion in test_streaming.py proves the exchange disappears).
+
+    Same versioned-commit contract as ParquetStateStore (the pointer
+    file is the commit marker; replay skips committed epochs); the
+    snapshot is a managed table ``<db>.<name>_v<epoch>`` instead of a
+    directory. ``prune`` drops old tables via the catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pointer_dir: str,
+        name: str,
+        pk: list[str],
+        buckets: int = 32,
+        database: str = "default",
+    ):
+        self.spark = spark
+        self.pointer_dir = pointer_dir
+        self.name = name
+        self.pk = pk
+        self.buckets = buckets
+        self.database = database
+        os.makedirs(pointer_dir, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.pointer_dir, "_CURRENT")
+
+    def _table(self, version: int) -> str:
+        return f"{self.database}.{self.name}_v{version}"
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer(), encoding="utf-8") as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.table(self._table(v))
+
+    def write(self, df: DataFrame, epoch_id: int) -> None:
+        (
+            df.write.bucketBy(self.buckets, *self.pk)
+            .sortBy(*self.pk)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(self._table(epoch_id))
+        )
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": epoch_id}, f)
+        os.replace(tmp, self._pointer())
+
+    def versions(self) -> list[int]:
+        prefix = f"{self.name}_v"
+        out = []
+        for t in self.spark.catalog.listTables(self.database):
+            if t.name.startswith(prefix) and t.name[len(prefix):].isdigit():
+                out.append(int(t.name[len(prefix):]))
+        return sorted(out)
+
+    def prune(self, keep_last: int = 2) -> list[int]:
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep_last = max(1, keep_last)
+        committed = [v for v in self.versions() if v <= cur]
+        doomed = committed[:-keep_last] if len(committed) > keep_last else []
+        for v in doomed:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
+        return doomed

@@ -508,3 +508,65 @@ def test_run_cdc_stream_with_retention(spark, tmp_path):
     assert len(store.versions()) == 1
     got = {r["id"]: (r["name"], r["balance"]) for r in store.read().collect()}
     assert got == EXPECTED
+
+
+def test_bucketed_state_store_avoids_state_exchange(spark, tmp_path):
+    """The 100 TB state layout: with a PK-bucketed state table, the
+    non-broadcast merge's anti join reads state WITHOUT an Exchange —
+    the plan has strictly fewer exchanges than the same merge over a
+    plain parquet snapshot, and results are identical."""
+    from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from canal_phoenix_adapter_spark.streaming.stream import BucketedStateStore
+
+    base = "seq long, op string, id long, name string, old_id long"
+    state_rows = [(0, "INSERT", i, f"n{i}", None) for i in range(1, 501)]
+    init = spark.createDataFrame(state_rows, base).drop("seq", "op", "old_id")
+    batch = spark.createDataFrame(
+        [(10, "UPDATE", 3, "x", None), (11, "DELETE", 4, None, None)], base
+    )
+
+    bucketed = BucketedStateStore(
+        spark, str(tmp_path / "ptr"), "t_state_bkt", ["id"], buckets=4
+    )
+    bucketed.write(init, 0)
+    plain = ParquetStateStore(spark, str(tmp_path / "plain"))
+    plain.write(init, 0)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        m_bkt = merge_cdc(bucketed.read(), batch, ["id"], broadcast_changes=False)
+        m_plain = merge_cdc(plain.read(), batch, ["id"], broadcast_changes=False)
+        plan_bkt = explain_str(m_bkt)
+        plan_plain = explain_str(m_plain)
+        ex_bkt = plan_bkt.count(") Exchange")
+        ex_plain = plan_plain.count(") Exchange")
+        assert ex_bkt < ex_plain, (ex_bkt, ex_plain)
+        got = sorted((r["id"], r["name"]) for r in m_bkt.collect())
+        want = sorted((r["id"], r["name"]) for r in m_plain.collect())
+        assert got == want
+        assert (3, "x") in got and all(i != 4 for i, _ in got)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS default.t_state_bkt_v0")
+
+
+def test_bucketed_state_store_versioning_and_prune(spark, tmp_path):
+    from canal_phoenix_adapter_spark.streaming.stream import BucketedStateStore
+
+    store = BucketedStateStore(
+        spark, str(tmp_path / "ptr"), "t_state_ver", ["id"], buckets=2
+    )
+    try:
+        for v in range(3):
+            df = spark.createDataFrame([(i, v) for i in range(5)], "id long, ver long")
+            store.write(df, v)
+        assert store.current_version() == 2
+        assert store.versions() == [0, 1, 2]
+        assert store.read().where("ver = 2").count() == 5
+        assert store.prune(keep_last=1) == [0, 1]
+        assert store.versions() == [2]
+    finally:
+        for v in range(3):
+            spark.sql(f"DROP TABLE IF EXISTS default.t_state_ver_v{v}")
