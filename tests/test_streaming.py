@@ -570,3 +570,72 @@ def test_bucketed_state_store_versioning_and_prune(spark, tmp_path):
     finally:
         for v in range(3):
             spark.sql(f"DROP TABLE IF EXISTS default.t_state_ver_v{v}")
+
+
+def test_malformed_canal_json_is_dropped_not_fatal(spark):
+    """Garbage lines in the Canal feed must not kill the pipeline:
+    from_json yields a null envelope, routing drops it, well-formed
+    events still apply (the reference logs-and-skips parse failures)."""
+    raw = spark.createDataFrame(
+        [
+            ('{"destination":"example","database":"mytest","table":"user",'
+             '"type":"INSERT","es":1,"ts":1,"data":[{"id":"1","name":"a","balance":"1"}]}',),
+            ("not json at all {",),
+            ('{"half": true',),
+            ('[]',),
+        ],
+        "value string",
+    )
+    parsed = parse_dml_json(raw)
+    routed = route(parsed, CFG)
+    rows = explode_dml(routed).collect()
+    assert len(rows) == 1 and rows[0]["op"] == "INSERT"
+
+
+def test_sink_topology_checkpoint_loss_is_effectively_once(spark, tmp_path):
+    """Wipe the checkpoint and rerun the direct-to-sink stream: every
+    statement re-applies, and because UPSERT/DELETE on the PK are
+    idempotent the replayed statement stream converges to the same
+    final table — the at-least-once -> effectively-once upgrade the
+    topology claims."""
+    import shutil
+
+    from tests.test_sink import _recording_factory
+    from canal_phoenix_adapter_spark.streaming.stream import run_cdc_stream_to_sink
+
+    src = str(tmp_path / "src")
+    out = tmp_path / "applied"
+    out.mkdir()
+    write_events(src, EVENTS)
+
+    def run():
+        q = run_cdc_stream_to_sink(
+            spark, src, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA,
+            _recording_factory(str(out)),
+        )
+        q.awaitTermination(120)
+
+    def replay_state():
+        state = {}
+        n = 0
+        for fname in sorted(os.listdir(out)):
+            for line in open(out / fname, encoding="utf-8").read().splitlines():
+                rec = json.loads(line)
+                n += 1
+                sql, params = rec["sql"], rec["params"]
+                if sql.startswith("UPSERT"):
+                    state[params[0]] = (params[1], params[2])
+                elif "WHERE" in sql:
+                    state.pop(params[0], None)
+                else:
+                    state.clear()
+        return state, n
+
+    run()
+    state1, n1 = replay_state()
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()  # full replay: statements re-applied
+    state2, n2 = replay_state()
+    assert n2 == 2 * n1  # everything really did apply twice
+    assert state1 == state2 == {k: v for k, v in
+                                ((k, (n, b)) for k, (n, b) in EXPECTED.items())}
