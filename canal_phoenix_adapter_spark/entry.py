@@ -861,6 +861,51 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                           l -> l <> '') AS lines,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               CASE WHEN len(lines) > 0
+                    THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                    ELSE 0.0 END AS dup_line_frac,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS bg
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, bigram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bg) AS bigram FROM f)
+        GROUP BY doc_id, bigram
+    ),
+    m AS (
+        SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.n_lines, f.dup_line_frac,
+           len(f.bg) AS n_bigrams,
+           CASE WHEN len(f.bg) > 0
+                THEN CAST(m.top_cnt AS DOUBLE) / len(f.bg)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM f LEFT JOIN m USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: dup-line fraction + top-bigram
+    share (boilerplate/SEO-spam filter inputs)."""
+    return text_ops.repetition_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,

@@ -105,6 +105,93 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering: documents
+    dominated by repeated lines or one repeated phrase are boilerplate
+    (nav bars, SEO spam, scraped tables) and get filtered before
+    training.
+
+    Per doc: ``n_lines`` (non-empty trimmed lines), ``dup_line_frac``
+    (1 - distinct/total lines), ``n_bigrams`` (word-bigram
+    occurrences), ``top_bigram_frac`` (share of the most frequent
+    bigram).
+
+    Line features are pure array expressions — no shuffle. The bigram
+    mode is explode -> groupBy(doc, bigram) -> groupBy(doc): two keyed
+    aggregations that scale to arbitrarily long documents, where an
+    array-local count-each-element would be O(B^2) per row. Per-doc
+    scalars ride through the aggregations as first() so no join-back
+    is needed.
+    """
+    text = F.col(text_col)
+    # Materialize the line/token arrays once per row BELOW the lambdas:
+    # element_at(split(...), i) inside a transform re-runs the split
+    # per element — O(tokens^2) per doc (see raw_shingles).
+    arrays = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("_lines"),
+        F.array_remove(_tokens(F.lower(text)), "").alias("_toks"),
+    )
+    lines, toks = F.col("_lines"), F.col("_toks")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short docs.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # size(bigrams) would re-run the whole transform just to count it.
+    n_bigrams = F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(F.lit(0))
+    base = arrays.select(
+        "_id",
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        n_bigrams.alias("n_bigrams"),
+        bigrams.alias("_bg"),
+    )
+    # explode_outer keeps bigram-less docs as one null row; count(col)
+    # ignores nulls so their top_cnt aggregates to 0, not 1.
+    exploded = base.select(
+        "_id", "n_lines", "dup_line_frac", "n_bigrams",
+        F.explode_outer("_bg").alias("bigram"),
+    )
+    counts = exploded.groupBy("_id", "bigram").agg(
+        F.first("n_lines").alias("n_lines"),
+        F.first("dup_line_frac").alias("dup_line_frac"),
+        F.first("n_bigrams").alias("n_bigrams"),
+        F.count(F.col("bigram")).alias("cnt"),
+    )
+    per_doc = counts.groupBy("_id").agg(
+        F.first("n_lines").alias("n_lines"),
+        F.first("dup_line_frac").alias("dup_line_frac"),
+        F.first("n_bigrams").alias("n_bigrams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        "dup_line_frac",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_cnt").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(text: Column, window: int = 8) -> Column:
     """Winnowing-lite document fingerprint: min md5 over every
     ``window``-char substring. Expressed as array_min(transform(...))

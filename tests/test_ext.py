@@ -182,6 +182,31 @@ def test_token_counts(spark):
     assert r["bpe"] == 5
 
 
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 2 distinct -> dup_line_frac 0.5;
+            # 8 tokens -> 7 bigrams, "spam spam" x3 -> top frac 3/7
+            (1, "spam spam\nspam spam\n\nham eggs\nham eggs"),
+            # no repeated lines or bigrams
+            (2, "one two three four"),
+            # single token: no bigrams at all
+            (3, "lonely"),
+            # empty doc: no lines, no bigrams
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text_ops.repetition_features(df, "doc_id", "text").collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.5
+    assert out[1]["n_bigrams"] == 7 and out[1]["top_bigram_frac"] == 3.0 / 7
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["top_bigram_frac"] == 1.0 / 3
+    assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_lines"] == 0 and out[4]["dup_line_frac"] == 0.0
+    assert len(out) == 4
+
+
 def test_fingerprint_stable_and_shift_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "abcdefghij"), (2, "abcdefghij"), (3, "abcdefghiX")],
