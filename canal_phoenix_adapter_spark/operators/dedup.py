@@ -136,13 +136,22 @@ def raw_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataF
     """Shingles WITHOUT the per-doc distinct: (id, shingle) with
     multiplicity. Consumers whose aggregate is multiset-invariant
     (min/max — i.e. MinHash) use this to skip the distinct's shuffle
-    entirely: duplicates cannot change a min."""
-    toks = _tokens(F.col(text_col))
+    entirely: duplicates cannot change a min.
+
+    The token array is materialized in a projection BELOW the
+    generator: writing ``slice(split(text), i, n)`` inside the
+    transform lambda re-runs the regex split once per shingle
+    POSITION — O(tokens^2) regex work per document (measured ~8x on
+    the whole shingle pipeline at sf0.1). A column reference is
+    evaluated once per row; the lambda then slices the in-memory
+    array."""
+    toks_df = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     ngrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return df.select(F.col(id_col), F.explode(ngrams).alias("shingle")).where(
+    return toks_df.select(F.col(id_col), F.explode(ngrams).alias("shingle")).where(
         F.col("shingle") != ""
     )
 
