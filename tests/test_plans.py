@@ -98,6 +98,21 @@ def test_capped_band_joins_have_no_nested_loop(q):
         assert "CartesianProduct" not in text, name
 
 
+def test_shingle_generator_has_no_split_in_lambda(q):
+    """The shingle/bigram generators must slice a MATERIALIZED token
+    array: `slice(split(text), i, n)` inside the transform lambda
+    re-runs the regex split once per element — O(tokens^2) per doc
+    (measured ~6x wall on dedup_ngram_jaccard_maxdf at sf0.1)."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    for name in ("dedup_ngram_jaccard_maxdf", "dedup_minhash_signatures",
+                 "text_repetition"):
+        text = explain_str(q(name))
+        # the quadratic signature: split re-evaluated per element
+        assert "slice(split(" not in text, name
+        assert "element_at(split(" not in text, name
+
+
 def test_exact_dedup_shuffles_digest_not_text(q):
     """Exact dedup must shuffle the 64-hex digest, not document text:
     the only wide columns allowed into the exchange are doc_id+sha."""
