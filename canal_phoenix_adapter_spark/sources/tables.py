@@ -84,6 +84,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_us", ts_us).withColumn(
             "ts", F.timestamp_micros(ts_us)
         )
+    elif ts_type == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        # zone-free epoch micros (unix_micros rejects NTZ); then rebuild
+        # ts as the same micros-truncated TimestampType the nanos branch
+        # yields so both testdata vintages produce one schema downstream
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        df = df.withColumn("ts_us", ts_us).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
     else:  # driver session already decodes nanos some other way
         from pyspark.sql import functions as F
 
