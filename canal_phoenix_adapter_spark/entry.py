@@ -1657,3 +1657,252 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(
         load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extensions: as-of join, PII scrub, chunk-level cross-doc
+# dedup / boilerplate strip, sequence packing, stratified sampling,
+# IVF-cell semantic dedup
+# ---------------------------------------------------------------------------
+
+from canal_phoenix_adapter_spark.operators.asof import asof_join  # noqa: E402
+
+_CHUNK_CTE = r"""
+cdocs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+ch0 AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(toks[CAST(i AS BIGINT)*8+1:CAST(i AS BIGINT)*8+8], ' ') AS chunk
+    FROM cdocs, unnest(range(0, CAST(floor((greatest(len(toks),1)-1)/8.0) AS BIGINT)+1)) AS t(i)
+),
+ch AS (SELECT doc_id, pos, chunk FROM ch0 WHERE chunk <> '')
+"""
+
+
+@register(
+    "analytics_asof_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    clicks AS (
+        SELECT user_id, ts_us AS click_ts_us, max(event_id) AS click_event
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT event_id AS purchase_event, user_id, ts_us AS p_ts_us
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_event, p.user_id, p.p_ts_us, c.click_ts_us, c.click_event
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.p_ts_us >= c.click_ts_us
+    """,
+)
+def analytics_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event joined to the same
+    user's latest click at-or-before it (operators/asof.py union-merge
+    plan — ONE shuffle on user_id, no range join, no nested loop; the
+    oracle is DuckDB's native ASOF LEFT JOIN)."""
+    evt = load_table(spark, sf_dir, "events")
+    clicks = (
+        evt.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_us").alias("click_ts_us"))
+        .agg(F.max("event_id").alias("click_event"))
+    )
+    purch = evt.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    return asof_join(
+        purch, clicks, on=["user_id"], left_ts="p_ts_us", right_ts="click_ts_us"
+    )
+
+
+_PII_INJECT_SQL = """
+SELECT doc_id,
+       concat(text,
+              CASE WHEN doc_id % 5 = 0
+                   THEN concat(' contact u', CAST(doc_id AS VARCHAR), '@ex',
+                               CAST(doc_id % 3 AS VARCHAR), '.com')
+                   ELSE '' END,
+              CASE WHEN doc_id % 7 = 0
+                   THEN concat(' host 10.', CAST(doc_id % 250 AS VARCHAR), '.0.',
+                               CAST(doc_id % 100 AS VARCHAR))
+                   ELSE '' END) AS text
+FROM documents
+"""
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH injected AS ({_PII_INJECT_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text_ops.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text_ops.IPV4_RE}')) AS INT) AS n_ips,
+           regexp_replace(regexp_replace(text, '{text_ops.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{text_ops.IPV4_RE}', '<IP>', 'g') AS text_scrubbed
+    FROM injected
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + IPv4) with per-doc match counts, over
+    documents with deterministically injected PII (the synthetic
+    corpus contains none — injection exercises the scrubber)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" contact u"), did.cast("string"), F.lit("@ex"),
+                    (did % 3).cast("string"), F.lit(".com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."), (did % 250).cast("string"), F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text_ops.pii_scrub(injected, "doc_id", "text")
+
+
+@register(
+    "dedup_chunk_crossdoc",
+    f"""
+    WITH {_CHUNK_CTE},
+    hs AS (SELECT DISTINCT doc_id, {_H.format(x='chunk')} AS h FROM ch),
+    dfreq AS (SELECT h, count(1) AS d FROM hs GROUP BY h)
+    SELECT doc_id, count(1) AS n_chunks,
+           CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+    FROM hs JOIN dfreq USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-chunk stats (8-token chunks): per doc,
+    how many chunks also appear in another document. Linear plan —
+    hash aggregate + same-key join-back, no pair enumeration."""
+    return dedup.chunk_crossdoc_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", size=8
+    )
+
+
+@register(
+    "text_boilerplate_strip",
+    f"""
+    WITH {_CHUNK_CTE},
+    chh AS (SELECT doc_id, pos, chunk, {_H.format(x='chunk')} AS h FROM ch),
+    hot AS (
+        SELECT h FROM (
+            SELECT h, count(1) AS d
+            FROM (SELECT DISTINCT doc_id, h FROM chh) GROUP BY h
+        ) WHERE d > 2
+    ),
+    kept AS (SELECT * FROM chh WHERE h NOT IN (SELECT h FROM hot))
+    SELECT doc_id, count(1) AS n_kept_chunks,
+           string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: chunks appearing in > 2 distinct docs are
+    dropped, documents reassembled from surviving chunks in order."""
+    return text_ops.boilerplate_strip(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", size=8, max_df=2
+    )
+
+
+_PACK_GROUP = _H.format(x="concat('pack:', CAST(doc_id AS VARCHAR))") + " % 8"
+
+
+@register(
+    "sampling_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+               {_PACK_GROUP} AS pack_group
+        FROM documents
+    )
+    SELECT doc_id, pack_group,
+           CAST(floor((sum(n_tok) OVER (PARTITION BY pack_group ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                       / 256.0) AS BIGINT) AS bin_id,
+           n_tok AS n_tokens
+    FROM t
+    """,
+)
+def sampling_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: greedy-contiguous 256-token bins
+    within 8 md5-assigned pack groups (per-group window sort — never a
+    global sort; groups scale out with the cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.token_count_ws(F.col("text")).cast("long").alias("n_tok")
+    )
+    return sampling.pack_sequences(
+        toks, "doc_id", "n_tok", budget=256, num_groups=8
+    )
+
+
+_STRAT_BUCKET = _H.format(x="concat('strat:', CAST(doc_id AS VARCHAR))") + " % 10000"
+_STRAT_RATES = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1}
+
+
+@register(
+    "sampling_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_STRAT_BUCKET} <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in sorted(_STRAT_RATES.items()))}
+               ELSE 500 END
+    """,
+)
+def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (md5 bucket < per-
+    stratum rate): the language-rebalancing pass of a corpus mix."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_rate=0.05
+    )
+
+
+def _semantic_ivf_sql(threshold: float = 0.4) -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT id, ve,
+               CAST(list_position(list_transform(embedding, x -> abs(x)),
+                                  list_max(list_transform(embedding, x -> abs(x)))) * 2
+                    + CASE WHEN embedding[list_position(list_transform(embedding, x -> abs(x)),
+                                                        list_max(list_transform(embedding, x -> abs(x))))] < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS cell
+        FROM v
+    )
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM cells a JOIN cells b USING (cell)
+    WHERE a.id < b.id
+      AND list_dot_product(a.ve, b.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))
+          >= {threshold}
+    """
+
+
+@register("dedup_semantic_ivf", _semantic_ivf_sql())
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: candidate pairs restricted to
+    the same IVF coarse cell, exact cosine >= 0.4 within cells. One
+    equi-join on cell; a pair can meet at most once (no DISTINCT)."""
+    return dedup.semantic_dup_pairs_ivf(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )

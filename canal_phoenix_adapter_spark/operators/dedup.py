@@ -571,3 +571,89 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(F.broadcast(victims), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document chunk dedup + IVF-cell semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def chunk_crossdoc_stats(
+    df: DataFrame, id_col: str, text_col: str, size: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-chunk statistics: for each doc, how
+    many of its fixed-size token chunks also appear in at least one
+    OTHER document (the per-doc signal paragraph-level dedup filters
+    on). Returns (id, n_chunks, n_dup_chunks).
+
+    Scale shape: chunk explode -> per-doc distinct on 8-byte chunk
+    hashes (text never shuffles) -> doc-frequency aggregate on the
+    hash (map-side partial combine) -> join back ON THE SAME HASH KEY
+    (partitioning reused, no extra exchange) -> one per-doc aggregate.
+    No self-join anywhere: cost is linear in corpus chunks, so unlike
+    pair enumeration this runs at any skew."""
+    from canal_phoenix_adapter_spark.operators.text import doc_chunks
+
+    hs = (
+        doc_chunks(df, id_col, text_col, size)
+        .select(F.col(id_col), md5_long(F.col("chunk")).alias("h"))
+        .distinct()
+    )
+    dfreq = hs.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        hs.join(dfreq, on="h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+
+
+def semantic_dup_pairs_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: route embeddings to IVF coarse
+    cells, then exact-cosine check pairs WITHIN each cell (id_a <
+    id_b, cosine >= threshold). Complements the hyperplane-LSH
+    variant: one cell per vector (no band explode, no DISTINCT needed
+    — a pair can only meet once), recall comes from the quantizer
+    putting near-identical vectors in the same cell.
+
+    Scale shape: cell assignment is a scan-side projection; the only
+    shuffle is the equi-join on cell. ``max_bucket`` caps degenerate
+    cells (all-similar corpora collapse into few cells) exactly like
+    the LSH band cap. With a trained codebook (ivf_train_codebook)
+    the same plan runs with cell := nearest centroid."""
+    from canal_phoenix_adapter_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ivf_cell_expr,
+    )
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        ivf_cell_expr(vec_col).alias("cell"),
+    )
+    if max_bucket is not None:
+        v = _cap_bucket_size(v, ["cell"], max_bucket)
+    return (
+        v.alias("a")
+        .join(v.alias("b"), on="cell")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )

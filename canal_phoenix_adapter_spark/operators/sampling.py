@@ -131,3 +131,74 @@ def contamination_hits(
         F.count(F.lit(1)).alias("n_probes_hit"),
         F.min(probe_col).alias("first_probe"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    md5(salt, key) mod 10_000 falls under its stratum's rate (e.g.
+    lang -> rate for domain/language rebalancing). Same key -> same
+    decision on any cluster, any retry — unlike df.sampleBy, whose
+    Bernoulli draws reshuffle per task retry.
+
+    Pure filter on a scan-side projection: no shuffle, no UDF; at
+    100 TB this pipelines with the parquet read and prunes rows
+    before anything downstream pays for them."""
+    bucket = md5_long(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    ) % 10_000
+    thr = F.lit(int(round(default_rate * 10_000)))
+    for name, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == name, F.lit(int(round(rate * 10_000)))
+        ).otherwise(thr)
+    return df.where(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    num_groups: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a
+    (pack_group, bin_id) so that consecutive documents within a group
+    fill ~``budget`` tokens per bin (the pretraining step that packs
+    short documents into fixed-length training sequences).
+
+    Greedy-contiguous semantics: docs are laid out in key order
+    within their group and a bin break happens when the running total
+    would cross the budget boundary — bin = floor(exclusive-prefix-sum
+    / budget). Oversized docs (> budget) still get a bin (they span).
+
+    Scale shape: the md5 group key spreads the corpus over
+    ``num_groups`` independent packing streams, so the window sort is
+    per-group (shuffle + sort on group, not a global sort) and
+    ``num_groups`` scales with the cluster. Deterministic: same keys
+    -> same packing, any partitioning."""
+    g = md5_long(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    ) % num_groups
+    out = df.select(
+        F.col(key_col), F.col(tokens_col), g.alias("pack_group")
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return out.select(
+        key_col,
+        "pack_group",
+        F.floor(prefix / F.lit(float(budget))).cast("long").alias("bin_id"),
+        F.col(tokens_col).alias("n_tokens"),
+    )

@@ -203,3 +203,113 @@ def fingerprint(text: Column, window: int = 8) -> Column:
             lambda i: F.md5(text.substr(i, F.lit(window))),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + chunk-level boilerplate removal (training-data
+# hygiene passes: every web-scale corpus runs both before training)
+# ---------------------------------------------------------------------------
+
+# RE2/Java-common regex subset (no lookaround/backrefs) so the DuckDB
+# oracle evaluates the identical patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"[0-9]{1,3}(\.[0-9]{1,3}){3}"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails and IPv4 literals: per-doc match counts + the
+    scrubbed text. Pure Column expressions (JVM regex inside
+    whole-stage codegen, zero shuffles) — the canonical shape for a
+    100 TB scrub pass: it pipelines with the parquet scan and never
+    materializes an intermediate.
+
+    Emails are replaced first: an email can contain digit runs but a
+    bare IP can never contain '@', so the order is conflict-free."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ).alias("text_scrubbed"),
+    )
+
+
+def doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, size: int = 8
+) -> DataFrame:
+    """Explode documents into fixed-size token chunks: (id, pos,
+    chunk). The segmentation unit for cross-document "paragraph"
+    dedup / boilerplate removal on corpora without reliable newline
+    structure (chunk = ``size`` consecutive whitespace tokens).
+
+    The token array is materialized in a projection below the
+    generator (one regex split per row, not per chunk — see
+    raw_shingles in dedup.py for the O(tokens^2) trap this avoids)."""
+    toks_df = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    # chunk count = floor((len-1)/size)+1 — int-free-of-float on both
+    # engines via floor of an exact small-int division.
+    last = F.floor(
+        (F.greatest(F.size(toks), F.lit(1)) - 1) / F.lit(float(size))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * size + 1, size)),
+    )
+    return toks_df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    ).where(F.col("chunk") != "")
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every chunk that appears
+    in more than ``max_df`` distinct documents (nav bars, license
+    headers, SEO footers), then reassemble each document from its
+    surviving chunks in order.
+
+    Scale shape: explode -> hash chunks to 8-byte bigints -> doc-freq
+    aggregate (map-side partial combine; the hot-chunk table is tiny
+    by construction — only chunks with df > max_df survive it) ->
+    LEFT ANTI join back (AQE broadcasts the hot set) -> one groupBy
+    per doc to reassemble. Text crosses the wire once, as chunks, for
+    the reassembly shuffle; the frequency pass ships only hashes.
+
+    Documents whose every chunk is boilerplate vanish from the output
+    (that is the correct pipeline behavior: nothing left to train on).
+    Returns (id, n_kept_chunks, text_clean)."""
+    from canal_phoenix_adapter_spark.functions.hashing import md5_long
+
+    ch = doc_chunks(df, id_col, text_col, size).select(
+        F.col(id_col), F.col("pos"), F.col("chunk"),
+        md5_long(F.col("chunk")).alias("__h"),
+    )
+    hot = (
+        ch.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") > max_df)
+        .select("__h")
+    )
+    kept = ch.join(hot, on="__h", how="left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

@@ -1,0 +1,267 @@
+"""Round-2 operator units: as-of join, PII scrub, chunk dedup /
+boilerplate strip, sequence packing, stratified sampling, IVF-cell
+semantic dedup."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.operators.asof import asof_join
+from canal_phoenix_adapter_spark.operators import dedup, sampling
+from canal_phoenix_adapter_spark.operators import text as text_ops
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, "l1"),
+            (1, 205, "l2"),
+            (1, 300, "l3"),
+            (2, 50, "l4"),
+            (3, 10, "l5"),  # key with no right rows at all
+        ],
+        "k int, lts long, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, "r-at-100"),
+            (1, 200, "r-at-200"),
+            (1, 290, "r-at-290"),
+            (2, 60, "r-after-left"),
+        ],
+        "k int, rts long, rval string",
+    )
+    return left, right
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    rows = {r["lval"]: (r["rval"], r["rts"]) for r in out.collect()}
+    assert rows["l1"] == ("r-at-100", 100)  # tie at equal ts is inclusive
+    assert rows["l2"] == ("r-at-200", 200)
+    assert rows["l3"] == ("r-at-290", 290)
+    assert rows["l4"] == (None, None)  # right row is after the left ts
+    assert rows["l5"] == (None, None)  # key absent from right
+    assert out.count() == left.count()  # left join: every left row kept
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", direction="forward"
+    )
+    rows = {r["lval"]: r["rval"] for r in out.collect()}
+    assert rows["l1"] == "r-at-100"
+    assert rows["l2"] == "r-at-290"
+    assert rows["l3"] is None  # nothing at/after 300
+    assert rows["l4"] == "r-after-left"
+
+
+def test_asof_suffixes_colliding_columns(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts long, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k int, ts long, v string")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    assert set(out.columns) == {"k", "ts", "v", "ts_right", "v_right"}
+    row = out.collect()[0]
+    assert (row["v"], row["v_right"], row["ts_right"]) == ("x", "y", 5)
+
+
+def test_asof_single_shuffle_no_nested_loop(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    from canal_phoenix_adapter_spark.plans.explain import explain_str, shuffle_count
+
+    text = explain_str(out)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    # union + one hash partition on the key for the window; no join op
+    assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
+    assert shuffle_count(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@mail.example.org or 10.0.0.1 now"),
+            (2, "no pii here v1.2 x"),
+            (3, "two ips 192.168.0.1 127.0.0.1 one mail x@y.io"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in text_ops.pii_scrub(df, "id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert out[1]["text_scrubbed"] == "mail me at <EMAIL> or <IP> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 0
+    assert out[2]["text_scrubbed"] == "no pii here v1.2 x"
+    assert out[3]["n_emails"] == 1 and out[3]["n_ips"] == 2
+    assert out[3]["text_scrubbed"] == "two ips <IP> <IP> one mail <EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# chunking / boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_doc_chunks_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "id int, text string"
+    )
+    rows = sorted(
+        (r["id"], r["pos"], r["chunk"])
+        for r in text_ops.doc_chunks(df, "id", "text", size=3).collect()
+    )
+    assert rows == [(1, 0, "a b c"), (1, 1, "d e"), (2, 0, "x")]
+
+
+def test_boilerplate_strip_drops_hot_chunks_in_order(spark):
+    # chunk size 2; "NAV BAR" appears in all 4 docs -> hot (df>2)
+    df = spark.createDataFrame(
+        [
+            (1, "NAV BAR alpha beta gamma delta"),
+            (2, "NAV BAR epsilon zeta"),
+            (3, "NAV BAR eta theta"),
+            (4, "NAV BAR"),  # only hot content -> vanishes
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in text_ops.boilerplate_strip(df, "id", "text", size=2, max_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text_clean"] == "alpha beta gamma delta"
+    assert out[1]["n_kept_chunks"] == 2
+    assert out[2]["text_clean"] == "epsilon zeta"
+    assert out[3]["text_clean"] == "eta theta"
+
+
+def test_chunk_crossdoc_stats(spark):
+    # size=2 chunks; docs 1 & 2 share "dup chunk"; doc 3 is unique
+    df = spark.createDataFrame(
+        [
+            (1, "dup chunk aa bb"),
+            (2, "dup chunk cc dd"),
+            (3, "ee ff gg hh"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in dedup.chunk_crossdoc_stats(df, "id", "text", size=2).collect()
+    }
+    assert out == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# packing / stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    # single group (num_groups=1): prefix sums 0,60,120,180 with
+    # budget 100 -> bins 0,0,1,1; an oversized doc still gets a bin
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 250)], "id int, n long"
+    )
+    out = {
+        r["id"]: r["bin_id"]
+        for r in sampling.pack_sequences(df, "id", "n", budget=100, num_groups=1).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_pack_sequences_groups_are_md5_deterministic(spark):
+    df = spark.createDataFrame([(i, 10) for i in range(20)], "id int, n long")
+    out = sampling.pack_sequences(df, "id", "n", budget=100, num_groups=4)
+    for r in out.collect():
+        assert r["pack_group"] == _md5_long(f"pack:{r['id']}") % 4
+
+
+def test_stratified_sample_matches_reference_hash(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3]) for i in range(300)],
+        "id int, lang string",
+    )
+    rates = {"en": 0.5, "de": 0.2}
+    kept = {
+        r["id"]
+        for r in sampling.stratified_sample(
+            df, "id", "lang", rates, default_rate=0.1
+        ).collect()
+    }
+    expect = set()
+    for i in range(300):
+        lang = ["en", "de", "xx"][i % 3]
+        thr = int(rates.get(lang, 0.1) * 10_000)
+        if _md5_long(f"strat:{i}") % 10_000 < thr:
+            expect.add(i)
+    assert kept == expect
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (IVF cells)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_ivf_equals_bruteforce_within_cells(spark):
+    import itertools
+    import math
+
+    vecs = [
+        (0, [1.0, 0.1, 0.0]),
+        (1, [0.9, 0.2, 0.0]),   # same cell as 0, similar
+        (2, [-1.0, 0.0, 0.1]),  # different cell (negative argmax dim)
+        (3, [0.0, 2.0, 0.1]),
+        (4, [0.0, 1.9, 0.2]),   # same cell as 3, similar
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.semantic_dup_pairs_ivf(df, threshold=0.9).collect()
+    }
+
+    def cell(v):
+        absv = [abs(x) for x in v]
+        i = absv.index(max(absv))
+        return i * 2 + (1 if v[i] < 0 else 0)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expect = {
+        (a, b)
+        for (a, va), (b, vb) in itertools.combinations(vecs, 2)
+        if cell(va) == cell(vb) and cos(va, vb) >= 0.9
+    }
+    assert got == expect == {(0, 1), (3, 4)}
+
+
+def test_semantic_ivf_max_bucket_caps_hot_cells(spark):
+    # 5 vectors in one cell -> capped away entirely with max_bucket=4
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    assert dedup.semantic_dup_pairs_ivf(df, threshold=0.0, max_bucket=4).count() == 0
+    assert dedup.semantic_dup_pairs_ivf(df, threshold=0.0, max_bucket=5).count() == 10
