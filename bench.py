@@ -36,7 +36,13 @@ HEADLINE = [
     "text_quality",
     "text_vocab_topk",
     "sampling_hash_split",
+    "sampling_pack_sequences",
     "mm_frame_sample",
+    "analytics_asof_join",
+    "dedup_chunk_crossdoc",
+    "text_boilerplate_strip",
+    "text_pii_scrub",
+    "dedup_semantic_ivf",
     "analytics_q1_pricing",
     "analytics_q5_join",
     "analytics_q17_small_qty",

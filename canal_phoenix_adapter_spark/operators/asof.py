@@ -47,6 +47,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Point-in-time join of ``right`` onto ``left``.
 
@@ -58,6 +59,11 @@ def asof_join(
     ``direction``: 'backward' (latest right with right_ts <= left_ts,
     the default) or 'forward' (earliest right with right_ts >=
     left_ts, computed as backward over negated timestamps).
+
+    ``tolerance``: when set, a match farther than this (in the ts
+    columns' own units) is nulled out — pandas ``merge_asof``
+    tolerance semantics, applied as a post-projection so the plan
+    shape is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -99,4 +105,16 @@ def asof_join(
     out = u.select(
         *[F.col(c) for c in left.columns], F.col("__asof_tag"), *filled
     ).where(F.col("__asof_tag") == 1)
-    return out.drop("__asof_tag")
+    out = out.drop("__asof_tag")
+    if tolerance is not None:
+        gap = (
+            F.col(left_ts) - F.col(ts_out)
+            if direction == "backward"
+            else F.col(ts_out) - F.col(left_ts)
+        )
+        ok = F.col(ts_out).isNotNull() & (gap <= tolerance)
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.when(ok, F.col(c)).alias(c) for c in [ts_out, *payload]],
+        )
+    return out

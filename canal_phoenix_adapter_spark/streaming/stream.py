@@ -483,3 +483,48 @@ class BucketedStateStore:
         for v in doomed:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
         return doomed
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event paired with the
+    same-key right events whose event time falls within
+    [left_ts - lookback, left_ts] — the streaming counterpart of the
+    batch as-of join (operators/asof.py). True asof (exactly the
+    latest match) is not expressible in Structured Streaming's
+    append-mode join; the bounded-interval join IS, and the range
+    condition is what lets Spark evict state.
+
+    Scale notes: both sides carry a watermark, and the range
+    condition gives the state store a per-key eviction bound — right
+    rows older than (watermark + lookback) below the left watermark
+    are dropped from state, so state size is O(events within the
+    lookback window), not O(stream length). Without the range
+    condition Spark would keep the entire right stream in state.
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename
+    before calling when joining a stream to itself) — the condition
+    references them unqualified so the joined output carries both.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must differ (rename one side) so the "
+            "joined output is unambiguous"
+        )
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    right_on = f"__r_{on}"
+    r = r.withColumnRenamed(on, right_on)
+    cond = (
+        (F.col(on) == F.col(right_on))
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "inner").drop(right_on)

@@ -265,3 +265,26 @@ def test_semantic_ivf_max_bucket_caps_hot_cells(spark):
     )
     assert dedup.semantic_dup_pairs_ivf(df, threshold=0.0, max_bucket=4).count() == 0
     assert dedup.semantic_dup_pairs_ivf(df, threshold=0.0, max_bucket=5).count() == 10
+
+
+def test_asof_tolerance_nulls_distant_matches(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", tolerance=4
+    )
+    rows = {r["lval"]: (r["rval"], r["rts"]) for r in out.collect()}
+    assert rows["l1"] == ("r-at-100", 100)  # gap 0 <= 4
+    assert rows["l2"] == (None, None)       # gap 5 > 4 -> nulled
+    assert rows["l3"] == (None, None)       # gap 10 > 4 -> nulled
+    assert out.count() == left.count()
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", tolerance=10
+    )
+    rows = {r["lval"]: r["rval"] for r in out.collect()}
+    assert rows["l2"] == "r-at-200"  # gap 5 <= 10
+    assert rows["l3"] == "r-at-290"  # gap 10 <= 10 inclusive
+    assert rows["l1"] == "r-at-100"

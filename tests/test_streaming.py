@@ -639,3 +639,65 @@ def test_sink_topology_checkpoint_loss_is_effectively_once(spark, tmp_path):
     assert n2 == 2 * n1  # everything really did apply twice
     assert state1 == state2 == {k: v for k, v in
                                 ((k, (n, b)) for k, (n, b) in EXPECTED.items())}
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: purchases pick up same-user clicks
+    within the lookback window; clicks outside it (or other users')
+    don't join. Watermark + range condition bound the join state."""
+    from canal_phoenix_adapter_spark.streaming.stream import interval_join_streams
+
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    os.makedirs(csrc)
+    os.makedirs(psrc)
+
+    def ev(eid, user, minute):
+        return {"event_id": eid, "user_id": user,
+                "ts": f"2024-03-01T10:{minute:02d}:00.000Z"}
+
+    with open(os.path.join(csrc, "c.json"), "w", encoding="utf-8") as f:
+        for e in [ev(1, 7, 0), ev(2, 7, 25), ev(3, 8, 29), ev(4, 9, 30)]:
+            f.write(json.dumps(e) + "\n")
+    with open(os.path.join(psrc, "p.json"), "w", encoding="utf-8") as f:
+        for e in [ev(100, 7, 30), ev(101, 8, 30)]:
+            f.write(json.dumps(e) + "\n")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema).json(csrc)
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_id")
+    )
+    purch = spark.readStream.schema(schema).json(psrc)
+    joined = interval_join_streams(
+        purch, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        lookback="10 minutes", watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["event_id"], r["click_id"])
+        for r in spark.sql("SELECT event_id, click_id FROM ij1").collect()
+    }
+    # purchase 100 (user 7, 10:30): click 2 at 10:25 is within 10 min;
+    # click 1 at 10:00 is not. purchase 101 (user 8, 10:30): click 3 at
+    # 10:29 joins. click 4 belongs to user 9 -> never joins.
+    assert rows == {(100, 2), (101, 3)}
+
+
+def test_interval_join_rejects_same_ts_name(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.streaming.stream import interval_join_streams
+
+    df = spark.range(1).select(F.col("id").alias("user_id"),
+                               F.current_timestamp().alias("ts"))
+    with _pytest.raises(ValueError):
+        interval_join_streams(df, df, on="user_id", left_ts="ts", right_ts="ts")
