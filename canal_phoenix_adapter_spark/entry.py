@@ -403,7 +403,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_CTE},
-    hs AS (SELECT doc_id AS id, {_H.format(x='shingle')} AS sh FROM sh),
+    hs AS (SELECT DISTINCT doc_id AS id, {_H.format(x='shingle')} AS sh
+           FROM sh0 WHERE shingle <> ''),
     sizes AS (SELECT id, count(1) AS sz FROM hs GROUP BY id),
     pairs AS (
         SELECT a.id AS id_a, b.id AS id_b, count(1) AS shared
@@ -429,7 +430,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_maxdf",
     f"""
     WITH {_SHINGLE_CTE},
-    hs0 AS (SELECT doc_id AS id, {_H.format(x='shingle')} AS sh FROM sh),
+    hs0 AS (SELECT DISTINCT doc_id AS id, {_H.format(x='shingle')} AS sh
+            FROM sh0 WHERE shingle <> ''),
     docfreq AS (SELECT sh, count(1) AS d FROM hs0 GROUP BY sh),
     hs AS (SELECT id, hs0.sh FROM hs0 JOIN docfreq USING (sh) WHERE d <= 5),
     sizes AS (SELECT id, count(1) AS sz FROM hs GROUP BY id),

@@ -97,14 +97,26 @@ def ngram_jaccard_pairs(
     kept — so with max_df set, |A|/|B| are computed over KEPT shingles,
     keeping the Jaccard internally consistent).
     """
-    sh = shingles(df, id_col, text_col, n).select(
-        F.col(id_col).alias("id"), md5_long(F.col("shingle")).alias("sh")
+    # Hash BEFORE the per-doc distinct: the dedup exchange then ships
+    # (id, 8-byte hash) rows instead of full shingle text — at 100 TB
+    # that is the difference between shuffling ~16 B/row and ~50+ B/row
+    # on the widest exchange in the plan. (Distinct-on-hash equals
+    # distinct-on-text up to 60-bit md5 collisions; the oracle applies
+    # the same hash-first distinct so both engines agree exactly.)
+    sh = (
+        raw_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col).alias("id"), md5_long(F.col("shingle")).alias("sh"))
+        .dropDuplicates(["id", "sh"])
     )
-    if max_df is not None:
-        sh = _cap_bucket_size(sh, ["sh"], max_df)
-    # sh feeds three consumers (sizes + both join sides): persist so the
-    # shingle explode+dedup runs once. 8-byte hashes, spillable.
+    # Persist at BOTH stages when capping: the pre-cap table feeds the
+    # cap's two passes (bucket-size aggregate + anti-join) — caching it
+    # runs the explode+hash+distinct pipeline once, not twice — and the
+    # capped table feeds three consumers (sizes + both join sides) — so
+    # caching it runs the cap once, not three times. 16-byte rows,
+    # spillable; bench/callers clear cache between passes.
     sh = sh.persist()
+    if max_df is not None:
+        sh = _cap_bucket_size(sh, ["sh"], max_df).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")
@@ -244,15 +256,17 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bh")
-    if max_bucket is not None:
-        buckets = _cap_bucket_size(buckets, ["band", "bh"], max_bucket)
-    # The self-join reads the bucket table twice; persist so the
-    # signature pipeline (shingle explode + groupBy) runs once. The
-    # persisted table is docs x bands tiny rows — safe to spill.
-    # Cache lifecycle: the handle stays referenced by the returned
+    # Persist before AND after the cap: pre-cap so the signature
+    # pipeline (shingle explode + groupBy) runs once instead of twice
+    # (the cap reads the bucket table for its size-aggregate and again
+    # for the anti-join), post-cap so the cap itself runs once for the
+    # self-join's two sides. docs x bands tiny rows — safe to spill.
+    # Cache lifecycle: the handles stay referenced by the returned
     # plan; callers running many dedup passes in one driver should
     # spark.catalog.clearCache() between passes (see module docstring).
     buckets = buckets.persist()
+    if max_bucket is not None:
+        buckets = _cap_bucket_size(buckets, ["band", "bh"], max_bucket).persist()
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["band", "bh"])
@@ -341,7 +355,10 @@ def simhash_hamming_pairs(
         "id", "bb.band", "bb.bv"
     )
     if max_bucket is not None:
-        banded = _cap_bucket_size(banded, ["band", "bv"], max_bucket)
+        # banded recomputes cheaply from the cached sketch (one explode),
+        # but the cap itself (size-aggregate + anti-join) feeds the
+        # self-join's two sides — persist so it runs once.
+        banded = _cap_bucket_size(banded, ["band", "bv"], max_bucket).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bv"])
