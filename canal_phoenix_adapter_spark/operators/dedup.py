@@ -485,8 +485,13 @@ def embedding_near_dup_pairs_lsh(
     banded = df.select(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
+    # The self-join reads the band table twice and each read would
+    # recompute num_planes dim-wide sign dot-products per vector;
+    # persist the (id, band, bucket) longs so the bucket math runs
+    # once. The vectors themselves are never in this table.
+    banded = banded.persist()
     if max_bucket is not None:
-        banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket)
+        banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "bucket"])
