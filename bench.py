@@ -46,6 +46,9 @@ HEADLINE = [
     "analytics_q1_pricing",
     "analytics_q5_join",
     "analytics_q17_small_qty",
+    "analytics_q10_returns",
+    "analytics_q19_disjunctive",
+    "pipeline_corpus_clean",
 ]
 
 

@@ -1908,3 +1908,118 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dup_pairs_ivf(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+@register(
+    "analytics_q10_returns",
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+)
+def analytics_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape: returned-item revenue per customer, one
+    quarter; nation broadcast, scaling joins left to AQE."""
+    out = analytics.q10_returned_items(spark, sf_dir)
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "n_name",
+        F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
+    )
+
+
+@register(
+    "analytics_q19_disjunctive",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue,
+           count(1) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def analytics_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: disjunctive predicates — one scan, one join,
+    partial conjuncts pushed below the join (plan-tested)."""
+    out = analytics.q19_disjunctive_revenue(spark, sf_dir)
+    return out.select(
+        F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
+        "n_items",
+    )
+
+
+_QUALITY_EXPR = (
+    "(CAST(len(list_filter(low, x -> x IN ({stops}))) AS DOUBLE) / len(toks)) * 0.4"
+    " + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3"
+    " + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 0.3"
+).format(stops=", ".join(f"'{s}'" for s in text_ops.STOPWORDS))
+
+
+@register(
+    "pipeline_corpus_clean",
+    f"""
+    WITH {_CHUNK_CTE},
+    chh AS (SELECT doc_id, pos, chunk, {_H.format(x='chunk')} AS h FROM ch),
+    hot AS (
+        SELECT h FROM (
+            SELECT h, count(1) AS d
+            FROM (SELECT DISTINCT doc_id, h FROM chh) GROUP BY h
+        ) WHERE d > 2
+    ),
+    kept AS (SELECT * FROM chh WHERE h NOT IN (SELECT h FROM hot)),
+    clean AS (
+        SELECT doc_id, count(1) AS n_kept_chunks,
+               string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    ),
+    scrub AS (
+        SELECT doc_id, n_kept_chunks,
+               regexp_replace(regexp_replace(text_clean, '{text_ops.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{text_ops.IPV4_RE}', '<IP>', 'g') AS text
+        FROM clean
+    ),
+    t AS (
+        SELECT doc_id, n_kept_chunks, text,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS low
+        FROM scrub
+    ),
+    q AS (
+        SELECT doc_id, n_kept_chunks, len(toks) AS n_tokens,
+               {_QUALITY_EXPR} AS quality
+        FROM t
+    )
+    SELECT q.doc_id, d.lang, q.n_kept_chunks, q.n_tokens, q.quality
+    FROM q JOIN documents d ON q.doc_id = d.doc_id
+    WHERE q.quality >= 0.55
+      AND {_H.format(x="concat('strat:', CAST(q.doc_id AS VARCHAR))")} % 10000 <
+          CASE d.lang {' '.join(f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in sorted(_STRAT_RATES.items()))}
+               ELSE 500 END
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preprocessing as ONE composed Spark plan:
+    boilerplate strip -> PII scrub -> quality score + filter ->
+    per-language stratified downsample. Every stage is an operator
+    already oracle-gated in isolation; this query proves they compose
+    (the real pipeline a 100 TB corpus runs nightly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = text_ops.boilerplate_strip(docs, "doc_id", "text", size=8, max_df=2)
+    scrub = text_ops.pii_scrub(clean, "doc_id", "text_clean")
+    qual = text_ops.quality_features(scrub, "doc_id", "text_scrubbed")
+    keep = qual.where(F.col("quality") >= 0.55)
+    out = (
+        keep.join(clean.select("doc_id", "n_kept_chunks"), on="doc_id")
+        .join(docs.select("doc_id", "lang"), on="doc_id")
+    )
+    out = sampling.stratified_sample(out, "doc_id", "lang", _STRAT_RATES,
+                                     default_rate=0.05)
+    return out.select("doc_id", "lang", "n_kept_chunks", "n_tokens", "quality")

@@ -184,3 +184,33 @@ def test_no_nested_loop_or_row_udf_anywhere(q):
         if "BatchEvalPython" in text:  # row-at-a-time Python UDF
             offenders.append((name, "row Python UDF"))
     assert not offenders, offenders
+
+
+def test_q19_disjunction_pushes_partial_conjuncts(q):
+    """Q19's OR'd predicate must stay one scan + one join, with the
+    per-table partial disjuncts (l_quantity ranges / p_brand+p_size)
+    extracted and pushed to their scans — not a union of three plans
+    and not an unpushed post-join filter."""
+    import re
+
+    from canal_phoenix_adapter_spark.plans.explain import explain_str, pushed_filters
+
+    df = q("analytics_q19_disjunctive")
+    text = explain_str(df)
+    scans = len(re.findall(r"\(\d+\) (?:Scan parquet|FileScan)", text))
+    assert scans == 2, f"expected 2 scans (lineitem, part), got {scans}"
+    filters = " ".join(pushed_filters(df))
+    assert "l_quantity" in filters, filters  # Or(And(...)) partial pushdown
+    assert "p_brand" in filters, filters
+
+
+def test_asof_gate_query_single_wide_shuffle(q):
+    """The as-of join gate query: no join operator at all (union-merge
+    window), no nested loop; the only wide exchanges are the key
+    hash-partition for the window and the click pre-collapse."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    text = explain_str(q("analytics_asof_join"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
