@@ -1,0 +1,61 @@
+"""Lake-layout parquet sink: the output-side half of the 100 TB
+story. A pipeline that reads 100 TB but writes a million 2 MB files
+(or 200 unsplittable 500 GB ones) has just moved its scale problem
+downstream — every later scan pays for today's layout.
+
+Three knobs, all standard Spark mechanics:
+  * ``partition_by`` — hive-style directory partitioning on low-
+    cardinality columns (date, lang, source): later queries touching
+    one partition scan one directory (partition pruning).
+  * ``target_files`` — repartition to a chosen output-file count
+    BEFORE the write. By key columns (files become hash-bucketed and
+    co-located per partition value) or round-robin when no keys make
+    sense. This is what controls file SIZE: files-per-partition =
+    target_files / distinct(partition values).
+  * ``sort_within`` — sortWithinPartitions before the write: rows
+    inside each file arrive ordered (e.g. by doc_id or event time),
+    which makes parquet min/max row-group statistics selective —
+    a later range predicate skips whole row groups. A *local* sort:
+    no global ordering shuffle.
+
+``max_records_per_file`` caps runaway files independently of the
+repartition (Spark splits a writer task's output at the cap).
+
+The reference's closest analogue is the commit batching knob
+(support/BatchExecutor.java:60-91 commitBatch); a lakehouse sink's
+equivalent throughput knob is file sizing, hence this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_lake"]
+
+
+def write_lake(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+    repartition_keys: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a query-friendly parquet lake table."""
+    out = df
+    if target_files is not None:
+        if repartition_keys:
+            out = out.repartition(target_files, *[F.col(c) for c in repartition_keys])
+        else:
+            out = out.repartition(target_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

@@ -1,0 +1,66 @@
+"""Lake sink layout tests: partition dirs, file counts, in-file order,
+record caps — the physical properties later scans depend on."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from canal_phoenix_adapter_spark.sinks.lake import write_lake
+
+
+def _files(path: str) -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
+def test_partition_dirs_and_file_count(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], f"t{i}") for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "lake1")
+    write_lake(
+        df, out, partition_by=["lang"], target_files=4,
+        repartition_keys=["doc_id"],
+    )
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    )
+    assert dirs == ["lang=de", "lang=en"]
+    # 4 writer tasks x up to 2 partition values -> at most 8 files,
+    # at least one per partition dir
+    for d in dirs:
+        n = len(_files(os.path.join(out, d)))
+        assert 1 <= n <= 4, (d, n)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert set(back.columns) == {"doc_id", "lang", "text"}
+
+
+def test_sort_within_orders_rows_in_each_file(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i * 37 % 100, f"t{i}") for i in range(100)], "k long, text string"
+    )
+    out = str(tmp_path / "lake2")
+    write_lake(df, out, target_files=2, repartition_keys=["k"], sort_within=["k"])
+    import pyarrow.parquet as pq
+
+    for f in _files(out):
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
+
+
+def test_max_records_per_file_caps(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    out = str(tmp_path / "lake3")
+    write_lake(df, out, target_files=1, max_records_per_file=30)
+    import pyarrow.parquet as pq
+
+    files = _files(out)
+    assert len(files) >= 4  # 100 rows / 30 cap
+    for f in files:
+        assert pq.read_metadata(f).num_rows <= 30

@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from canal_phoenix_adapter_spark.operators import dedup, sampling, similarity  # noqa: E402
+from canal_phoenix_adapter_spark.operators import text as text_ops  # noqa: E402
+from canal_phoenix_adapter_spark.operators.asof import asof_join  # noqa: E402
 from canal_phoenix_adapter_spark.operators.merge import merge_cdc  # noqa: E402
 from canal_phoenix_adapter_spark.session import get_spark  # noqa: E402
 from canal_phoenix_adapter_spark.sources.events import synthetic_changes  # noqa: E402
@@ -49,6 +51,9 @@ def main() -> None:
     for n in factors:
         docs = multiply(docs0, "doc_id", n)
         emb = multiply(emb0, "vec_id", n)
+
+        def events0_mult(k):
+            return multiply(events0, "event_id", k)
         # events: offset the SEQ (event_id) but keep user_ids shared so
         # the per-key event density grows n-fold — the hard direction
         # for the keep-last window.
@@ -83,6 +88,30 @@ def main() -> None:
             ),
             "ann_ivf": lambda: similarity.ann_topk_ivf(emb),
             "vocab_topk": lambda: sampling.vocab_topk(docs, "text", k=20),
+            "ngram_jaccard_maxdf": lambda: dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=4, threshold=0.5, max_df=5
+            ),
+            # Linear by construction (no pair enumeration) — should
+            # track corpus size ~1:1.
+            "chunk_crossdoc": lambda: dedup.chunk_crossdoc_stats(
+                docs, "doc_id", "text", size=8
+            ),
+            "boilerplate_strip": lambda: text_ops.boilerplate_strip(
+                docs, "doc_id", "text", size=8, max_df=2 * n
+            ),
+            # As-of join: per-key event density grows n-fold (user_ids
+            # shared across copies) — the window sort is the stressed
+            # path, cost should stay ~n log n, never quadratic.
+            "asof_join": lambda: asof_join(
+                events0_mult(n).where(F.col("event_type") == "purchase").select(
+                    F.col("event_id").alias("pe"), "user_id",
+                    F.col("ts_us").alias("p_ts"),
+                ),
+                events0_mult(n).where(F.col("event_type") == "click").groupBy(
+                    "user_id", F.col("ts_us").alias("c_ts")
+                ).agg(F.max("event_id").alias("ce")),
+                on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+            ),
         }
         times = {}
         for name, build in ops.items():
