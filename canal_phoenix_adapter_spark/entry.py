@@ -2023,3 +2023,39 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sampling.stratified_sample(out, "doc_id", "lang", _STRAT_RATES,
                                      default_rate=0.05)
     return out.select("doc_id", "lang", "n_kept_chunks", "n_tokens", "quality")
+
+
+@register(
+    "text_decontaminate_ngram",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hs AS (SELECT DISTINCT doc_id, {_H.format(x='shingle')} AS sh
+           FROM sh0 WHERE shingle <> ''),
+    lbl AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    t AS (SELECT hs.doc_id, sh FROM hs JOIN lbl USING (doc_id) WHERE split = 'train'),
+    e AS (SELECT hs.doc_id AS eid, sh FROM hs JOIN lbl USING (doc_id) WHERE split = 'test')
+    SELECT t.doc_id, count(1) AS n_shared_ngrams,
+           count(DISTINCT eid) AS n_eval_docs_hit
+    FROM t JOIN e USING (sh)
+    GROUP BY t.doc_id
+    """,
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination: train-split docs sharing any
+    4-gram with a test-split doc (equi-join on shingle hashes — the
+    reflowed-copy catcher substring probes miss)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    train = split.where(F.col("split") == "train")
+    eval_df = split.where(F.col("split") == "test")
+    return dedup.ngram_overlap_contamination(
+        train, eval_df, "doc_id", "text", n=4
+    )

@@ -679,3 +679,50 @@ def semantic_dup_pairs_ivf(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def ngram_overlap_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3 appendix method, done
+    set-oriented): flag every TRAIN document sharing at least one
+    word n-gram with ANY eval document. Returns (id, n_shared_ngrams,
+    n_eval_docs_hit) per contaminated train doc.
+
+    Unlike contamination_hits (substring probes, broadcast scan) this
+    matches on tokenized n-grams, so it catches reflowed/partial
+    copies that substring probes miss, and the eval side can be
+    arbitrarily large: the join is an equi-join on 8-byte shingle
+    hashes — never a broadcast of text, never a nested loop.
+
+    Scale shape: both sides reduce to (id, hash) pairs (hash-first
+    distinct, text never shuffles); the eval side additionally
+    distincts to unique hashes. ``max_df`` drops train-side shingles
+    present in more than that many train docs BEFORE the join — the
+    usual hot-bucket guard (a stopword-run shared with one eval doc
+    would otherwise fan out to every train doc containing it, which
+    is exactly the d-fold blowup _cap_bucket_size exists for; for
+    decontamination max_df trades a little recall on boilerplate
+    n-grams for a bounded join)."""
+    t = (
+        raw_shingles(train, id_col, text_col, n)
+        .select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))
+        .dropDuplicates([id_col, "sh"])
+    )
+    if max_df is not None:
+        t = _cap_bucket_size(t, ["sh"], max_df)
+    e = (
+        raw_shingles(eval_df, id_col, text_col, n)
+        .select(F.col(id_col).alias("__eid"), md5_long(F.col("shingle")).alias("sh"))
+        .dropDuplicates(["__eid", "sh"])
+    )
+    hits = t.join(e, on="sh")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams"),
+        F.countDistinct("__eid").alias("n_eval_docs_hit"),
+    )

@@ -288,3 +288,46 @@ def test_asof_tolerance_boundary_inclusive(spark):
     assert rows["l2"] == "r-at-200"  # gap 5 <= 10
     assert rows["l3"] == "r-at-290"  # gap 10 <= 10 inclusive
     assert rows["l1"] == "r-at-100"
+
+
+def test_ngram_overlap_contamination(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "totally unrelated content here right now"),
+            (3, "quick brown fox jumps high"),
+        ],
+        "id int, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "a quick brown fox jumps story"), (101, "nothing shared at all")],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: (r["n_shared_ngrams"], r["n_eval_docs_hit"])
+        for r in dedup.ngram_overlap_contamination(
+            train, eval_df, "id", "text", n=4
+        ).collect()
+    }
+    # 4-grams of eval 100 include "quick brown fox jumps" — present in
+    # train 1 and 3; train 2 shares nothing and must be absent.
+    assert set(out) == {1, 3}
+    assert out[1] == (1, 1)
+    assert out[3] == (1, 1)
+
+
+def test_ngram_overlap_contamination_max_df_drops_hot(spark):
+    # the shared 4-gram appears in 3 train docs -> dropped at max_df=2
+    train = spark.createDataFrame(
+        [(i, "common shared gram here plus unique" + str(i)) for i in range(3)],
+        "id int, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "common shared gram here too")], "id int, text string"
+    )
+    full = dedup.ngram_overlap_contamination(train, eval_df, "id", "text", n=4)
+    capped = dedup.ngram_overlap_contamination(
+        train, eval_df, "id", "text", n=4, max_df=2
+    )
+    assert full.count() == 3
+    assert capped.count() == 0
