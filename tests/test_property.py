@@ -199,3 +199,71 @@ def test_dup_clusters_matches_union_find(spark, edges):
     )
     got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs pandas merge_asof (the de-facto reference semantics)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def asof_tables(draw):
+    n_left = draw(st.integers(min_value=1, max_value=12))
+    n_right = draw(st.integers(min_value=0, max_value=12))
+    ts = st.integers(min_value=0, max_value=50)
+    left = [
+        (draw(KEYS), draw(ts), i) for i in range(n_left)
+    ]
+    # unique (key, ts) on the right: merge_asof picks the LAST of
+    # equal-ts rows, our operator requires pre-collapsed right input
+    seen = set()
+    right = []
+    for j in range(n_right):
+        k, t = draw(KEYS), draw(ts)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((k, t, 1000 + j))
+    return left, right
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(asof_tables())
+def test_asof_join_matches_pandas_merge_asof(spark, tables):
+    import pandas as pd
+
+    from canal_phoenix_adapter_spark.operators.asof import asof_join
+
+    left_rows, right_rows = tables
+    left = spark.createDataFrame(left_rows, "k long, lts long, lid long")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k long, rts long, rid long"
+    )
+    if not right_rows:
+        right = right.where("k IS NOT NULL")
+    got = {
+        (r["lid"]): (r["rid"], r["rts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "lts", "lid"]).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values("rts", kind="stable")
+    if right_rows:
+        merged = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+        )
+        expect = {
+            int(r.lid): (
+                None if pd.isna(r.rid) else int(r.rid),
+                None if pd.isna(r.rts) else int(r.rts),
+            )
+            for r in merged.itertuples()
+        }
+    else:
+        expect = {int(lid): (None, None) for _, _, lid in left_rows}
+    assert got == expect
