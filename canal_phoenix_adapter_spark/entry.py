@@ -1828,7 +1828,7 @@ _PACK_GROUP = _H.format(x="concat('pack:', CAST(doc_id AS VARCHAR))") + " % 8"
     f"""
     WITH t AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
                {_PACK_GROUP} AS pack_group
         FROM documents
     )
@@ -1862,7 +1862,7 @@ _STRAT_RATES = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1}
     f"""
     SELECT doc_id, lang FROM documents
     WHERE {_STRAT_BUCKET} <
-          CASE lang {' '.join(f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in sorted(_STRAT_RATES.items()))}
+          CASE lang {' '.join(f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in sorted(_STRAT_RATES.items()))}
                ELSE 500 END
     """,
 )
@@ -2001,7 +2001,7 @@ _QUALITY_EXPR = (
     FROM q JOIN documents d ON q.doc_id = d.doc_id
     WHERE q.quality >= 0.55
       AND {_H.format(x="concat('strat:', CAST(q.doc_id AS VARCHAR))")} % 10000 <
-          CASE d.lang {' '.join(f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in sorted(_STRAT_RATES.items()))}
+          CASE d.lang {' '.join(f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in sorted(_STRAT_RATES.items()))}
                ELSE 500 END
     """,
 )
@@ -2012,7 +2012,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     already oracle-gated in isolation; this query proves they compose
     (the real pipeline a 100 TB corpus runs nightly)."""
     docs = load_table(spark, sf_dir, "documents")
-    clean = text_ops.boilerplate_strip(docs, "doc_id", "text", size=8, max_df=2)
+    # clean feeds both the scrub->quality branch and the n_kept_chunks
+    # join-back; column pruning gives the branches different aggregate
+    # outputs so ReuseExchange cannot dedupe them — persist, or the
+    # whole chunk pipeline (the most expensive stage) runs twice.
+    clean = text_ops.boilerplate_strip(
+        docs, "doc_id", "text", size=8, max_df=2
+    ).persist()
     scrub = text_ops.pii_scrub(clean, "doc_id", "text_clean")
     qual = text_ops.quality_features(scrub, "doc_id", "text_scrubbed")
     keep = qual.where(F.col("quality") >= 0.55)
@@ -2040,7 +2046,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT hs.doc_id, sh FROM hs JOIN lbl USING (doc_id) WHERE split = 'train'),
     e AS (SELECT hs.doc_id AS eid, sh FROM hs JOIN lbl USING (doc_id) WHERE split = 'test')
-    SELECT t.doc_id, count(1) AS n_shared_ngrams,
+    SELECT t.doc_id, count(DISTINCT sh) AS n_shared_ngrams,
            count(DISTINCT eid) AS n_eval_docs_hit
     FROM t JOIN e USING (sh)
     GROUP BY t.doc_id

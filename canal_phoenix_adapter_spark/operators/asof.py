@@ -77,15 +77,32 @@ def asof_join(
 
     payload = {out_name(c): c for c in payload_src}
     ts_out = out_name(right_ts)
+    out_names = [ts_out, *payload]
+    if len(payload) != len(payload_src) or ts_out in payload:
+        raise ValueError(
+            f"asof_join output-name collision after applying suffix "
+            f"{suffix!r}: right columns {[right_ts, *payload_src]} map to "
+            f"{out_names} against left columns {sorted(left_names)}; rename "
+            f"the clashing right column(s) before joining"
+        )
 
     sign = F.lit(1) if direction == "backward" else F.lit(-1)
 
+    # The matched right row travels as ONE struct column, so a match is
+    # atomic: per-column last(ignorenulls) would stitch fields from
+    # DIFFERENT right rows whenever the newest match carries a NULL in
+    # some payload column (the older row's value would bleed through).
+    # The struct itself is non-null on every right row — even an
+    # all-null payload — and null on left rows, so last(ignorenulls)
+    # over it picks exactly the latest preceding right ROW.
     r = right.select(
         *[F.col(k) for k in on],
         (F.col(right_ts) * sign).alias("__asof_ts"),
         F.lit(0).alias("__asof_tag"),
-        F.col(right_ts).alias(ts_out),
-        *[F.col(src).alias(dst) for dst, src in payload.items()],
+        F.struct(
+            F.col(right_ts).alias(ts_out),
+            *[F.col(src).alias(dst) for dst, src in payload.items()],
+        ).alias("__asof_row"),
     )
     l = left.select(
         "*",
@@ -93,7 +110,8 @@ def asof_join(
         F.lit(1).alias("__asof_tag"),
     )
     # unionByName with allowMissingColumns aligns the two schemas,
-    # null-filling left-only and payload columns on the opposite side.
+    # null-filling left-only columns and the match struct on the
+    # opposite side.
     u = l.unionByName(r, allowMissingColumns=True)
 
     w = (
@@ -101,20 +119,25 @@ def asof_join(
         .orderBy("__asof_ts", "__asof_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in [ts_out, *payload]]
-    out = u.select(
-        *[F.col(c) for c in left.columns], F.col("__asof_tag"), *filled
-    ).where(F.col("__asof_tag") == 1)
-    out = out.drop("__asof_tag")
-    if tolerance is not None:
-        gap = (
-            F.col(left_ts) - F.col(ts_out)
-            if direction == "backward"
-            else F.col(ts_out) - F.col(left_ts)
-        )
-        ok = F.col(ts_out).isNotNull() & (gap <= tolerance)
-        out = out.select(
+    matched = F.last("__asof_row", ignorenulls=True).over(w)
+    out = (
+        u.select(
             *[F.col(c) for c in left.columns],
-            *[F.when(ok, F.col(c)).alias(c) for c in [ts_out, *payload]],
+            F.col("__asof_tag"),
+            matched.alias("__asof_row"),
         )
-    return out
+        .where(F.col("__asof_tag") == 1)
+        .drop("__asof_tag")
+    )
+    if tolerance is not None:
+        m_ts = F.col("__asof_row")[ts_out]
+        gap = (
+            F.col(left_ts) - m_ts if direction == "backward" else m_ts - F.col(left_ts)
+        )
+        out = out.withColumn(
+            "__asof_row", F.when(m_ts.isNotNull() & (gap <= tolerance), F.col("__asof_row"))
+        )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__asof_row")[c].alias(c) for c in out_names],
+    )

@@ -664,7 +664,19 @@ def semantic_dup_pairs_ivf(
         ivf_cell_expr(vec_col).alias("cell"),
     )
     if max_bucket is not None:
-        v = _cap_bucket_size(v, ["cell"], max_bucket)
+        # Hot-cell set computed from a SLIM (cell-only) projection —
+        # column pruning keeps vectors out of the aggregate — and the
+        # cell universe is bounded by the quantizer (2*dim ids), so the
+        # anti-join side is a genuinely constant-size broadcast; the
+        # vector-carrying table is filtered in place, never shuffled.
+        hot = (
+            df.select(ivf_cell_expr(vec_col).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("cell")
+        )
+        v = v.join(F.broadcast(hot), on="cell", how="left_anti")
     return (
         v.alias("a")
         .join(v.alias("b"), on="cell")
@@ -722,7 +734,9 @@ def ngram_overlap_contamination(
         .dropDuplicates(["__eid", "sh"])
     )
     hits = t.join(e, on="sh")
+    # countDistinct on sh: a train n-gram shared with k eval docs is
+    # ONE shared n-gram, not k (the join emits k rows for it).
     return hits.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shared_ngrams"),
+        F.countDistinct("sh").alias("n_shared_ngrams"),
         F.countDistinct("__eid").alias("n_eval_docs_hit"),
     )

@@ -174,10 +174,15 @@ def pack_sequences(
     fill ~``budget`` tokens per bin (the pretraining step that packs
     short documents into fixed-length training sequences).
 
-    Greedy-contiguous semantics: docs are laid out in key order
-    within their group and a bin break happens when the running total
-    would cross the budget boundary — bin = floor(exclusive-prefix-sum
-    / budget). Oversized docs (> budget) still get a bin (they span).
+    Budget-aligned contiguous binning: docs are laid out in key order
+    within their group and bin = floor(exclusive-prefix-sum / budget).
+    A doc whose exclusive prefix lands below a boundary joins that bin
+    even when it pushes the bin past the budget — bins OVERFLOW rather
+    than split or pad (callers that need hard <=budget sequences
+    truncate/segment oversized docs first). This keeps the assignment
+    a pure window expression: deterministic, one shuffle, and
+    SQL-reproducible — break-before-crossing packing would need a
+    sequential scan per group.
 
     Scale shape: the md5 group key spreads the corpus over
     ``num_groups`` independent packing streams, so the window sort is

@@ -51,6 +51,10 @@ def write_lake(
             out = out.repartition(target_files, *[F.col(c) for c in repartition_keys])
         else:
             out = out.repartition(target_files)
+    elif repartition_keys:
+        # keys without a file count: hash-cluster by key at the default
+        # shuffle parallelism (still co-locates each key's rows)
+        out = out.repartition(*[F.col(c) for c in repartition_keys])
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     writer = out.write.mode(mode)

@@ -222,7 +222,10 @@ def asof_tables(draw):
         k, t = draw(KEYS), draw(ts)
         if (k, t) not in seen:
             seen.add((k, t))
-            right.append((k, t, 1000 + j))
+            # ~1/4 null payloads: a match must stay atomic (the null
+            # row's ts with ITS null payload, never a stitched pair)
+            rid = None if draw(st.integers(0, 3)) == 0 else 1000 + j
+            right.append((k, t, rid))
     return left, right
 
 

@@ -331,3 +331,64 @@ def test_ngram_overlap_contamination_max_df_drops_hot(spark):
     )
     assert full.count() == 3
     assert capped.count() == 0
+
+
+def test_asof_match_is_atomic_with_null_payload(spark):
+    # the newest matching right row has a NULL payload value: the
+    # output must carry THAT row's (ts, null), never stitch the older
+    # row's payload under the newer row's ts
+    left = spark.createDataFrame([(1, 300, "l")], "k int, lts long, lval string")
+    right = spark.createDataFrame(
+        [(1, 100, "old"), (1, 200, None)], "k int, rts long, rval string"
+    )
+    row = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts").collect()[0]
+    assert row["rts"] == 200
+    assert row["rval"] is None
+
+
+def test_asof_rejects_unresolvable_name_collision(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts long, v string")
+    right = spark.createDataFrame(
+        [(1, 5, "y", "z")], "k int, ts long, v string, v_right string"
+    )
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+
+
+def test_ngram_overlap_counts_distinct_ngrams_not_join_rows(spark):
+    # one shared 4-gram hit by TWO eval docs -> n_shared_ngrams must be
+    # 1 (distinct n-grams), with n_eval_docs_hit = 2
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta unique tail here")], "id int, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta one"), (101, "alpha beta gamma delta two")],
+        "id int, text string",
+    )
+    row = dedup.ngram_overlap_contamination(
+        train, eval_df, "id", "text", n=4
+    ).collect()[0]
+    assert row["n_shared_ngrams"] == 1
+    assert row["n_eval_docs_hit"] == 2
+
+
+def test_lake_repartition_keys_without_target_files(spark, tmp_path):
+    from canal_phoenix_adapter_spark.sinks.lake import write_lake
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(60)], "k long, v long"
+    )
+    out = str(tmp_path / "lakek")
+    write_lake(df, out, repartition_keys=["k"], sort_within=["k"])
+    import glob
+    import pyarrow.parquet as pq
+
+    # each key's rows are co-located: no key appears in 2+ files
+    seen = {}
+    for f in glob.glob(f"{out}/*.parquet"):
+        for k in set(pq.read_table(f, columns=["k"]).column("k").to_pylist()):
+            assert k not in seen, (k, f, seen[k])
+            seen[k] = f
+    assert set(seen) == {0, 1, 2}
