@@ -2065,3 +2065,37 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_overlap_contamination(
         train, eval_df, "doc_id", "text", n=4
     )
+
+
+def _minhash_lsh_incremental_sql(num_perm: int = 16, bands: int = 4) -> str:
+    rpb = num_perm // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"CAST(mh{b*rpb+r} AS VARCHAR)" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id AS id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
+        )
+    buckets = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    WITH sig AS ({_minhash_sql(num_perm)}),
+    buckets AS (
+        {buckets}
+    ),
+    nb AS (SELECT * FROM buckets WHERE id % 2 = 1),
+    ib AS (SELECT * FROM buckets WHERE id % 2 = 0)
+    SELECT DISTINCT nb.id AS new_id, ib.id AS index_id
+    FROM nb JOIN ib USING (band, bh)
+    """
+
+
+@register("dedup_minhash_lsh_incremental", _minhash_lsh_incremental_sql())
+def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: odd-id docs (the 'new batch') against
+    even-id docs (the 'existing index') — the daily-ingest dedup shape
+    where only new-vs-index candidates are generated."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_df = docs.where(F.col("doc_id") % 2 == 1)
+    index_df = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_lsh_incremental(
+        new_df, index_df, "doc_id", "text", num_perm=16, bands=4, n=4
+    )

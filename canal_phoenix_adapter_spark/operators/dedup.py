@@ -220,6 +220,35 @@ def _cap_bucket_size(df: DataFrame, key_cols: list[str], max_bucket: int) -> Dat
     return df.join(bad, on=key_cols, how="left_anti")
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 4,
+) -> DataFrame:
+    """(id, band, bh) LSH bucket table over MinHash signatures — the
+    shared banding stage of the self-join and incremental variants.
+    All bands are emitted in ONE pass over the signature table
+    (explode of an inline array) instead of a bands-way union, which
+    would recompute the signature aggregation per band."""
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    rows_per_band = num_perm // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    return sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -239,23 +268,7 @@ def minhash_lsh_candidates(
     (boilerplate bands shared by huge doc populations) are dropped
     before the self-join, bounding every bucket's d^2 candidate cost
     (see _cap_bucket_size)."""
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
-    rows_per_band = num_perm // bands
-    # Emit all bands in ONE pass over the signature table (explode of
-    # an inline array) instead of a bands-way union, which would
-    # recompute the signature aggregation per band.
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
-            )
-        )
-    buckets = sig.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "bb.band", "bb.bh")
+    buckets = minhash_band_buckets(df, id_col, text_col, num_perm, bands, n)
     # Persist before AND after the cap: pre-cap so the signature
     # pipeline (shingle explode + groupBy) runs once instead of twice
     # (the cap reads the bucket table for its size-aggregate and again
@@ -739,4 +752,44 @@ def ngram_overlap_contamination(
     return hits.groupBy(id_col).agg(
         F.countDistinct("sh").alias("n_shared_ngrams"),
         F.countDistinct("__eid").alias("n_eval_docs_hit"),
+    )
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs between NEW documents and
+    an existing INDEX corpus — the daily-ingest shape (dedup today's
+    crawl against everything already kept) where re-running the full
+    self-join over the whole corpus would be O(corpus) work for an
+    O(new) change.
+
+    Output: distinct (new_id, index_id) pairs sharing >= 1 band
+    bucket. New-vs-new duplicates are NOT emitted — run
+    minhash_lsh_candidates on the (much smaller) new batch for those.
+
+    Scale shape: banding runs over each side independently (the index
+    side's bucket table is the thing a production system persists
+    between runs — pass a pre-banded table via ``index_buckets`` shape
+    (id, band, bh) by calling minhash_band_buckets yourself); the join
+    is an equi-join on (band, bh) whose left side is only the new
+    batch. ``max_bucket`` caps hot INDEX buckets (a boilerplate band
+    bucket with d index members costs d rows per colliding new doc)."""
+    nb = minhash_band_buckets(new_df, id_col, text_col, num_perm, bands, n)
+    ib = minhash_band_buckets(index_df, id_col, text_col, num_perm, bands, n)
+    if max_bucket is not None:
+        ib = ib.persist()
+        ib = _cap_bucket_size(ib, ["band", "bh"], max_bucket)
+    return (
+        nb.alias("x")
+        .join(ib.alias("y"), on=["band", "bh"])
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("index_id"))
+        .dropDuplicates()
     )

@@ -392,3 +392,38 @@ def test_lake_repartition_keys_without_target_files(spark, tmp_path):
             assert k not in seen, (k, f, seen[k])
             seen[k] = f
     assert set(seen) == {0, 1, 2}
+
+
+def test_minhash_lsh_incremental_only_cross_pairs(spark):
+    # docs 1 & 2 near-identical (new batch), doc 10 identical to 1
+    # (index): incremental emits (1,10) but never the new-vs-new (1,2)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_df = spark.createDataFrame(
+        [(1, base), (2, base + " extra")], "id long, text string"
+    )
+    index_df = spark.createDataFrame(
+        [(10, base), (11, "completely different words all the way down here")],
+        "id long, text string",
+    )
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.minhash_lsh_incremental(
+            new_df, index_df, "id", "text", num_perm=16, bands=4, n=4
+        ).collect()
+    }
+    assert (1, 10) in got
+    assert all(n in (1, 2) and i in (10, 11) for n, i in got)
+
+
+def test_minhash_lsh_incremental_max_bucket_drops_hot_index(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_df = spark.createDataFrame([(1, base)], "id long, text string")
+    index_df = spark.createDataFrame(
+        [(10 + i, base) for i in range(5)], "id long, text string"
+    )
+    full = dedup.minhash_lsh_incremental(new_df, index_df, "id", "text")
+    capped = dedup.minhash_lsh_incremental(
+        new_df, index_df, "id", "text", max_bucket=4
+    )
+    assert full.count() == 5
+    assert capped.count() == 0  # all 5 index docs share every band bucket
