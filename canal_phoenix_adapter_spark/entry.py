@@ -2099,3 +2099,40 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.minhash_lsh_incremental(
         new_df, index_df, "doc_id", "text", num_perm=16, bands=4, n=4
     )
+
+
+def _knn_join_ivf_sql(k: int = 5) -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT id, ve,
+               CAST(list_position(list_transform(embedding, x -> abs(x)),
+                                  list_max(list_transform(embedding, x -> abs(x)))) * 2
+                    + CASE WHEN embedding[list_position(list_transform(embedding, x -> abs(x)),
+                                                        list_max(list_transform(embedding, x -> abs(x))))] < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS cell
+        FROM v
+    ),
+    scored AS (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               list_dot_product(a.ve, b.ve)
+               / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cos
+        FROM cells a JOIN cells b USING (cell) WHERE a.id <> b.id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sim_knn_join_ivf", _knn_join_ivf_sql())
+def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-5 cosine neighbors for every vector, candidates
+    restricted to the IVF cell (equi-join + per-query window)."""
+    return similarity.knn_join_ivf(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -386,3 +386,70 @@ def ann_topk_ivf_trained(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def knn_join_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN: top-k cosine neighbors for EVERY vector
+    (not a fixed query set), candidates restricted to the vector's IVF
+    cell. The all-to-all similarity-join deliverable: near-dup
+    clustering seeds, recommendation candidates, SemDeDup keep-lists.
+
+    Scale shape: one equi-join on cell (sum of squared cell sizes,
+    never n^2), one window per query id for the top-k cut —
+    rank-partitioned by query, so the sort is per-key, not global.
+    ``max_bucket`` caps degenerate cells exactly like the dedup
+    variants (dropped cells produce no neighbors for their members —
+    at 100 TB a cell with 10^6 members is a quantizer failure to fix,
+    not a join to execute).
+
+    Ties: equal cosine resolves by ascending neighbor id — total
+    order, engine-portable."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        ivf_cell_expr(vec_col).alias("cell"),
+    )
+    if max_bucket is not None:
+        hot = (
+            df.select(ivf_cell_expr(vec_col).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("cell")
+        )
+        base = base.join(F.broadcast(hot), on="cell", how="left_anti")
+    # The join reads base twice; the (id, cell) + vector rows are the
+    # table a production system would have persisted/bucketed by cell
+    # already, so no persist is forced here (callers own the cache).
+    q = base.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("cell"),
+    )
+    n = base.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"), F.col("cell"),
+    )
+    scored = (
+        q.join(n, on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -427,3 +427,37 @@ def test_minhash_lsh_incremental_max_bucket_drops_hot_index(spark):
     )
     assert full.count() == 5
     assert capped.count() == 0  # all 5 index docs share every band bucket
+
+
+def test_knn_join_ivf_ranks_within_cells(spark):
+    from canal_phoenix_adapter_spark.operators.similarity import knn_join_ivf
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.8, 0.3]),
+        (3, [0.0, 1.0]),  # different cell: argmax dim 2
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join_ivf(df, k=2).collect()
+    }
+    # within cell {0,1,2}: 0's nearest is 1 then 2; 3 is alone -> no rows
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    assert got[(1, 1)] == 0 and got[(2, 1)] == 1
+    assert not any(q == 3 for q, _ in got)
+
+
+def test_knn_join_ivf_max_bucket(spark):
+    from canal_phoenix_adapter_spark.operators.similarity import knn_join_ivf
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    assert knn_join_ivf(df, k=3, max_bucket=5).count() == 0
+    assert knn_join_ivf(df, k=3, max_bucket=6).count() == 18
