@@ -74,6 +74,18 @@ class ParquetStateStore:
             return None
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read a specific retained snapshot (committed
+        epochs within the `prune` retention window). Raises if the
+        snapshot dir was pruned or never committed."""
+        p = os.path.join(self.path, f"v{version}")
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"state version {version} not on disk (pruned or never "
+                f"committed); retained: {self.versions()}"
+            )
+        return self.spark.read.parquet(p)
+
     def write(self, df: DataFrame, epoch_id: int) -> None:
         target = os.path.join(self.path, f"v{epoch_id}")
         df.write.mode("overwrite").parquet(target)

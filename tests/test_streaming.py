@@ -701,3 +701,19 @@ def test_interval_join_rejects_same_ts_name(spark):
                                F.current_timestamp().alias("ts"))
     with _pytest.raises(ValueError):
         interval_join_streams(df, df, on="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_state_store_read_version_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    store = ParquetStateStore(spark, str(tmp_path / "tt"))
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.write(df1, 0)
+    store.write(df2, 1)
+    assert store.read_version(0).count() == 1
+    assert store.read_version(1).count() == 2
+    assert store.read().count() == 2  # _CURRENT -> v1
+    store.prune(keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        store.read_version(0)
