@@ -540,3 +540,47 @@ def interval_join_streams(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond, "inner").drop(right_on)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    group_id_prefix: str | None = None,
+) -> dict[str, str]:
+    """Kafka reader options for the Canal-JSON topic (the reference's
+    MQ flavor of S1 — canal delivers the same envelope over Kafka).
+    Kept as a pure dict builder so it is unit-testable without a
+    broker; ``read_canal_kafka`` applies it."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # fail-fast on data loss: a CDC stream silently skipping
+        # offsets corrupts downstream state irrecoverably
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id_prefix is not None:
+        opts["groupIdPrefix"] = group_id_prefix
+    return opts
+
+
+def read_canal_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    **kwargs,
+) -> DataFrame:
+    """Canal-JSON stream from Kafka: the envelope parse is shared with
+    the file source (parse_dml_json on the message value), so the
+    whole downstream pipeline — typed_changes -> apply_cdc_epoch — is
+    source-agnostic. Requires the spark-sql-kafka package on the
+    cluster (not shipped in this test container; the reader is
+    constructed lazily so importing/building plans works without it)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topic, **kwargs).items():
+        reader = reader.option(k, v)
+    return parse_dml_json(reader.load(), json_col="value")

@@ -717,3 +717,21 @@ def test_state_store_read_version_time_travel(spark, tmp_path):
     store.prune(keep_last=1)
     with _pytest.raises(FileNotFoundError):
         store.read_version(0)
+
+
+def test_kafka_source_options_builder():
+    from canal_phoenix_adapter_spark.streaming.stream import kafka_source_options
+
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092", "canal.mytest",
+        starting_offsets="earliest", max_offsets_per_trigger=50_000,
+        group_id_prefix="cpa",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "canal.mytest",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "50000",
+        "groupIdPrefix": "cpa",
+    }
