@@ -480,7 +480,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, max_bucket: int | None = None) -> str:
+def _band_bucket_sql(num_perm: int, bands: int) -> str:
+    """Shared banding-oracle fragment: (id, band, bh) selects over the
+    `sig` CTE — ONE definition so the self-join and incremental oracles
+    cannot silently diverge from each other."""
     rpb = num_perm // bands
     band_selects = []
     for b in range(bands):
@@ -488,7 +491,11 @@ def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, max_bucket: int | None 
         band_selects.append(
             f"SELECT doc_id AS id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
         )
-    buckets = "\n        UNION ALL\n        ".join(band_selects)
+    return "\n        UNION ALL\n        ".join(band_selects)
+
+
+def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, max_bucket: int | None = None) -> str:
+    buckets = _band_bucket_sql(num_perm, bands)
     cap_ctes = ""
     src = "buckets"
     if max_bucket is not None:
@@ -2068,14 +2075,7 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_incremental_sql(num_perm: int = 16, bands: int = 4) -> str:
-    rpb = num_perm // bands
-    band_selects = []
-    for b in range(bands):
-        cols = ", ".join(f"CAST(mh{b*rpb+r} AS VARCHAR)" for r in range(rpb))
-        band_selects.append(
-            f"SELECT doc_id AS id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
-        )
-    buckets = "\n        UNION ALL\n        ".join(band_selects)
+    buckets = _band_bucket_sql(num_perm, bands)
     return f"""
     WITH sig AS ({_minhash_sql(num_perm)}),
     buckets AS (

@@ -198,7 +198,12 @@ def minhash_signatures(
     )
 
 
-def _cap_bucket_size(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+def _cap_bucket_size(
+    df: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    broadcast_hot: bool = False,
+) -> DataFrame:
     """Drop rows whose bucket (group of key_cols) has more than
     ``max_bucket`` members — the universal skew guard for LSH-style
     candidate self-joins. A bucket of d members emits d^2 join rows, so
@@ -210,13 +215,19 @@ def _cap_bucket_size(df: DataFrame, key_cols: list[str], max_bucket: int) -> Dat
     Shape: aggregate the over-cap bucket KEYS (map-side partial
     combine, output bounded by n/max_bucket rows) and anti-join them
     away — not a count-over-window, which would shuffle AND sort the
-    full row table just to attach a count it then filters on."""
+    full row table just to attach a count it then filters on.
+    ``broadcast_hot`` forces the hot-key side broadcast; set it only
+    when the key universe is genuinely bounded (e.g. IVF cells:
+    2*dim ids) — AQE decides otherwise."""
     bad = (
-        df.groupBy(*key_cols)
+        df.select(*key_cols)
+        .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__bs"))
         .where(F.col("__bs") > max_bucket)
         .select(*key_cols)
     )
+    if broadcast_hot:
+        bad = F.broadcast(bad)
     return df.join(bad, on=key_cols, how="left_anti")
 
 
@@ -677,19 +688,12 @@ def semantic_dup_pairs_ivf(
         ivf_cell_expr(vec_col).alias("cell"),
     )
     if max_bucket is not None:
-        # Hot-cell set computed from a SLIM (cell-only) projection —
-        # column pruning keeps vectors out of the aggregate — and the
-        # cell universe is bounded by the quantizer (2*dim ids), so the
-        # anti-join side is a genuinely constant-size broadcast; the
-        # vector-carrying table is filtered in place, never shuffled.
-        hot = (
-            df.select(ivf_cell_expr(vec_col).alias("cell"))
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_bucket)
-            .select("cell")
-        )
-        v = v.join(F.broadcast(hot), on="cell", how="left_anti")
+        # broadcast_hot: the cell universe is bounded by the quantizer
+        # (2*dim ids), so the hot-cell anti-join side is a genuinely
+        # constant-size broadcast; the vector-carrying table is
+        # filtered in place, never shuffled (the cap's aggregate reads
+        # a cell-only projection — vectors pruned).
+        v = _cap_bucket_size(v, ["cell"], max_bucket, broadcast_hot=True)
     return (
         v.alias("a")
         .join(v.alias("b"), on="cell")
@@ -757,13 +761,14 @@ def ngram_overlap_contamination(
 
 def minhash_lsh_incremental(
     new_df: DataFrame,
-    index_df: DataFrame,
+    index_df: DataFrame | None,
     id_col: str,
     text_col: str,
     num_perm: int = 16,
     bands: int = 4,
     n: int = 4,
     max_bucket: int | None = None,
+    index_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: candidate pairs between NEW documents and
     an existing INDEX corpus — the daily-ingest shape (dedup today's
@@ -775,15 +780,24 @@ def minhash_lsh_incremental(
     bucket. New-vs-new duplicates are NOT emitted — run
     minhash_lsh_candidates on the (much smaller) new batch for those.
 
-    Scale shape: banding runs over each side independently (the index
-    side's bucket table is the thing a production system persists
-    between runs — pass a pre-banded table via ``index_buckets`` shape
-    (id, band, bh) by calling minhash_band_buckets yourself); the join
-    is an equi-join on (band, bh) whose left side is only the new
-    batch. ``max_bucket`` caps hot INDEX buckets (a boilerplate band
-    bucket with d index members costs d rows per colliding new doc)."""
+    Scale shape: banding runs over each side independently, and the
+    index side's bucket table is the thing a production system
+    persists between runs — pass it via ``index_buckets`` (shape
+    (id, band, bh), produced by minhash_band_buckets with the SAME
+    num_perm/bands/n) and ``index_df=None`` to skip re-banding the
+    whole corpus: the run is then O(new batch) work plus one bucket
+    join. The join is an equi-join on (band, bh) whose left side is
+    only the new batch. ``max_bucket`` caps hot INDEX buckets (a
+    boilerplate band bucket with d index members costs d rows per
+    colliding new doc)."""
+    if (index_df is None) == (index_buckets is None):
+        raise ValueError("pass exactly one of index_df / index_buckets")
     nb = minhash_band_buckets(new_df, id_col, text_col, num_perm, bands, n)
-    ib = minhash_band_buckets(index_df, id_col, text_col, num_perm, bands, n)
+    ib = (
+        index_buckets
+        if index_buckets is not None
+        else minhash_band_buckets(index_df, id_col, text_col, num_perm, bands, n)
+    )
     if max_bucket is not None:
         ib = ib.persist()
         ib = _cap_bucket_size(ib, ["band", "bh"], max_bucket)

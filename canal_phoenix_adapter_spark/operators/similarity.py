@@ -417,14 +417,11 @@ def knn_join_ivf(
         ivf_cell_expr(vec_col).alias("cell"),
     )
     if max_bucket is not None:
-        hot = (
-            df.select(ivf_cell_expr(vec_col).alias("cell"))
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_bucket)
-            .select("cell")
-        )
-        base = base.join(F.broadcast(hot), on="cell", how="left_anti")
+        from canal_phoenix_adapter_spark.operators.dedup import _cap_bucket_size
+
+        # shared skew guard; broadcast_hot because the cell universe is
+        # bounded by the quantizer (2*dim ids)
+        base = _cap_bucket_size(base, ["cell"], max_bucket, broadcast_hot=True)
     # The join reads base twice; the (id, cell) + vector rows are the
     # table a production system would have persisted/bucketed by cell
     # already, so no persist is forced here (callers own the cache).

@@ -77,12 +77,16 @@ class ParquetStateStore:
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read a specific retained snapshot (committed
         epochs within the `prune` retention window). Raises if the
-        snapshot dir was pruned or never committed."""
+        snapshot was pruned or never COMMITTED — a vN dir newer than
+        _CURRENT is a mid-crash orphan (possibly half-written, and the
+        replay's overwrite target), not a readable snapshot."""
+        cur = self.current_version()
         p = os.path.join(self.path, f"v{version}")
-        if not os.path.isdir(p):
+        if cur is None or version > cur or not os.path.isdir(p):
+            committed = [v for v in self.versions() if cur is not None and v <= cur]
             raise FileNotFoundError(
-                f"state version {version} not on disk (pruned or never "
-                f"committed); retained: {self.versions()}"
+                f"state version {version} not committed+retained "
+                f"(current={cur}); retained committed versions: {committed}"
             )
         return self.spark.read.parquet(p)
 
@@ -578,8 +582,10 @@ def read_canal_kafka(
     the file source (parse_dml_json on the message value), so the
     whole downstream pipeline — typed_changes -> apply_cdc_epoch — is
     source-agnostic. Requires the spark-sql-kafka package on the
-    cluster (not shipped in this test container; the reader is
-    constructed lazily so importing/building plans works without it)."""
+    cluster: ``reader.load()`` resolves the data source EAGERLY, so
+    calling this without the package raises (importing this module is
+    safe; building the plan is not — which is why only
+    kafka_source_options is unit-tested in this container)."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(bootstrap_servers, topic, **kwargs).items():
         reader = reader.option(k, v)

@@ -461,3 +461,26 @@ def test_knn_join_ivf_max_bucket(spark):
     )
     assert knn_join_ivf(df, k=3, max_bucket=5).count() == 0
     assert knn_join_ivf(df, k=3, max_bucket=6).count() == 18
+
+
+def test_minhash_lsh_incremental_accepts_prebanded_index(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_df = spark.createDataFrame([(1, base)], "id long, text string")
+    index_df = spark.createDataFrame(
+        [(10, base), (11, "something else entirely unrelated words here")],
+        "id long, text string",
+    )
+    prebanded = dedup.minhash_band_buckets(index_df, "id", "text", 16, 4, 4)
+    via_df = dedup.minhash_lsh_incremental(new_df, index_df, "id", "text")
+    via_buckets = dedup.minhash_lsh_incremental(
+        new_df, None, "id", "text", index_buckets=prebanded
+    )
+    assert sorted(map(tuple, via_df.collect())) == sorted(
+        map(tuple, via_buckets.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup.minhash_lsh_incremental(
+            new_df, index_df, "id", "text", index_buckets=prebanded
+        )
