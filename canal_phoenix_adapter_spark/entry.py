@@ -2136,3 +2136,63 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN JOIN: top-5 cosine neighbors for every vector, candidates
     restricted to the IVF cell (equi-join + per-query window)."""
     return similarity.knn_join_ivf(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "analytics_session_window",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    x AS (
+        SELECT user_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 3600000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+        SELECT user_id, ts_us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    )
+    SELECT user_id, min(ts_us) AS session_start_us,
+           max(ts_us) + 3600000000 AS session_end_us,
+           count(1) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def analytics_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (60-min gap) checked
+    against the lag/cumsum islands oracle — the two formulations must
+    agree exactly for a constant gap."""
+    return analytics.session_window_rollup(spark, sf_dir, gap="60 minutes")
+
+
+@register(
+    "analytics_q7_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice, l_discount
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def analytics_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape: nation-pair shipping volume by year."""
+    out = analytics.q7_volume_shipping(spark, sf_dir)
+    return out.select(
+        "supp_nation", "cust_nation", "l_year",
+        F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
+    )
