@@ -735,3 +735,49 @@ def test_kafka_source_options_builder():
         "maxOffsetsPerTrigger": "50000",
         "groupIdPrefix": "cpa",
     }
+
+
+def test_session_window_streaming_with_watermark(spark, tmp_path):
+    """The session_window expression from the batch rollup runs
+    unchanged as a streaming aggregation: finalized sessions (behind
+    the watermark) emit in append mode."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "swsrc")
+    os.makedirs(src)
+
+    def ev(eid, user, hour, minute):
+        return {"event_id": eid, "user_id": user,
+                "ts": f"2024-03-01T{hour:02d}:{minute:02d}:00.000Z"}
+
+    # user 7: two events 10 min apart (one session), then a far-future
+    # event advancing the watermark so the session finalizes
+    with open(os.path.join(src, "b1.json"), "w", encoding="utf-8") as f:
+        for e in [ev(1, 7, 1, 0), ev(2, 7, 1, 10), ev(3, 8, 23, 0)]:
+            f.write(json.dumps(e) + "\n")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).json(src)
+    rolled = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.unix_micros(F.col("sw.start")).alias("start_us"),
+                "n_events")
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("sess1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess1").collect()
+    }
+    # user 7's merged 2-event session finalized (watermark at 22:00);
+    # user 8's session is NOT behind the watermark -> not emitted
+    assert (7, 2) in rows
+    assert not any(u == 8 for u, _ in rows)
