@@ -2196,3 +2196,36 @@ def analytics_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation", "l_year",
         F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
     )
+
+
+@register(
+    "analytics_salted_join",
+    """
+    SELECT p_brand, count(1) AS n_items,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (functions/skew.py): lineitem fanned over 8
+    salts against a replicated part side, then aggregated — the oracle
+    is the PLAIN join, proving salting changes only the physical key
+    space, never the result. The manual answer to a single hot key AQE
+    cannot split."""
+    from canal_phoenix_adapter_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    j = salted_join(li, part, on=["l_partkey"], num_salts=8)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        j.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(price).alias("sum_price"))
+        .select(
+            "p_brand", "n_items",
+            F.col("sum_price").cast("decimal(18,2)").cast("string").alias("sum_price"),
+        )
+    )

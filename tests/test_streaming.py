@@ -781,3 +781,30 @@ def test_session_window_streaming_with_watermark(spark, tmp_path):
     # user 8's session is NOT behind the watermark -> not emitted
     assert (7, 2) in rows
     assert not any(u == 8 for u, _ in rows)
+
+
+def test_state_changes_diff_between_versions(spark, tmp_path):
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdf"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, name string, bal double",
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged -> excluded
+         (2, "b2", 2.0),       # update
+         (4, "d", 4.0)],       # insert; 3 deleted
+        "id long, name string, bal double",
+    )
+    store.write(v0, 0)
+    store.write(v1, 1)
+    got = {
+        r["id"]: (r["op"], r["name__before"], r["name__after"])
+        for r in state_changes(store, 0, 1, ["id"]).collect()
+    }
+    assert got == {
+        2: ("UPDATE", "b", "b2"),
+        3: ("DELETE", "c", None),
+        4: ("INSERT", None, "d"),
+    }
