@@ -808,3 +808,34 @@ def test_state_changes_diff_between_versions(spark, tmp_path):
         3: ("DELETE", "c", None),
         4: ("INSERT", None, "d"),
     }
+
+
+def test_bootstrap_then_stream(spark, tmp_path):
+    """The reference's real deployment pattern (etl THEN sync,
+    PhoenixAdapter.etl -> sync): seed the state store with a batch
+    backfill as epoch -1, then let the CDC stream apply increments on
+    top — the stream's first epoch merges INTO the bootstrapped state,
+    not an empty table."""
+    seed = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", 3.0), (50, "seed-only", 9.0)],
+        "id long, name string, balance double",
+    )
+    state_path = str(tmp_path / "state")
+    store = ParquetStateStore(spark, state_path)
+    # bootstrap: backfill snapshot committed as a version BELOW any
+    # streaming epoch id (epochs start at 0)
+    store.write(seed, -1)
+    assert store.current_version() == -1
+
+    src = str(tmp_path / "src")
+    write_events(src, EVENTS)  # updates id1, pk-change 2->9, etc.
+    q = run_cdc_stream(
+        spark, src, state_path, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["name"], r["balance"])
+        for r in ParquetStateStore(spark, state_path).read().collect()
+    }
+    # streamed expectations PLUS the untouched bootstrap row
+    assert got == {**EXPECTED, 50: ("seed-only", 9.0)}
