@@ -43,13 +43,6 @@ def _tokens(text_col):
     return F.split(F.trim(text_col), TOKEN_SPLIT)
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). Built with
-    explode over a transform'd sequence — one generator, no UDF. Use
-    raw_shingles (below) when the consumer is multiset-invariant."""
-    return raw_shingles(df, id_col, text_col, n).dropDuplicates([id_col, "shingle"])
-
-
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on content digest: keep the smallest id per sha256.
     One shuffle on the 64-char digest; survivors = canonical docs."""
