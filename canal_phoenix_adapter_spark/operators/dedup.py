@@ -15,14 +15,15 @@ DataFrame-in/DataFrame-out function designed for 100 TB:
 All hashing is md5-derived (functions/hashing.py) so the DuckDB
 oracle reproduces values bit-for-bit. No Python UDFs anywhere.
 
-Cache lifecycle: the sketch/bucket operators ``persist()`` one small
-intermediate (signatures / bucket table / shingle hashes) because it
-feeds 2-3 consumers inside the returned plan; the blocks are released
-only when the DataFrame is garbage-collected or the caller clears
-them. CALLERS OWN THE CACHE: a long-lived driver running repeated
-dedup passes should ``spark.catalog.clearCache()`` between passes
-(bench.py does exactly this) — otherwise old blocks linger until
-storage-memory eviction.
+Cache lifecycle: the sketch/bucket operators ``persist()`` their
+small multi-consumer intermediates (shingle hashes / bucket tables —
+pre-cap AND post-cap when a bucket cap is active, so each pipeline
+stage computes exactly once); the blocks are released only when the
+DataFrame is garbage-collected or the caller clears them. CALLERS
+OWN THE CACHE: a long-lived driver running repeated dedup passes
+should ``spark.catalog.clearCache()`` between passes (bench.py does
+exactly this) — otherwise old blocks linger until storage-memory
+eviction.
 """
 
 from __future__ import annotations
