@@ -48,6 +48,9 @@ HEADLINE = [
     "analytics_q17_small_qty",
     "analytics_q10_returns",
     "analytics_q19_disjunctive",
+    "analytics_q7_volume",
+    "analytics_session_window",
+    "analytics_salted_join",
     "pipeline_corpus_clean",
 ]
 

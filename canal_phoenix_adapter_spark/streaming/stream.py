@@ -99,12 +99,19 @@ class ParquetStateStore:
         os.replace(tmp, self._pointer())
 
     def versions(self) -> list[int]:
-        """Snapshot versions on disk, ascending."""
+        """Snapshot versions on disk, ascending. Negative versions are
+        legal (the etl-then-sync bootstrap commits the backfill as a
+        version below any streaming epoch id, e.g. -1) and must be
+        visible here or prune() would retain the full-backfill
+        snapshot — the largest in the store — forever."""
         out = []
         try:
             for name in os.listdir(self.path):
-                if name.startswith("v") and name[1:].isdigit():
-                    out.append(int(name[1:]))
+                if name.startswith("v"):
+                    try:
+                        out.append(int(name[1:]))
+                    except ValueError:
+                        continue
         except FileNotFoundError:
             pass
         return sorted(out)
@@ -606,17 +613,33 @@ def state_changes(
     Output: pk columns + ``op`` in {INSERT, UPDATE, DELETE} + every
     non-pk column twice (``<col>__before``, ``<col>__after``).
     Unchanged rows are excluded (full-row comparison, null-safe).
+    Schema-straddling diffs (a DDL/heal epoch between the versions
+    added or dropped columns) work: the value-column set is the UNION
+    of both snapshots' columns, null-padded on the side that lacks a
+    column — an added column surfaces as before=NULL, a dropped one
+    as after=NULL.
 
-    One full-outer shuffle join on the pk — at 100 TB both snapshots
-    are pk-partitioned parquet (BucketedStateStore), so the join
-    can avoid the exchange entirely."""
+    One full-outer shuffle join on the pk; snapshots written
+    pk-partitioned (sorted/bucketed layout) let AQE elide the
+    exchange."""
     old = store.read_version(from_version)
     new = store.read_version(to_version)
-    val_cols = [c for c in new.columns if c not in pk]
-    o = old.select(*pk, *[F.col(c).alias(f"{c}__before") for c in val_cols],
-                   F.lit(1).alias("__in_old"))
-    n = new.select(*pk, *[F.col(c).alias(f"{c}__after") for c in val_cols],
-                   F.lit(1).alias("__in_new"))
+    types = {f.name: f.dataType for f in old.schema.fields}
+    types.update({f.name: f.dataType for f in new.schema.fields})
+    val_cols = [
+        c for c in [*new.columns, *[c for c in old.columns if c not in new.columns]]
+        if c not in pk
+    ]
+
+    def side(df: DataFrame, tag: str, flag: str) -> DataFrame:
+        cols = []
+        for c in val_cols:
+            src = F.col(c) if c in df.columns else F.lit(None).cast(types[c])
+            cols.append(src.alias(f"{c}__{tag}"))
+        return df.select(*pk, *cols, F.lit(1).alias(flag))
+
+    o = side(old, "before", "__in_old")
+    n = side(new, "after", "__in_new")
     j = o.join(n, on=pk, how="full_outer")
     changed = F.lit(False)
     for c in val_cols:

@@ -839,3 +839,35 @@ def test_bootstrap_then_stream(spark, tmp_path):
     }
     # streamed expectations PLUS the untouched bootstrap row
     assert got == {**EXPECTED, 50: ("seed-only", 9.0)}
+
+
+def test_state_changes_across_schema_change(spark, tmp_path):
+    """A heal/DDL epoch between the two versions: added column shows
+    before=NULL, dropped column shows after=NULL, diff still runs."""
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdf2"))
+    v0 = spark.createDataFrame(
+        [(1, "a", "legacy")], "id long, name string, old_col string"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 7)], "id long, name string, level int"
+    )
+    store.write(v0, 0)
+    store.write(v1, 1)
+    row = state_changes(store, 0, 1, ["id"]).collect()[0]
+    assert row["op"] == "UPDATE"
+    assert row["level__before"] is None and row["level__after"] == 7
+    assert row["old_col__before"] == "legacy" and row["old_col__after"] is None
+    assert row["name__before"] == "a" and row["name__after"] == "a"
+
+
+def test_versions_and_prune_see_negative_bootstrap_snapshot(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "neg"))
+    seed = spark.createDataFrame([(1, "x")], "id long, v string")
+    store.write(seed, -1)
+    store.write(seed, 0)
+    store.write(seed, 1)
+    assert store.versions() == [-1, 0, 1]
+    assert store.prune(keep_last=2) == [-1]  # bootstrap snapshot GC'd
+    assert store.versions() == [0, 1]
