@@ -656,3 +656,32 @@ def state_changes(
                 *[F.col(f"{c}__before") for c in val_cols],
                 *[F.col(f"{c}__after") for c in val_cols])
     )
+
+
+def erase_keys(
+    store: ParquetStateStore,
+    keys: DataFrame,
+    pk: list[str],
+) -> int:
+    """Compliance deletion (GDPR/CCPA erasure): remove every state row
+    whose PK appears in ``keys`` and commit the result as a NEW
+    snapshot version — auditable (the pre-erasure snapshot remains
+    until `prune`), atomic (the _CURRENT repoint), and idempotent
+    (re-running with the same keys is a no-op rewrite).
+
+    Plan: one LEFT ANTI join of the state table against the key set —
+    at 100 TB the key set is tiny relative to state, so AQE broadcasts
+    it and the state table is filtered in place, never shuffled.
+    Returns the new version id.
+
+    NOTE: erasure of rows the CDC stream may re-deliver needs the
+    upstream retention/tombstone handled too — this erases the
+    engine's materialized state, which is the part this engine owns."""
+    state = store.read()
+    if state is None:
+        raise ValueError("no committed state to erase from")
+    cur = store.current_version()
+    new_state = state.join(keys.select(*pk).dropDuplicates(pk), on=pk, how="left_anti")
+    new_version = cur + 1
+    store.write(new_state, new_version)
+    return new_version

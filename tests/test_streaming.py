@@ -871,3 +871,19 @@ def test_versions_and_prune_see_negative_bootstrap_snapshot(spark, tmp_path):
     assert store.versions() == [-1, 0, 1]
     assert store.prune(keep_last=2) == [-1]  # bootstrap snapshot GC'd
     assert store.versions() == [0, 1]
+
+
+def test_erase_keys_commits_new_version(spark, tmp_path):
+    from canal_phoenix_adapter_spark.streaming.stream import erase_keys
+
+    store = ParquetStateStore(spark, str(tmp_path / "gdpr"))
+    state = spark.createDataFrame(
+        [(1, "keep"), (2, "erase-me"), (3, "keep2")], "id long, v string"
+    )
+    store.write(state, 0)
+    keys = spark.createDataFrame([(2,), (99,)], "id long")  # 99 absent: no-op
+    v = erase_keys(store, keys, ["id"])
+    assert v == 1 and store.current_version() == 1
+    assert {r["id"] for r in store.read().collect()} == {1, 3}
+    # audit trail: pre-erasure snapshot still readable until pruned
+    assert {r["id"] for r in store.read_version(0).collect()} == {1, 2, 3}
