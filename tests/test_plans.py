@@ -214,3 +214,50 @@ def test_asof_gate_query_single_wide_shuffle(q):
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
     assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
+
+
+def test_scan_side_ops_have_zero_shuffles(q):
+    """PII scrub and stratified sampling are scan-side projections/
+    filters: ANY exchange beyond the load path's size-gated fan-out
+    means the op stopped pipelining with the parquet read."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    import re
+
+    for name in ("text_pii_scrub", "sampling_stratified"):
+        text = explain_str(q(name))
+        ex = [
+            line for line in text.splitlines()
+            if re.search(r"\(\d+\) Exchange", line)
+            and "REPARTITION_BY_NUM" not in text[text.index(line):text.index(line) + 400]
+        ]
+        # allow only the fan-out round-robin repartition from load_table
+        real = [l for l in ex]
+        assert len(real) <= 1, (name, real)
+
+
+def test_pack_sequences_single_group_shuffle(q):
+    """Sequence packing = one hash exchange on pack_group for the
+    window; a second data exchange would mean the md5 grouping is
+    being recomputed or re-partitioned."""
+    df = q("sampling_pack_sequences")
+    assert shuffle_count(df) <= 2  # fan-out + pack_group hash partition
+
+
+def test_chunk_crossdoc_keyed_exchanges_never_carry_text(q):
+    """The cross-doc chunk pass may hash-shuffle (id, hash) pairs and
+    aggregates — but document text must never enter a KEYED exchange
+    (the load path's size-gated round-robin fan-out legitimately ships
+    the scanned row once; hash partitioning is where a text leak would
+    multiply cost at scale)."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    import re
+
+    text = explain_str(q("dedup_chunk_crossdoc"))
+    # formatted explain: "(N) Exchange\nInput [..]: [cols]\nArguments: ..."
+    for m in re.finditer(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
+        text,
+    ):
+        cols, args = m.group(1), m.group(2)
+        if "hashpartitioning" in args.lower():
+            assert "text#" not in cols, f"text in keyed exchange: {cols} / {args}"
