@@ -6,13 +6,17 @@ Re-expresses the capabilities of wenjunxiao/canal-phoenix-adapter
 terms, plus large-scale training-data-pipeline extensions (dedup,
 similarity search, text analysis, multimodal plumbing).
 
-Layout (SURVEY.md §7.0):
+Layout (SURVEY.md §7.0; scale design ledger in SCALE.md):
     config        MappingConfig dataclass + YAML loader     (~ config/*)
-    functions/    column-expression builders: coercion, enums, hashing
-    sources/      table loaders, Canal event envelope/explode
-    operators/    transform, merge (CDC apply), etl, schema_sync,
-                  dedup, similarity, text, multimodal, analytics
-    streaming/    Structured Streaming glue (readStream -> foreachBatch)
+    monitor       config hot reload (poll watcher)
+    notify        HTTP notify hook on schema change
+    functions/    column-expression builders: coercion, enums, hashing, skew salting
+    sources/      table loaders, Canal event envelope/explode, JDBC options
+    operators/    transform, merge (CDC apply), etl, schema_sync, asof,
+                  dedup, similarity, text, sampling, multimodal, analytics
+    sinks/        executor-side Phoenix write loop, lake-layout parquet sink
+    streaming/    Structured Streaming glue, versioned state store
+                  (time travel, change feed, erasure), interval join
     plans/        physical-plan inspection helpers
 """
 
