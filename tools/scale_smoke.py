@@ -114,11 +114,15 @@ def main() -> None:
             ),
         }
         times = {}
+        passes = int(os.environ.get("SPARK_GRAFT_SMOKE_PASSES", "1"))
         for name, build in ops.items():
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            build().write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 2)
+            best = float("inf")
+            for _ in range(passes):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 2)
         print(json.dumps({"factor": n, "times": times}), flush=True)
 
 
