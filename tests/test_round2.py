@@ -484,3 +484,18 @@ def test_minhash_lsh_incremental_accepts_prebanded_index(spark):
         dedup.minhash_lsh_incremental(
             new_df, index_df, "id", "text", index_buckets=prebanded
         )
+
+
+def test_asof_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 100, "l1"), (1, "b", 100, "l2"), (2, "a", 100, "l3")],
+        "k1 int, k2 string, lts long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 90, "r-1a"), (1, "b", 95, "r-1b"), (2, "b", 80, "r-2b")],
+        "k1 int, k2 string, rts long, rval string",
+    )
+    out = asof_join(left, right, on=["k1", "k2"], left_ts="lts", right_ts="rts")
+    rows = {r["lval"]: r["rval"] for r in out.collect()}
+    # matches respect BOTH key columns: (2,'a') must not see (2,'b')
+    assert rows == {"l1": "r-1a", "l2": "r-1b", "l3": None}
