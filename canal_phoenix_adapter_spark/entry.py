@@ -2229,3 +2229,28 @@ def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_price").cast("decimal(18,2)").cast("string").alias("sum_price"),
         )
     )
+
+
+@register(
+    "analytics_event_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step1,
+           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                              AND t2 IS NOT NULL AND t2 > t1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+    FROM firsts
+    """,
+)
+def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: conditional-min firsts
+    per user, one shuffle, no joins."""
+    return analytics.event_funnel(spark, sf_dir)

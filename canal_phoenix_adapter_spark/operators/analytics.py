@@ -385,3 +385,30 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("revenue"))
     )
+
+
+def event_funnel(
+    spark: SparkSession, sf_dir: str, steps: list[str] | None = None
+) -> DataFrame:
+    """Ordered first-occurrence funnel: how many users reached step k
+    having done steps 1..k-1 in timestamp order (view -> click ->
+    purchase by default). One conditional-min aggregate per step over
+    a single groupBy(user) — no joins, no window, one shuffle; the
+    funnel depth is a column count, not a plan cost."""
+    steps = steps or ["view", "click", "purchase"]
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts_us"))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reached = []
+    cond = None
+    for i in range(len(steps)):
+        c = F.col(f"t{i}").isNotNull()
+        if i > 0:
+            c = c & (F.col(f"t{i}") > F.col(f"t{i-1}"))
+        cond = c if cond is None else cond & c
+        reached.append(F.sum(cond.cast("long")).alias(f"n_step{i + 1}"))
+    return firsts.agg(*reached)
