@@ -2254,3 +2254,43 @@ def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view->click->purchase funnel: conditional-min firsts
     per user, one shuffle, no joins."""
     return analytics.event_funnel(spark, sf_dir)
+
+
+@register(
+    "analytics_q6_forecast",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue,
+           count(1) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def analytics_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape: scan-filter-aggregate, all predicates pushed."""
+    out = analytics.q6_forecast_revenue(spark, sf_dir)
+    return out.select(
+        F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
+        "n_items",
+    )
+
+
+@register(
+    "analytics_q14_promo",
+    """
+    SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                              ELSE CAST(0 AS DECIMAL(14,4)) END) AS DECIMAL(18,4)) AS VARCHAR) AS promo_revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS VARCHAR) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def analytics_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape: promo share via conditional aggregation."""
+    out = analytics.q14_promo_revenue_share(spark, sf_dir)
+    return out.select(
+        F.col("promo_revenue").cast("decimal(18,4)").cast("string").alias("promo_revenue"),
+        F.col("total_revenue").cast("decimal(18,4)").cast("string").alias("total_revenue"),
+    )

@@ -412,3 +412,51 @@ def event_funnel(
         cond = c if cond is None else cond & c
         reached.append(F.sum(cond.cast("long")).alias(f"n_step{i + 1}"))
     return firsts.agg(*reached)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount/quantity band in
+    one year — the pure scan-filter-aggregate benchmark: every
+    predicate must reach the parquet scan, the agg is a single
+    map-side-combined sum (no grouping keys at all)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of one month's revenue —
+    conditional aggregation over a join (CASE inside sum), the
+    numerator/denominator pattern every mix-monitoring dashboard
+    runs."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(14,4)")
+                )
+            ).alias("promo_revenue"),
+            F.sum(rev).alias("total_revenue"),
+        )
+    )
