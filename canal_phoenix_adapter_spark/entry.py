@@ -2294,3 +2294,41 @@ def analytics_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("promo_revenue").cast("decimal(18,4)").cast("string").alias("promo_revenue"),
         F.col("total_revenue").cast("decimal(18,4)").cast("string").alias("total_revenue"),
     )
+
+
+@register(
+    "analytics_q13_custdist",
+    """
+    SELECT c_count, count(1) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def analytics_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: orders-per-customer histogram incl. the
+    zero-order bucket (left outer join + stacked aggregations)."""
+    return analytics.q13_order_count_distribution(spark, sf_dir)
+
+
+@register(
+    "analytics_q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+           CAST(CAST(total_qty AS DECIMAL(18,2)) AS VARCHAR) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def analytics_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape: HAVING subquery as aggregate + filter + join."""
+    return analytics.q18_large_volume_customers(spark, sf_dir, threshold=300)

@@ -460,3 +460,49 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("total_revenue"),
         )
     )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers — LEFT OUTER join + two stacked aggregations
+    (per-customer count, then histogram of counts). The outer join is
+    what distinguishes this from a plain groupBy: customers with no
+    orders must surface in the c_count=0 bucket."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): nulls excluded
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, threshold: int = 300
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with any order whose total quantity
+    exceeds the threshold. The HAVING subquery becomes an aggregate +
+    semi-filter join: per-order quantity sums (map-side combined),
+    filter, then join back to orders/customer — never a correlated
+    per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .where(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.col("total_qty").cast("decimal(18,2)").cast("string").alias("total_qty"),
+        )
+    )
