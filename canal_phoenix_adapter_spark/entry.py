@@ -400,33 +400,6 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH {_SHINGLE_CTE},
-    hs AS (SELECT DISTINCT doc_id AS id, {_H.format(x='shingle')} AS sh
-           FROM sh0 WHERE shingle <> ''),
-    sizes AS (SELECT id, count(1) AS sz FROM hs GROUP BY id),
-    pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(1) AS shared
-        FROM hs a JOIN hs b USING (sh) WHERE a.id < b.id
-        GROUP BY a.id, b.id
-    )
-    SELECT id_a, id_b,
-           CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON id_a = sa.id
-    JOIN sizes sb ON id_b = sb.id
-    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 4-gram Jaccard >= 0.5 (shingle-blocked join)."""
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=4, threshold=0.5
-    )
-
-
-@register(
     "dedup_ngram_jaccard_maxdf",
     f"""
     WITH {_SHINGLE_CTE},
@@ -1608,14 +1581,6 @@ def _simhash_pairs_sql(max_dist: int = 3, bands: int = 4, max_bucket: int | None
     JOIN sig sb ON id_b = sb.doc_id
     WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_dist}
     """
-
-
-@register("dedup_simhash_pairs", _simhash_pairs_sql(3, 4))
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band blocking + exact hamming <= 3."""
-    return dedup.simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_dist=3, bands=4
-    )
 
 
 @register("dedup_simhash_pairs_capped", _simhash_pairs_sql(3, 4, max_bucket=16))

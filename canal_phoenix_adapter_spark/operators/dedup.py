@@ -39,6 +39,15 @@ from canal_phoenix_adapter_spark.functions.hashing import (
 
 TOKEN_SPLIT = r"\s+"
 
+# Skew caps default ON: an unbounded LSH/shingle bucket shared by d
+# docs emits d^2 candidate-join rows, and AQE splits partitions, not
+# single hot keys — so the uncapped variants are explicit opt-ins
+# (pass None). Values match the gated scale-path queries; production
+# corpora tune them per-corpus (they bound recall on boilerplate, not
+# on genuinely near-duplicate content).
+DEFAULT_SHINGLE_MAX_DF = 5
+DEFAULT_SIMHASH_MAX_BUCKET = 16
+
 
 def _tokens(text_col):
     return F.split(F.trim(text_col), TOKEN_SPLIT)
@@ -73,11 +82,16 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 4,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard: block on shared shingles so
     only docs with >= 1 common n-gram ever meet (no cartesian join),
     then Jaccard = shared / (|A| + |B| - shared).
+
+    The document-frequency cap is ON by default — an uncapped run is a
+    deliberate opt-in (``max_df=None``) because a single hot shingle
+    shared by d docs emits d^2 join rows and AQE cannot split one hot
+    key; see the scale note below.
 
     At 100 TB the shingle self-join is the scale knob: shingle hashes
     are bigints (8 bytes vs arbitrary text), and ``max_df`` drops
@@ -333,9 +347,12 @@ def simhash_hamming_pairs(
     text_col: str,
     max_dist: int = 3,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_dist.
+
+    The bucket cap is ON by default — an uncapped run is a deliberate
+    opt-in (``max_bucket=None``); see the scale note below.
 
     Pigeonhole blocking: split the 32-bit sketch into ``bands`` byte
     bands; any pair within hamming distance bands-1 shares at least

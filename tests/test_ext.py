@@ -34,7 +34,9 @@ def test_exact_dup_groups(spark):
 
 
 def test_ngram_jaccard_detects_near_dup(spark):
-    pairs = dedup.ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", n=2, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs_df(spark), "doc_id", "text", n=2, threshold=0.3, max_df=None
+    )
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got[(1, 2)] == 1.0           # identical docs
     assert 0.3 <= got[(1, 3)] < 1.0     # near dup
@@ -144,7 +146,7 @@ def test_minhash_lsh_max_bucket_drops_hot_buckets(spark):
 
 def test_simhash_pairs_max_bucket_drops_hot_buckets(spark):
     uncapped = dedup.simhash_hamming_pairs(
-        docs_df(spark), "doc_id", "text", max_dist=3, bands=4
+        docs_df(spark), "doc_id", "text", max_dist=3, bands=4, max_bucket=None
     )
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
     capped = dedup.simhash_hamming_pairs(
@@ -299,7 +301,7 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
         ],
         "doc_id long, text string",
     )
-    unfiltered = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05)
+    unfiltered = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05, max_df=None)
     got_all = {(r["id_a"], r["id_b"]) for r in unfiltered.collect()}
     assert (1, 2) in got_all and (1, 3) in got_all
     filtered = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05, max_df=2)
