@@ -44,14 +44,22 @@ class ParquetStateStore:
         version; the replayed epoch reads it and overwrites the
         orphaned v{N} dir (a different path than the one being read).
       * crash after the repoint but before the streaming checkpoint
-        commits -> the replayed epoch sees current_version() == its
+        commits -> the replayed epoch sees last_epoch() == its
         epoch_id and must SKIP the merge (apply_cdc_epoch does);
         re-merging would both double-apply and self-overwrite the
         v{N} dir it is lazily reading from, which Spark rejects
         ("Cannot overwrite a path that is also being read from").
     write() therefore must never target the version its input was read
     from — callers route through apply_cdc_epoch, which guarantees it.
-    """
+
+    Snapshot VERSION and CDC EPOCH are separate counters: the pointer
+    records both. A non-CDC commit (erase_keys compliance deletion)
+    bumps only the version and carries the epoch watermark forward —
+    so it can neither shadow a future epoch in the replay check nor
+    collide with a future epoch's snapshot dir (apply_cdc_epoch writes
+    version max(cur+1, epoch_id)). Old-layout pointers without the
+    "epoch" key fall back to epoch == version (those stores were only
+    ever written by apply_cdc_epoch, where the two coincided)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -67,6 +75,18 @@ class ParquetStateStore:
                 return int(json.load(f)["version"])
         except (FileNotFoundError, ValueError, KeyError):
             return None
+
+    def last_epoch(self) -> int | None:
+        """Last CDC epoch id committed via apply_cdc_epoch — the replay
+        skip watermark. Falls back to the version for old-layout
+        pointers (written before the two counters were separated)."""
+        try:
+            with open(self._pointer(), encoding="utf-8") as f:
+                p = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+        e = p.get("epoch", p.get("version"))
+        return None if e is None else int(e)
 
     def read(self) -> DataFrame | None:
         v = self.current_version()
@@ -90,12 +110,17 @@ class ParquetStateStore:
             )
         return self.spark.read.parquet(p)
 
-    def write(self, df: DataFrame, epoch_id: int) -> None:
-        target = os.path.join(self.path, f"v{epoch_id}")
+    def write(self, df: DataFrame, version: int, epoch_id: int | None = None) -> None:
+        """Commit ``df`` as snapshot ``version``. ``epoch_id`` (CDC
+        writes only) advances the replay watermark; a None epoch_id
+        (bootstrap / erasure) carries the current watermark forward."""
+        if epoch_id is None:
+            epoch_id = self.last_epoch()
+        target = os.path.join(self.path, f"v{version}")
         df.write.mode("overwrite").parquet(target)
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": epoch_id}, f)
+            json.dump({"version": version, "epoch": epoch_id}, f)
         os.replace(tmp, self._pointer())
 
     def versions(self) -> list[int]:
@@ -184,9 +209,12 @@ def apply_cdc_epoch(
 
     Replay-safe (C10, the reference's transactional batch + rollback,
     BatchExecutor.java:60-91, re-expressed as epoch idempotence): if
-    _CURRENT already names this epoch (or a later one), the merge
+    the store's epoch watermark already covers this epoch, the merge
     committed before the crash and the replay is a no-op — see
-    ParquetStateStore's commit-marker contract.
+    ParquetStateStore's commit-marker contract. The check is on
+    last_epoch(), NOT current_version(): a non-CDC commit in between
+    (erase_keys) bumps the version without advancing the watermark,
+    so it can never cause a future epoch to be silently skipped.
 
     ``on_schema_change`` (S9 injection point): zero-arg callable fired
     after commit when this epoch created the state table or changed
@@ -194,9 +222,10 @@ def apply_cdc_epoch(
     after syncSchema DDL (PhoenixEtlService.java:162,174-215)."""
     if batch_df.isEmpty():
         return False
-    cur = store.current_version()
-    if cur is not None and cur >= epoch_id:
+    last = store.last_epoch()
+    if last is not None and last >= epoch_id:
         return False
+    cur = store.current_version()
     state = store.read()
     prev_cols = None if state is None else {c.lower() for c in state.columns}
     if state is not None:
@@ -206,7 +235,11 @@ def apply_cdc_epoch(
                           if f.name not in ("seq", "op") and not f.name.startswith("old_")]),
         )
     new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
-    store.write(new_state, epoch_id)
+    # Version tracks the epoch id while the two are aligned (the normal
+    # stream), but can never step backwards onto — or into — a snapshot
+    # an interleaved non-CDC commit (erasure) already occupies.
+    version = epoch_id if cur is None else max(cur + 1, epoch_id)
+    store.write(new_state, version, epoch_id=epoch_id)
     if on_schema_change is not None:
         new_cols = {c.lower() for c in new_state.columns}
         if prev_cols is None or prev_cols != new_cols:
@@ -475,17 +508,29 @@ class BucketedStateStore:
             return None
         return self.spark.table(self._table(v))
 
-    def write(self, df: DataFrame, epoch_id: int) -> None:
+    def last_epoch(self) -> int | None:
+        """See ParquetStateStore.last_epoch — same pointer contract."""
+        try:
+            with open(self._pointer(), encoding="utf-8") as f:
+                p = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+        e = p.get("epoch", p.get("version"))
+        return None if e is None else int(e)
+
+    def write(self, df: DataFrame, version: int, epoch_id: int | None = None) -> None:
+        if epoch_id is None:
+            epoch_id = self.last_epoch()
         (
             df.write.bucketBy(self.buckets, *self.pk)
             .sortBy(*self.pk)
             .mode("overwrite")
             .format("parquet")
-            .saveAsTable(self._table(epoch_id))
+            .saveAsTable(self._table(version))
         )
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": epoch_id}, f)
+            json.dump({"version": version, "epoch": epoch_id}, f)
         os.replace(tmp, self._pointer())
 
     def versions(self) -> list[int]:
@@ -624,8 +669,10 @@ def state_changes(
     exchange."""
     old = store.read_version(from_version)
     new = store.read_version(to_version)
-    types = {f.name: f.dataType for f in old.schema.fields}
-    types.update({f.name: f.dataType for f in new.schema.fields})
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    types = dict(old_types)
+    types.update(new_types)
     val_cols = [
         c for c in [*new.columns, *[c for c in old.columns if c not in new.columns]]
         if c not in pk
@@ -643,7 +690,18 @@ def state_changes(
     j = o.join(n, on=pk, how="full_outer")
     changed = F.lit(False)
     for c in val_cols:
-        changed = changed | ~F.col(f"{c}__before").eqNullSafe(F.col(f"{c}__after"))
+        b, a = F.col(f"{c}__before"), F.col(f"{c}__after")
+        if (
+            c in old_types
+            and c in new_types
+            and old_types[c] != new_types[c]
+        ):
+            # A heal/DDL epoch changed the column's TYPE between the
+            # snapshots: a raw null-safe compare would either raise or
+            # implicitly coerce. Compare on string renderings (total,
+            # deterministic); the output keeps each side's own type.
+            b, a = b.cast("string"), a.cast("string")
+        changed = changed | ~b.eqNullSafe(a)
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("INSERT"))
         .when(F.col("__in_new").isNull(), F.lit("DELETE"))
@@ -674,6 +732,14 @@ def erase_keys(
     it and the state table is filtered in place, never shuffled.
     Returns the new version id.
 
+    Safe concurrent with the CDC stream: the erasure commit bumps only
+    the snapshot VERSION and carries the epoch watermark forward
+    (write with epoch_id=None), so apply_cdc_epoch's replay check —
+    which reads last_epoch(), not current_version() — still applies
+    every future epoch; and because CDC writes target
+    max(cur+1, epoch_id), a later epoch can never overwrite the
+    erasure snapshot's directory either.
+
     NOTE: erasure of rows the CDC stream may re-deliver needs the
     upstream retention/tombstone handled too — this erases the
     engine's materialized state, which is the part this engine owns."""
@@ -683,5 +749,5 @@ def erase_keys(
     cur = store.current_version()
     new_state = state.join(keys.select(*pk).dropDuplicates(pk), on=pk, how="left_anti")
     new_version = cur + 1
-    store.write(new_state, new_version)
+    store.write(new_state, new_version, epoch_id=None)
     return new_version

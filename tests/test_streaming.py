@@ -887,3 +887,65 @@ def test_erase_keys_commits_new_version(spark, tmp_path):
     assert {r["id"] for r in store.read().collect()} == {1, 3}
     # audit trail: pre-erasure snapshot still readable until pruned
     assert {r["id"] for r in store.read_version(0).collect()} == {1, 2, 3}
+
+
+def test_erasure_does_not_shadow_future_epoch(spark, tmp_path):
+    """The version/epoch split: an erase_keys commit between epochs
+    must not cause the next CDC epoch to be skipped (it previously
+    bumped current_version onto the next epoch id, which the replay
+    check read as already-applied), and the next epoch must not
+    overwrite the erasure snapshot's directory."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        apply_cdc_epoch,
+        erase_keys,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "gdpr-live"))
+    b0 = spark.createDataFrame(
+        [(1, "INSERT", 1, "a"), (2, "INSERT", 2, "b")],
+        "seq long, op string, id long, name string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "INSERT", 3, "c")], "seq long, op string, id long, name string"
+    )
+    assert apply_cdc_epoch(store, b0, 0, ["id"])
+    assert store.current_version() == 0 and store.last_epoch() == 0
+
+    keys = spark.createDataFrame([(2,)], "id long")
+    v = erase_keys(store, keys, ["id"])
+    assert v == 1 and store.current_version() == 1
+    assert store.last_epoch() == 0  # watermark carried, not advanced
+
+    # epoch 1 arrives AFTER the erasure: must apply, not no-op
+    assert apply_cdc_epoch(store, b1, 1, ["id"]) is True
+    assert {r["id"] for r in store.read().collect()} == {1, 3}
+    assert store.last_epoch() == 1
+    # and it landed in a fresh snapshot dir, not over the erasure's
+    assert store.current_version() == 2
+    assert {r["id"] for r in store.read_version(1).collect()} == {1}
+
+    # replay of epoch 1 after the erasure interleave still no-ops
+    assert apply_cdc_epoch(store, b1, 1, ["id"]) is False
+
+
+def test_state_changes_across_type_change(spark, tmp_path):
+    """A heal epoch changed a column's TYPE between snapshots: the
+    diff compares on string renderings instead of raising/coercing;
+    each side keeps its own type in the output."""
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdf3"))
+    v0 = spark.createDataFrame(
+        [(1, "2"), (2, "3"), (3, "9")], "id long, bal string"
+    )
+    v1 = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 9)], "id long, bal int"
+    )
+    store.write(v0, 0)
+    store.write(v1, 1)
+    got = {
+        r["id"]: (r["op"], r["bal__before"], r["bal__after"])
+        for r in state_changes(store, 0, 1, ["id"]).collect()
+    }
+    # "2" == 2 and "9" == 9 as strings -> unchanged, excluded
+    assert got == {2: ("UPDATE", "3", 4)}
