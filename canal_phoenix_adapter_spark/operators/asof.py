@@ -25,10 +25,11 @@ Scale notes (the reason this shape wins at 100 TB):
 
 Ties: a right row AT the left row's timestamp is visible in backward
 mode (inclusive, matching DuckDB/pandas `merge_asof` defaults) — the
-tag orders right (0) before left (1) at equal ts. Callers must ensure
-the right side has at most one row per (key, ts): pre-collapse with
-``keep_last``-style aggregation, else which row wins is
-tie-broken by ``right_order`` columns (last one wins).
+tag orders right (0) before left (1) at equal ts. When the right side
+can hold several rows per (key, ts), pass ``right_order`` columns to
+pick a deterministic winner (greatest right_order tuple wins);
+without it, which duplicate wins depends on partition order —
+pre-collapse with ``keep_last`` or pass ``right_order``.
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     tolerance: int | None = None,
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """Point-in-time join of ``right`` onto ``left``.
 
@@ -64,6 +66,12 @@ def asof_join(
     columns' own units) is nulled out — pandas ``merge_asof``
     tolerance semantics, applied as a post-projection so the plan
     shape is unchanged.
+
+    ``right_order``: right-side columns breaking ties among duplicate
+    (key, ts) right rows — the row with the GREATEST right_order tuple
+    wins, deterministically on any partitioning. They extend the
+    window's orderBy (no extra shuffle or pass); left rows are
+    unaffected (the tag still dominates at equal ts).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -95,10 +103,12 @@ def asof_join(
     # The struct itself is non-null on every right row — even an
     # all-null payload — and null on left rows, so last(ignorenulls)
     # over it picks exactly the latest preceding right ROW.
+    order_cols = list(right_order or [])
     r = right.select(
         *[F.col(k) for k in on],
         (F.col(right_ts) * sign).alias("__asof_ts"),
         F.lit(0).alias("__asof_tag"),
+        *[F.col(c).alias(f"__asof_ord{i}") for i, c in enumerate(order_cols)],
         F.struct(
             F.col(right_ts).alias(ts_out),
             *[F.col(src).alias(dst) for dst, src in payload.items()],
@@ -114,9 +124,17 @@ def asof_join(
     # opposite side.
     u = l.unionByName(r, allowMissingColumns=True)
 
+    # Tie-break columns sort ascending with NULLS FIRST, so on left
+    # rows (all-null ords) the tag still decides; among duplicate
+    # (key, ts) right rows the greatest right_order tuple sorts last
+    # and last(ignorenulls) picks it.
     w = (
         Window.partitionBy(*on)
-        .orderBy("__asof_ts", "__asof_tag")
+        .orderBy(
+            "__asof_ts",
+            "__asof_tag",
+            *[F.asc_nulls_first(f"__asof_ord{i}") for i in range(len(order_cols))],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__asof_row", ignorenulls=True).over(w)

@@ -223,16 +223,21 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     100 TB scrub pass: it pipelines with the parquet scan and never
     materializes an intermediate.
 
-    Emails are replaced first: an email can contain digit runs but a
-    bare IP can never contain '@', so the order is conflict-free."""
+    Emails are replaced first, and ``n_ips`` is counted on the
+    email-scrubbed text — so an IPv4-looking run inside an email
+    (a@10.1.2.3.com) is redacted once as part of the email and never
+    double-counted as an IP; counts always equal actual <IP>
+    replacements. IPV4_RE is deliberately boundary-free (Java and
+    DuckDB RE2-subset compatible): inside a longer dotted run like
+    1.2.3.4.5 it matches the first four octets — over-redaction, the
+    conservative direction for a scrubber."""
     t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ).alias("text_scrubbed"),
+        F.size(F.regexp_extract_all(no_email, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.regexp_replace(no_email, IPV4_RE, "<IP>").alias("text_scrubbed"),
     )
 
 

@@ -499,3 +499,32 @@ def test_asof_composite_key(spark):
     rows = {r["lval"]: r["rval"] for r in out.collect()}
     # matches respect BOTH key columns: (2,'a') must not see (2,'b')
     assert rows == {"l1": "r-1a", "l2": "r-1b", "l3": None}
+
+
+def test_asof_right_order_tiebreak_deterministic(spark):
+    """Duplicate (key, ts) right rows: right_order picks the greatest
+    tuple deterministically, on any input order."""
+    left = spark.createDataFrame([(1, 100, "l")], "k int, lts long, lval string")
+    dup_rows = [(1, 100, 1, "first"), (1, 100, 3, "third"), (1, 100, 2, "second")]
+    for rows in (dup_rows, list(reversed(dup_rows))):
+        right = spark.createDataFrame(rows, "k int, rts long, pri int, rval string")
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_order=["pri"],
+        )
+        assert out.collect()[0]["rval"] == "third"
+
+
+def test_pii_scrub_ip_inside_email_not_double_counted(spark):
+    """An IPv4-looking run inside an email is redacted as part of the
+    email and must NOT appear in n_ips (counts == actual <IP>
+    replacements)."""
+    df = spark.createDataFrame(
+        [(1, "write a@10.1.2.3.com now"), (2, "bare 10.1.2.3 here")],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in text_ops.pii_scrub(df, "id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 0
+    assert out[1]["text_scrubbed"] == "write <EMAIL> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 1
+    assert out[2]["text_scrubbed"] == "bare <IP> here"
