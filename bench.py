@@ -52,6 +52,14 @@ HEADLINE = [
     "analytics_session_window",
     "analytics_salted_join",
     "pipeline_corpus_clean",
+    # Iterative / incremental / train-serve paths: kept in the headline
+    # so regressions in loops (Pregel components, Lloyd's k-means) and
+    # batch-vs-index joins are visible round over round.
+    "dedup_clusters",
+    "text_decontaminate_ngram",
+    "dedup_minhash_lsh_incremental",
+    "sim_knn_join_ivf",
+    "sim_ann_ivf_trained",
 ]
 
 

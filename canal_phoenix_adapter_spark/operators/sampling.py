@@ -93,7 +93,10 @@ def vocab_topk(
     TakeOrderedAndProject — per-partition top-k merged on one tiny
     result — NOT as a global-window sort that would drag the whole
     vocabulary through a single task; the rank window then orders only
-    the k surviving rows."""
+    the k surviving rows, partitioned by a constant so WindowExec
+    never logs its move-everything-to-one-partition warning (k rows in
+    one partition is the intent, and a noisy benign warning trains
+    readers to ignore the one that matters)."""
     toks = df.select(
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
@@ -101,7 +104,9 @@ def vocab_topk(
     ).where(F.length("token") >= min_len)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     top = counts.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("doc_freq").desc(), F.col("token").asc()
+    )
     return top.select(
         F.row_number().over(w).alias("rank"), "token", "doc_freq"
     )

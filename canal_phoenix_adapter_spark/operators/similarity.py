@@ -318,7 +318,13 @@ def ivf_train_codebook(
     Determinism: seeds are the k lowest-id vectors (TakeOrdered), and
     every subsequent step is deterministic arithmetic — same data,
     same codebook, on any cluster. Empty cells keep their previous
-    centroid (standard Lloyd's fallback)."""
+    centroid (standard Lloyd's fallback). Each updated centroid
+    component is quantized to 1e-6 (round half-away-from-zero): the
+    avg's floating summation order depends on partition layout, so
+    without the quantization a retrain on a different cluster shape
+    could drift by ulps and flip argmin near-ties — rounding makes the
+    trained codebook bit-stable across layouts (and lets an external
+    replica reproduce it exactly)."""
     seeds = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
@@ -333,7 +339,7 @@ def ivf_train_codebook(
         )
         means = (
             assigned.groupBy("cell", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
             .groupBy("cell")
             .agg(
                 F.array_sort(
