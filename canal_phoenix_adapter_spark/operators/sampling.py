@@ -96,7 +96,13 @@ def vocab_topk(
     the k surviving rows, partitioned by a constant so WindowExec
     never logs its move-everything-to-one-partition warning (k rows in
     one partition is the intent, and a noisy benign warning trains
-    readers to ignore the one that matters)."""
+    readers to ignore the one that matters). The constant must be
+    NON-FOLDABLE: Catalyst strips partition keys it can prove
+    constant (a literal folds; so does ``doc_freq * 0`` — doc_freq
+    is non-nullable, so the mul-by-zero simplifies — and the
+    partitionSpec comes out empty, warning back). ``doc_freq -
+    doc_freq`` survives: no x - x rewrite exists, so the optimizer
+    keeps the key and WindowExec sees a one-group partition."""
     toks = df.select(
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
@@ -104,7 +110,7 @@ def vocab_topk(
     ).where(F.length("token") >= min_len)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     top = counts.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    w = Window.partitionBy(F.col("doc_freq") - F.col("doc_freq")).orderBy(
         F.col("doc_freq").desc(), F.col("token").asc()
     )
     return top.select(
