@@ -278,7 +278,16 @@ def ann_topk_lsh(
 
 
 def _dist2_expr(vec_col: str, centroid: list[float]) -> F.Column:
-    """Squared L2 distance to a literal centroid, as one fold."""
+    """Squared L2 distance to a literal centroid, as one fold.
+
+    Deliberately a zip_with/aggregate fold and NOT an unrolled
+    per-component expression chain: with k centroids x dim components
+    the unrolled tree is k*dim*~4 plan nodes, and Catalyst's
+    analysis/optimization of that tree dominates wall time (measured
+    9x WORSE end-to-end at k=8, dim=64 despite the fold's lambdas
+    evaluating outside whole-stage codegen). The fold keeps the plan
+    O(k) nodes; its left-to-right double summation order is what the
+    external oracle replica mirrors with cumsum."""
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -310,21 +319,34 @@ def ivf_train_codebook(
     This fills the slot ivf_cell_expr documents ("a trained k-means
     codebook slots into the same shape"). Everything data-sized stays
     distributed: assignment is a scan-local argmin projection; the
-    update step is posexplode -> groupBy(cell, pos).avg — one shuffle
-    of (cell, pos, component) triples. Only the k x dim centroid
+    update step is ``groupBy(cell)`` with dim-wide component sums +
+    a count — every aggregate partial-combines map-side, so the
+    shuffle carries ONE row of k x (dim+1) doubles per map partition
+    (a posexplode variant would shuffle n x dim (cell, pos, value)
+    triples — the data, not the model). Only the k x dim centroid
     matrix (model parameters, not data) is collected per iteration,
-    which is what makes the next iteration's literals possible.
+    which is what makes the next iteration's literals possible. The
+    projected vector column is persisted across the ``iters``
+    re-scans (the standard iterative-training trade: memory-and-disk
+    blocks vs re-reading the source each pass); the persist is
+    released before returning.
 
     Determinism: seeds are the k lowest-id vectors (TakeOrdered), and
     every subsequent step is deterministic arithmetic — same data,
     same codebook, on any cluster. Empty cells keep their previous
     centroid (standard Lloyd's fallback). Each updated centroid
-    component is quantized to 1e-6 (round half-away-from-zero): the
-    avg's floating summation order depends on partition layout, so
-    without the quantization a retrain on a different cluster shape
-    could drift by ulps and flip argmin near-ties — rounding makes the
-    trained codebook bit-stable across layouts (and lets an external
-    replica reproduce it exactly)."""
+    component is quantized to 1e-6 (round half-away-from-zero,
+    ``floor(|x| * 1e6 + 0.5)`` — the same formula the external oracle
+    replica uses, so engine and replica agree by construction): the
+    floating summation order depends on partition layout, so without
+    the quantization a retrain on a different cluster shape could
+    drift by ulps and flip argmin near-ties — rounding makes the
+    trained codebook bit-stable across layouts."""
+    import math
+
+    def _q6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
     seeds = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
@@ -332,25 +354,30 @@ def ivf_train_codebook(
         .collect()
     )
     codebook = [[float(x) for x in r["v"]] for r in seeds]
-    for _ in range(iters):
-        assigned = df.select(
-            assign_cells(df, vec_col, codebook).alias("cell"),
-            F.posexplode(F.col(vec_col)),
-        )
-        means = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ).alias("pm")
+    dim = len(codebook[0])
+    base = df.select(F.col(vec_col).alias("__v")).persist()
+    try:
+        for _ in range(iters):
+            stats = (
+                base.groupBy(
+                    assign_cells(base, "__v", codebook).alias("cell")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col("__v")[i].cast("double")).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .select("cell", F.col("pm.m").alias("centroid"))
-            .collect()
-        )
-        for r in means:
-            codebook[int(r["cell"])] = [float(x) for x in r["centroid"]]
+            for r in stats:
+                n = r["n"]
+                codebook[int(r["cell"])] = [
+                    _q6(r[f"s{i}"] / n) for i in range(dim)
+                ]
+    finally:
+        base.unpersist()
     return codebook
 
 
