@@ -1642,7 +1642,23 @@ def _ivf_trained_replica_codebook(
     fold's left-to-right summation bit-for-bit), per-cell means
     quantized to 1e-6 half-away-from-zero exactly like the engine.
     Returns None when the parquet is unreadable (gate then registers
-    without an oracle — rows-only check)."""
+    without an oracle — rows-only check) — but LOUDLY, on stderr:
+    silently degrading the t2 gate would make an environment bug
+    (moved testdata, broken pyarrow) indistinguishable from an
+    intentionally oracle-less registration. Cost note: this runs at
+    registry import, which is fine at the gate's fixed sf0.01 scale
+    (~10^3 x 64 floats, 3 Lloyd's iterations — milliseconds); it is
+    NOT a per-query cost."""
+    import sys as _sys
+
+    def _degrade(why: str):
+        print(
+            "WARNING canal_phoenix_adapter_spark.entry: sim_ann_ivf_trained "
+            f"registers WITHOUT an oracle (rows-only gate): {why}",
+            file=_sys.stderr,
+        )
+        return None
+
     try:
         import numpy as np
         import pyarrow.parquet as pq
@@ -1650,10 +1666,10 @@ def _ivf_trained_replica_codebook(
         t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
         ids = t.column("vec_id").to_numpy()
         emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
-    except Exception:  # noqa: BLE001 - missing/odd testdata: no oracle
-        return None
+    except Exception as e:  # noqa: BLE001 - missing/odd testdata: no oracle
+        return _degrade(f"replica codebook training failed reading {parquet_path}: {e!r}")
     if len(ids) < k:
-        return None
+        return _degrade(f"{parquet_path} has {len(ids)} vectors < k={k}")
     import numpy as np
 
     order = np.argsort(ids, kind="stable")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,40 +35,44 @@ from canal_phoenix_adapter_spark.sources.events import (
 )
 
 
-class ParquetStateStore:
-    """Versioned keyed-state table on parquet: each epoch writes a new
-    snapshot dir and repoints _CURRENT (atomic rename of a small
-    pointer file), so readers never see a half-written snapshot.
+class _CommitPointer:
+    """The commit-marker contract shared by the state stores: a
+    ``_CURRENT`` pointer file ({"version": int, "epoch": int|None}
+    json, swapped into place with an atomic os.replace) plus a
+    ``_COMMITLOCK`` advisory lock serializing commits.
 
-    The _CURRENT repoint IS the epoch's commit marker (C10 atomicity):
-      * crash before the repoint -> _CURRENT still names the previous
-        version; the replayed epoch reads it and overwrites the
-        orphaned v{N} dir (a different path than the one being read).
-      * crash after the repoint but before the streaming checkpoint
-        commits -> the replayed epoch sees last_epoch() == its
-        epoch_id and must SKIP the merge (apply_cdc_epoch does);
-        re-merging would both double-apply and self-overwrite the
-        v{N} dir it is lazily reading from, which Spark rejects
-        ("Cannot overwrite a path that is also being read from").
-    write() therefore must never target the version its input was read
-    from — callers route through apply_cdc_epoch, which guarantees it.
+    The lock is an ``fcntl.flock``: owned by the open file
+    description, so it auto-releases when the holder's process dies
+    (no stale-lock janitor), and it excludes both other threads of
+    this process and other processes on the same host filesystem.
+    It is NOT reentrant — ``write()`` takes it, so code that already
+    holds ``commit_lock()`` must call ``_write_unlocked()``.
 
-    Snapshot VERSION and CDC EPOCH are separate counters: the pointer
-    records both. A non-CDC commit (erase_keys compliance deletion)
-    bumps only the version and carries the epoch watermark forward —
-    so it can neither shadow a future epoch in the replay check nor
-    collide with a future epoch's snapshot dir (apply_cdc_epoch writes
-    version max(cur+1, epoch_id)). Old-layout pointers without the
-    "epoch" key fall back to epoch == version (those stores were only
-    ever written by apply_cdc_epoch, where the two coincided)."""
+    Why commits must serialize: every writer's snapshot is derived
+    from the version it read (its BASIS). Two concurrent commits —
+    e.g. a CDC epoch and an erase_keys compliance deletion — are a
+    check-then-act race: the second pointer swap publishes a snapshot
+    computed WITHOUT the first commit's changes, silently undoing a
+    committed epoch (or the erasure). Holding the lock across
+    [basis read -> snapshot write -> pointer swap] makes the basis
+    valid at publish time by construction. Requires ``self._meta_dir``
+    (directory holding the pointer and lock files)."""
 
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
-        os.makedirs(path, exist_ok=True)
+    _meta_dir: str
 
     def _pointer(self) -> str:
-        return os.path.join(self.path, "_CURRENT")
+        return os.path.join(self._meta_dir, "_CURRENT")
+
+    @contextmanager
+    def commit_lock(self):
+        import fcntl
+
+        with open(os.path.join(self._meta_dir, "_COMMITLOCK"), "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def current_version(self) -> int | None:
         try:
@@ -87,6 +92,51 @@ class ParquetStateStore:
             return None
         e = p.get("epoch", p.get("version"))
         return None if e is None else int(e)
+
+    def _repoint(self, version: int, epoch_id: int | None) -> None:
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version, "epoch": epoch_id}, f)
+        os.replace(tmp, self._pointer())
+
+
+class ParquetStateStore(_CommitPointer):
+    """Versioned keyed-state table on parquet: each epoch writes a new
+    snapshot dir and repoints _CURRENT (atomic rename of a small
+    pointer file), so readers never see a half-written snapshot.
+
+    The _CURRENT repoint IS the epoch's commit marker (C10 atomicity):
+      * crash before the repoint -> _CURRENT still names the previous
+        version; the replayed epoch reads it and overwrites the
+        orphaned v{N} dir (a different path than the one being read).
+      * crash after the repoint but before the streaming checkpoint
+        commits -> the replayed epoch sees last_epoch() == its
+        epoch_id and must SKIP the merge (apply_cdc_epoch does);
+        re-merging would both double-apply and self-overwrite the
+        v{N} dir it is lazily reading from, which Spark rejects
+        ("Cannot overwrite a path that is also being read from").
+    write() therefore must never target the version its input was read
+    from — callers route through apply_cdc_epoch, which guarantees it.
+
+    Commits are serialized under the inherited commit lock (see
+    _CommitPointer: flock held across basis read -> snapshot write ->
+    pointer swap), so a concurrent admin commit can never publish
+    over — or be published over by — an epoch it did not observe.
+
+    Snapshot VERSION and CDC EPOCH are separate counters: the pointer
+    records both. A non-CDC commit (erase_keys compliance deletion)
+    bumps only the version and carries the epoch watermark forward —
+    so it can neither shadow a future epoch in the replay check nor
+    collide with a future epoch's snapshot dir (apply_cdc_epoch writes
+    version max(cur+1, epoch_id)). Old-layout pointers without the
+    "epoch" key fall back to epoch == version (those stores were only
+    ever written by apply_cdc_epoch, where the two coincided)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._meta_dir = path
+        os.makedirs(path, exist_ok=True)
 
     def read(self) -> DataFrame | None:
         v = self.current_version()
@@ -111,17 +161,23 @@ class ParquetStateStore:
         return self.spark.read.parquet(p)
 
     def write(self, df: DataFrame, version: int, epoch_id: int | None = None) -> None:
-        """Commit ``df`` as snapshot ``version``. ``epoch_id`` (CDC
-        writes only) advances the replay watermark; a None epoch_id
-        (bootstrap / erasure) carries the current watermark forward."""
+        """Commit ``df`` as snapshot ``version``, serialized under the
+        commit lock. ``epoch_id`` (CDC writes only) advances the replay
+        watermark; a None epoch_id (bootstrap / erasure) carries the
+        current watermark forward. Callers that already hold
+        ``commit_lock()`` (and therefore own a validated basis) must
+        use ``_write_unlocked`` — the flock is not reentrant."""
+        with self.commit_lock():
+            self._write_unlocked(df, version, epoch_id)
+
+    def _write_unlocked(
+        self, df: DataFrame, version: int, epoch_id: int | None = None
+    ) -> None:
         if epoch_id is None:
             epoch_id = self.last_epoch()
         target = os.path.join(self.path, f"v{version}")
         df.write.mode("overwrite").parquet(target)
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version, "epoch": epoch_id}, f)
-        os.replace(tmp, self._pointer())
+        self._repoint(version, epoch_id)
 
     def versions(self) -> list[int]:
         """Snapshot versions on disk, ascending. Negative versions are
@@ -222,24 +278,33 @@ def apply_cdc_epoch(
     after syncSchema DDL (PhoenixEtlService.java:162,174-215)."""
     if batch_df.isEmpty():
         return False
-    last = store.last_epoch()
-    if last is not None and last >= epoch_id:
-        return False
-    cur = store.current_version()
-    state = store.read()
-    prev_cols = None if state is None else {c.lower() for c in state.columns}
-    if state is not None:
-        state = align_to_schema(
-            state,
-            T.StructType([f for f in batch_df.schema.fields
-                          if f.name not in ("seq", "op") and not f.name.startswith("old_")]),
-        )
-    new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
-    # Version tracks the epoch id while the two are aligned (the normal
-    # stream), but can never step backwards onto — or into — a snapshot
-    # an interleaved non-CDC commit (erasure) already occupies.
-    version = epoch_id if cur is None else max(cur + 1, epoch_id)
-    store.write(new_state, version, epoch_id=epoch_id)
+    # The whole read-merge-commit body runs under the store's commit
+    # lock: the merge's basis (the state version read here) is then
+    # still current at pointer-swap time, so an interleaved non-CDC
+    # commit (erase_keys) can neither be silently undone by this
+    # epoch nor silently undo it. foreachBatch epochs are already
+    # serial with each other; the lock serializes them with admin
+    # commits.
+    with store.commit_lock():
+        last = store.last_epoch()
+        if last is not None and last >= epoch_id:
+            return False
+        cur = store.current_version()
+        state = store.read()
+        prev_cols = None if state is None else {c.lower() for c in state.columns}
+        if state is not None:
+            state = align_to_schema(
+                state,
+                T.StructType([f for f in batch_df.schema.fields
+                              if f.name not in ("seq", "op") and not f.name.startswith("old_")]),
+            )
+        new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
+        # Version tracks the epoch id while the two are aligned (the
+        # normal stream), but can never step backwards onto — or into —
+        # a snapshot an interleaved non-CDC commit (erasure) already
+        # occupies.
+        version = epoch_id if cur is None else max(cur + 1, epoch_id)
+        store._write_unlocked(new_state, version, epoch_id=epoch_id)
     if on_schema_change is not None:
         new_cols = {c.lower() for c in new_state.columns}
         if prev_cols is None or prev_cols != new_cols:
@@ -458,7 +523,7 @@ def run_cdc_stream_to_sink(
     return writer.start()
 
 
-class BucketedStateStore:
+class BucketedStateStore(_CommitPointer):
     """Keyed state as a PK-bucketed, PK-sorted managed table — the
     100 TB state layout. A hash-bucketed table's on-disk layout IS the
     join partitioning, so a non-broadcast merge (broadcast_changes=
@@ -483,24 +548,15 @@ class BucketedStateStore:
     ):
         self.spark = spark
         self.pointer_dir = pointer_dir
+        self._meta_dir = pointer_dir
         self.name = name
         self.pk = pk
         self.buckets = buckets
         self.database = database
         os.makedirs(pointer_dir, exist_ok=True)
 
-    def _pointer(self) -> str:
-        return os.path.join(self.pointer_dir, "_CURRENT")
-
     def _table(self, version: int) -> str:
         return f"{self.database}.{self.name}_v{version}"
-
-    def current_version(self) -> int | None:
-        try:
-            with open(self._pointer(), encoding="utf-8") as f:
-                return int(json.load(f)["version"])
-        except (FileNotFoundError, ValueError, KeyError):
-            return None
 
     def read(self) -> DataFrame | None:
         v = self.current_version()
@@ -508,17 +564,13 @@ class BucketedStateStore:
             return None
         return self.spark.table(self._table(v))
 
-    def last_epoch(self) -> int | None:
-        """See ParquetStateStore.last_epoch — same pointer contract."""
-        try:
-            with open(self._pointer(), encoding="utf-8") as f:
-                p = json.load(f)
-        except (FileNotFoundError, ValueError):
-            return None
-        e = p.get("epoch", p.get("version"))
-        return None if e is None else int(e)
-
     def write(self, df: DataFrame, version: int, epoch_id: int | None = None) -> None:
+        with self.commit_lock():
+            self._write_unlocked(df, version, epoch_id)
+
+    def _write_unlocked(
+        self, df: DataFrame, version: int, epoch_id: int | None = None
+    ) -> None:
         if epoch_id is None:
             epoch_id = self.last_epoch()
         (
@@ -528,10 +580,7 @@ class BucketedStateStore:
             .format("parquet")
             .saveAsTable(self._table(version))
         )
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version, "epoch": epoch_id}, f)
-        os.replace(tmp, self._pointer())
+        self._repoint(version, epoch_id)
 
     def versions(self) -> list[int]:
         prefix = f"{self.name}_v"
@@ -698,10 +747,24 @@ def state_changes(
         ):
             # A heal/DDL epoch changed the column's TYPE between the
             # snapshots: a raw null-safe compare would either raise or
-            # implicitly coerce. Compare on string renderings (total,
-            # deterministic); the output keeps each side's own type.
-            b, a = b.cast("string"), a.cast("string")
-        changed = changed | ~b.eqNullSafe(a)
+            # implicitly coerce. Compare VALUES under the migration
+            # the heal itself performs — try_cast the old side to the
+            # new type — so a pure widening (int 2 -> double 2.0, or
+            # string "2" -> int 2) is representation-only and emits
+            # no row, instead of an UPDATE storm over the whole table
+            # (which a string-rendering compare produces: "2" !=
+            # "2.0"). An old value the new type cannot represent
+            # (try_cast NULL while the original was not) is
+            # conservatively CHANGED. Output keeps each side's own
+            # type.
+            bc = b.try_cast(new_types[c])
+            changed = (
+                changed
+                | ~bc.eqNullSafe(a)
+                | (b.isNotNull() & bc.isNull())
+            )
+        else:
+            changed = changed | ~b.eqNullSafe(a)
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("INSERT"))
         .when(F.col("__in_new").isNull(), F.lit("DELETE"))
@@ -732,22 +795,31 @@ def erase_keys(
     it and the state table is filtered in place, never shuffled.
     Returns the new version id.
 
-    Safe concurrent with the CDC stream: the erasure commit bumps only
-    the snapshot VERSION and carries the epoch watermark forward
-    (write with epoch_id=None), so apply_cdc_epoch's replay check —
-    which reads last_epoch(), not current_version() — still applies
-    every future epoch; and because CDC writes target
-    max(cur+1, epoch_id), a later epoch can never overwrite the
-    erasure snapshot's directory either.
+    Safe concurrent with the CDC stream, on two mechanisms. (1) The
+    whole basis-read -> anti-join -> commit runs under the store's
+    commit lock, serialized with apply_cdc_epoch's equally-locked
+    body — without it the two are a check-then-act race where the
+    second pointer swap publishes a snapshot computed without the
+    first commit's changes (losing either a committed epoch or the
+    erasure itself, silently). (2) The erasure commit bumps only the
+    snapshot VERSION and carries the epoch watermark forward (write
+    with epoch_id=None), so apply_cdc_epoch's replay check — which
+    reads last_epoch(), not current_version() — still applies every
+    future epoch; and because CDC writes target max(cur+1, epoch_id),
+    a later epoch can never overwrite the erasure snapshot's
+    directory either.
 
     NOTE: erasure of rows the CDC stream may re-deliver needs the
     upstream retention/tombstone handled too — this erases the
     engine's materialized state, which is the part this engine owns."""
-    state = store.read()
-    if state is None:
-        raise ValueError("no committed state to erase from")
-    cur = store.current_version()
-    new_state = state.join(keys.select(*pk).dropDuplicates(pk), on=pk, how="left_anti")
-    new_version = cur + 1
-    store.write(new_state, new_version, epoch_id=None)
+    with store.commit_lock():
+        state = store.read()
+        if state is None:
+            raise ValueError("no committed state to erase from")
+        cur = store.current_version()
+        new_state = state.join(
+            keys.select(*pk).dropDuplicates(pk), on=pk, how="left_anti"
+        )
+        new_version = cur + 1
+        store._write_unlocked(new_state, new_version, epoch_id=None)
     return new_version

@@ -145,8 +145,8 @@ def test_simhash_cap_subset_and_dropped_hot(spark, corpus):
         .join(sizes, on=["band", "bv"])
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "sz")
     )
-    if dropped:
-        _check_dropped_pairs_only_hot(shared, dropped, cap)
+    assert dropped, "corpus failed to produce any over-cap simhash band bucket"
+    _check_dropped_pairs_only_hot(shared, dropped, cap)
 
 
 def test_minhash_lsh_cap_subset_and_dropped_hot(spark, corpus):
@@ -174,5 +174,5 @@ def test_minhash_lsh_cap_subset_and_dropped_hot(spark, corpus):
         .join(sizes, on=["band", "bh"])
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "sz")
     )
-    if dropped:
-        _check_dropped_pairs_only_hot(shared, dropped, cap)
+    assert dropped, "corpus failed to produce any over-cap minhash band bucket"
+    _check_dropped_pairs_only_hot(shared, dropped, cap)

@@ -930,16 +930,17 @@ def test_erasure_does_not_shadow_future_epoch(spark, tmp_path):
 
 def test_state_changes_across_type_change(spark, tmp_path):
     """A heal epoch changed a column's TYPE between snapshots: the
-    diff compares on string renderings instead of raising/coercing;
-    each side keeps its own type in the output."""
+    diff compares values under try_cast-to-the-new-type instead of
+    raising/coercing; each side keeps its own type in the output."""
     from canal_phoenix_adapter_spark.streaming.stream import state_changes
 
     store = ParquetStateStore(spark, str(tmp_path / "cdf3"))
     v0 = spark.createDataFrame(
-        [(1, "2"), (2, "3"), (3, "9")], "id long, bal string"
+        [(1, "2"), (2, "3"), (3, "9"), (4, "abc")],
+        "id long, bal string",
     )
     v1 = spark.createDataFrame(
-        [(1, 2), (2, 4), (3, 9)], "id long, bal int"
+        [(1, 2), (2, 4), (3, 9), (4, 7)], "id long, bal int"
     )
     store.write(v0, 0)
     store.write(v1, 1)
@@ -947,5 +948,66 @@ def test_state_changes_across_type_change(spark, tmp_path):
         r["id"]: (r["op"], r["bal__before"], r["bal__after"])
         for r in state_changes(store, 0, 1, ["id"]).collect()
     }
-    # "2" == 2 and "9" == 9 as strings -> unchanged, excluded
-    assert got == {2: ("UPDATE", "3", 4)}
+    # "2" -> 2 and "9" -> 9 under the type migration -> unchanged;
+    # "abc" is unrepresentable as int -> conservatively CHANGED
+    assert got == {2: ("UPDATE", "3", 4), 4: ("UPDATE", "abc", 7)}
+
+
+def test_state_changes_widening_heal_no_update_storm(spark, tmp_path):
+    """A pure numeric widening (int -> double) with unchanged values
+    must emit NO rows: a downstream CDF consumer must not replay a
+    full-table update storm after a representation-only heal."""
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdf4"))
+    v0 = spark.createDataFrame([(1, 2), (2, 3)], "id long, bal int")
+    v1 = spark.createDataFrame(
+        [(1, 2.0), (2, 3.5)], "id long, bal double"
+    )
+    store.write(v0, 0)
+    store.write(v1, 1)
+    got = {
+        r["id"]: (r["op"], r["bal__before"], r["bal__after"])
+        for r in state_changes(store, 0, 1, ["id"]).collect()
+    }
+    # 2 -> 2.0 is representation-only; 3 -> 3.5 is a real change
+    assert got == {2: ("UPDATE", 3, 3.5)}
+
+
+def test_commit_lock_serializes_writers(spark, tmp_path):
+    """The store's commit lock excludes a second committer (thread or
+    process) for the whole basis-read -> write -> repoint window: a
+    writer that starts while the lock is held observes the holder's
+    commit as its basis instead of racing it."""
+    import threading
+    import time as _time
+
+    store = ParquetStateStore(spark, str(tmp_path / "lock"))
+    df0 = spark.createDataFrame([(1, 10)], "id long, v long")
+    store.write(df0, 0)
+
+    order: list[str] = []
+
+    def contender():
+        order.append("contender-start")
+        # public write takes the lock -> must block until released
+        store.write(spark.createDataFrame([(2, 20)], "id long, v long"), 2)
+        order.append("contender-committed")
+
+    with store.commit_lock():
+        t = threading.Thread(target=contender)
+        t.start()
+        _time.sleep(0.5)  # give the contender time to hit the lock
+        assert order == ["contender-start"]  # blocked, not committed
+        store._write_unlocked(
+            spark.createDataFrame([(1, 11)], "id long, v long"), 1
+        )
+        order.append("holder-committed")
+    t.join(timeout=60)
+    assert order == [
+        "contender-start",
+        "holder-committed",
+        "contender-committed",
+    ]
+    # the contender's commit landed AFTER (and on top of) the holder's
+    assert store.current_version() == 2
