@@ -379,7 +379,7 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> '')
         SELECT doc_id, sha256(text) AS content_sha,
                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         FROM documents
-    ) WHERE rn = 1
+    ) WHERE content_sha IS NULL OR rn = 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +391,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_groups",
     """
     SELECT sha256(text) AS content_sha, count(1) AS n_dups, min(doc_id) AS keeper_id
-    FROM documents GROUP BY sha256(text)
+    FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,8 +1217,8 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT lang,
-           max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) THEN n_chars END) AS q_50,
-           max(CASE WHEN rk = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1) THEN n_chars END) AS q_90
+           max(CASE WHEN rk = greatest(CAST(ceil(round(0.5 * n, 9)) AS BIGINT), 1) THEN n_chars END) AS q_50,
+           max(CASE WHEN rk = greatest(CAST(ceil(round(0.9 * n, 9)) AS BIGINT), 1) THEN n_chars END) AS q_90
     FROM ranked GROUP BY lang
     """,
 )
@@ -1287,7 +1287,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(concat('0x',
                 substr(md5(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)), 1, 15))
                 AS BIGINT) AS frame_sig
-    FROM vids, unnest(range(0, greatest(nf, 1), 4)) AS t(i)
+    FROM vids, unnest(range(0, nf, 4)) AS t(i)
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

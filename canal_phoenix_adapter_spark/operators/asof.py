@@ -86,7 +86,16 @@ def asof_join(
     payload = {out_name(c): c for c in payload_src}
     ts_out = out_name(right_ts)
     out_names = [ts_out, *payload]
-    if len(payload) != len(payload_src) or ts_out in payload:
+    # Three collision classes: two right columns mapping to one output
+    # name, the ts output clashing with a payload output, and — the
+    # subtle one — a SUFFIXED name landing on a *different* existing
+    # left column (left has [x, x_right], right has x: x -> x_right
+    # duplicates left's own x_right in the output).
+    if (
+        len(payload) != len(payload_src)
+        or ts_out in payload
+        or any(n in left_names for n in out_names)
+    ):
         raise ValueError(
             f"asof_join output-name collision after applying suffix "
             f"{suffix!r}: right columns {[right_ts, *payload_src]} map to "

@@ -37,8 +37,6 @@ from canal_phoenix_adapter_spark.functions.hashing import (
     minhash_perm_params,
 )
 
-TOKEN_SPLIT = r"\s+"
-
 # Skew caps default ON: an unbounded LSH/shingle bucket shared by d
 # docs emits d^2 candidate-join rows, and AQE splits partitions, not
 # single hot keys — so the uncapped variants are explicit opt-ins
@@ -49,28 +47,39 @@ DEFAULT_SHINGLE_MAX_DF = 5
 DEFAULT_SIMHASH_MAX_BUCKET = 16
 
 
-def _tokens(text_col):
-    return F.split(F.trim(text_col), TOKEN_SPLIT)
+# The whitespace tokenizer is shared with text.py (one definition;
+# shingle hashes here and chunk hashes there must never drift apart).
+from canal_phoenix_adapter_spark.operators.text import tokens as _tokens  # noqa: E402
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on content digest: keep the smallest id per sha256.
-    One shuffle on the 64-char digest; survivors = canonical docs."""
+    One shuffle on the 64-char digest; survivors = canonical docs.
+
+    NULL text is NOT comparable content: sha2(NULL) is NULL, and a
+    plain digest window would collapse every null-text doc into one
+    group and delete all but one — so null-digest rows bypass the
+    dedup and all survive (common in scraped corpora where text is
+    missing, not duplicated)."""
     h = F.sha2(F.col(text_col), 256)
     w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
     return (
         df.select(F.col(id_col), h.alias("content_sha"))
         .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        .where(F.col("content_sha").isNull() | (F.col("__rn") == 1))
         .drop("__rn")
     )
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Duplicate-group summary: (content_sha, n_dups, keeper_id)."""
+    """Duplicate-group summary: (content_sha, n_dups, keeper_id).
+    Null-text docs have no comparable content and form no group (see
+    exact_dedup) — they are excluded rather than aggregated into one
+    phantom NULL-digest group."""
     h = F.sha2(F.col(text_col), 256)
     return (
         df.select(F.col(id_col), h.alias("content_sha"))
+        .where(F.col("content_sha").isNotNull())
         .groupBy("content_sha")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
     )
@@ -252,6 +261,15 @@ def minhash_band_buckets(
     All bands are emitted in ONE pass over the signature table
     (explode of an inline array) instead of a bands-way union, which
     would recompute the signature aggregation per band."""
+    if num_perm % bands:
+        # Mirrors embedding_near_dup_pairs_lsh's guard: silently
+        # dropping the trailing num_perm % bands signature columns
+        # would narrow the effective signature (changing collision
+        # probability) and desynchronize an incremental index built
+        # with different parameters.
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     rows_per_band = num_perm // bands
     band_structs = []
@@ -368,6 +386,11 @@ def simhash_hamming_pairs(
     """
     if max_dist >= bands:
         raise ValueError("pigeonhole blocking needs max_dist < bands")
+    if 32 % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide the 32-bit simhash width "
+            "(trailing bits would silently drop out of every band)"
+        )
     sk = simhash32(df, id_col, text_col).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
@@ -595,7 +618,14 @@ def dup_clusters(
     labels = nodes.select(
         F.col("src").alias("id"), F.col("src").alias("lbl")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # The witness sums labels in decimal(38,0): ids can be ~2^60
+    # (the md5-derived id idiom), so an int64 sum overflows — and
+    # under Spark's default ANSI mode that overflow RAISES mid-
+    # clustering. Decimal keeps the sum exact (no double rounding
+    # that could alias a non-fixpoint as converged) at any realistic
+    # node count.
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).first()[0]
     for _ in range(max_iters):
         labels = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -606,7 +636,7 @@ def dup_clusters(
         )
         # labels only ever decrease, so the sum is a strict-progress
         # witness: unchanged sum == fixpoint reached.
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        cur_sum = labels.agg(_lbl_sum).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

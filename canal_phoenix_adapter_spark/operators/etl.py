@@ -203,14 +203,23 @@ def etl_to_sink(
     wrapper = MappingConfig(concurrent=True, db_mapping=cfg)
 
     def sink(df: DataFrame) -> int:
-        rows = df.withColumn("op", F.lit("INSERT")).withColumn(
-            "seq", F.monotonically_increasing_id()
-        )
-        write_changes(
-            rows, wrapper, connection_factory,
-            commit_batch=commit_batch or cfg.commit_batch,
-            num_partitions=num_partitions,
-        )
-        return df.count()
+        # Persist so the pipeline executes ONCE for both the write and
+        # the rowsProcessed count: without it the count() re-runs the
+        # whole source scan + transform + dedup shuffle, and on a
+        # mutable JDBC source the recount could differ from the rows
+        # actually written.
+        df = df.persist()
+        try:
+            rows = df.withColumn("op", F.lit("INSERT")).withColumn(
+                "seq", F.monotonically_increasing_id()
+            )
+            write_changes(
+                rows, wrapper, connection_factory,
+                commit_batch=commit_batch or cfg.commit_batch,
+                num_partitions=num_partitions,
+            )
+            return df.count()
+        finally:
+            df.unpersist()
 
     return run_etl_import(source, cfg, params, target_schema, sink=sink)

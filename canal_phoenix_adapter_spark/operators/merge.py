@@ -66,7 +66,10 @@ def collapse_changes(
     op = F.upper(F.col(op_col))
     image_cols = [
         c for c in changes.columns
-        if c not in (seq_col, op_col) and not c.startswith(old_prefix)
+        # is_ddl is routing metadata (its ROWS are filtered in
+        # merge_cdc); including the COLUMN here would heal it into the
+        # state schema permanently.
+        if c not in (seq_col, op_col, "is_ddl") and not c.startswith(old_prefix)
     ]
     non_pk = [c for c in image_cols if c not in pk]
 
@@ -207,7 +210,10 @@ def merge_cdc(
     last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
     image_cols = [
         c for c in changes.columns
-        if c not in (seq_col, op_col) and not c.startswith(old_prefix)
+        # is_ddl is routing metadata (its ROWS are filtered in
+        # merge_cdc); including the COLUMN here would heal it into the
+        # state schema permanently.
+        if c not in (seq_col, op_col, "is_ddl") and not c.startswith(old_prefix)
     ]
     survivors = last.where(F.col("__is_create") == 1).select(
         *[F.col(f"__k_{k}").alias(k) for k in pk],

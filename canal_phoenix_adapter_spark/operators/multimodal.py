@@ -113,12 +113,13 @@ def frame_sample(
     every_n-th frame of each video payload."""
     vids = media.where(F.col("media_type") == "video")
     n_frames = F.floor(F.length("payload") / F.lit(frame_bytes))
+    # A payload holding zero complete frames (shorter than one frame,
+    # empty, or NULL) yields NO rows — a greatest(n_frames-1, 0)
+    # sequence would fabricate a phantom frame_idx=0 whose signature
+    # hashes a partial slice.
+    vids = vids.where(n_frames >= 1)
     idx = F.explode(
-        F.sequence(
-            F.lit(0),
-            F.greatest(n_frames - 1, F.lit(0)).cast("int"),
-            F.lit(every_n),
-        )
+        F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(every_n))
     )
     out = vids.select("doc_id", "payload", idx.alias("frame_idx"))
     offset = (F.col("frame_idx") * frame_bytes + 1).cast("int")

@@ -67,10 +67,15 @@ def group_quantiles(
     )
     aggs = []
     for q in quantiles:
-        pos = F.ceil(F.lit(q) * F.col("__n"))
+        # round(q*n, 9) before ceil: IEEE q*n can land an ulp ABOVE an
+        # exactly-representable rank (0.07 * 100 = 7.000000000000001,
+        # ceil -> 8) — off by one from the documented ceil(q*n)
+        # semantics. The 1e-9 snap restores the exact integer; real
+        # non-integer targets are nowhere near an ulp of an integer.
+        pos = F.ceil(F.round(F.lit(q) * F.col("__n"), 9))
         aggs.append(
             F.max(F.when(F.col("__rk") == F.greatest(pos, F.lit(1)), F.col(value_col)))
-            .alias(f"q_{int(q * 100)}")
+            .alias(f"q_{int(round(q * 100))}")
         )
     return ranked.groupBy(group_col).agg(*aggs)
 

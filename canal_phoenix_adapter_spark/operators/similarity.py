@@ -43,6 +43,57 @@ def _norm(v) -> F.Column:
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The rank contract shared by EVERY top-k variant (exact, LSH,
+    IVF, trained-IVF, k-NN join): per-query window ordered by
+    (cos desc, neighbor_id asc) — a total order, so ties are
+    engine-portable — cut at rank <= k. One definition so a tie-break
+    or contract change cannot half-apply across variants."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _keyed_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    key_expr: F.Column,
+    num_queries: int,
+    k: int,
+) -> DataFrame:
+    """Shared body of the bucketed ANN variants (LSH bucket / static
+    IVF cell / trained IVF cell — only the quantizer key differs):
+    one scan projection computing (id, vector, norm, key), the tiny
+    query side broadcast, candidates restricted by an equi-join on
+    the key, exact cosine ranking via _rank_topk. The norm is
+    computed once per vector in the scan, never per pair."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        key_expr.alias("__key"),
+    )
+    queries = base.where(F.col("id") < num_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("__key"),
+    )
+    cands = F.broadcast(queries).join(
+        base.withColumnRenamed("id", "neighbor_id"), on="__key"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+    )
+    return _rank_topk(scored, k)
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -75,14 +126,7 @@ def cosine_topk(
         F.col("id").alias("neighbor_id"),
         (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def plane_sign(plane: int, dim: int) -> int:
@@ -201,31 +245,8 @@ def ann_topk_ivf(
     over the corpus, zero extra shuffles); the tiny query side
     recomputes it for num_queries rows, which is cheaper than the
     join-back-on-id + persist it replaces."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        ivf_cell_expr(vec_col).alias("cell"),
-    )
-    queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("cell"),
-    )
-    cands = F.broadcast(queries).join(
-        base.withColumnRenamed("id", "neighbor_id"), on="cell"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    return _keyed_ann_topk(
+        df, id_col, vec_col, ivf_cell_expr(vec_col), num_queries, k
     )
 
 
@@ -248,32 +269,10 @@ def ann_topk_lsh(
     ``dim`` is required pipeline config — see lsh_bucket_expr."""
     if dim is None:
         raise ValueError("ann_topk_lsh requires dim (embedding width)")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket_expr(vec_col, num_planes, dim).alias("bucket"),
-    )
-    queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("bucket"),
-    )
-    cands = F.broadcast(queries).join(
-        base.withColumnRenamed("id", "neighbor_id"),
-        on="bucket",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    return _keyed_ann_topk(
+        df, id_col, vec_col,
+        lsh_bucket_expr(vec_col, num_planes, dim),
+        num_queries, k,
     )
 
 
@@ -393,31 +392,10 @@ def ann_topk_ivf_trained(
     computed inline with the scan, candidate join keyed on the cell,
     exact cosine ranking within the cell) — only the quantizer
     changed, exactly as ivf_cell_expr's docstring promises."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        assign_cells(df, vec_col, codebook).alias("cell"),
-    )
-    queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("cell"),
-    )
-    cands = F.broadcast(queries).join(
-        base.withColumnRenamed("id", "neighbor_id"), on="cell"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    return _keyed_ann_topk(
+        df, id_col, vec_col,
+        assign_cells(df, vec_col, codebook),
+        num_queries, k,
     )
 
 
@@ -475,11 +453,4 @@ def knn_join_ivf(
             (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(scored, k)

@@ -30,8 +30,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
 
 
-def _tokens(text: Column) -> Column:
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization — THE tokenizer shared by every
+    cross-module hash pipeline (shingles in dedup.py, chunks, vocab).
+    One definition on purpose: two drifting copies would silently
+    desynchronize shingle hashes vs chunk hashes built from the same
+    text."""
     return F.split(F.trim(text), r"\s+")
+
+
+_tokens = tokens
 
 
 def token_count_ws(text: Column) -> Column:

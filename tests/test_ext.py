@@ -375,12 +375,14 @@ def test_salted_join_spreads_hot_key(spark):
 
 def test_frame_sample_plumbing(spark):
     """Every-n frame sampling: correct index stride, byte offsets,
-    non-video rows excluded, sub-frame payloads still yield frame 0."""
+    non-video rows excluded, and a payload with zero complete frames
+    yields NO rows (no phantom frame 0 hashing a partial slice)."""
     docs = spark.createDataFrame(
         [
-            (2, "x" * 70),   # video (2 % 3 == 2): 4 frames of 16 -> idx 0, 4 -> just 0,? 70//16=4 frames idx 0..3 step 4 -> [0]
+            (2, "x" * 70),   # video (2 % 3 == 2): 70//16=4 frames, idx 0..3 step 4 -> [0]
             (5, "y" * 200),  # video: 12 frames -> idx 0,4,8
-            (8, "short"),    # video, < 16 bytes -> frame 0 only
+            (8, "short"),    # video, < 16 bytes: 0 complete frames -> no rows
+            (11, ""),        # video, empty payload -> no rows
             (1, "z" * 200),  # audio: excluded
         ],
         "doc_id long, text string",
@@ -389,7 +391,7 @@ def test_frame_sample_plumbing(spark):
 
     out = frame_sample(as_media_table(docs), every_n=4, frame_bytes=16)
     got = {(r["doc_id"], r["frame_idx"], r["byte_offset"]) for r in out.collect()}
-    assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129), (8, 0, 1)}
+    assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129)}
 
 
 def test_ivf_trained_codebook_and_ann(spark):
@@ -426,3 +428,38 @@ def test_ivf_trained_codebook_and_ann(spark):
     # query 0 (blob 0) only meets even ids; query 1 only odd ids
     assert all(n % 2 == 0 for q, n in neigh if q == 0)
     assert all(n % 2 == 1 for q, n in neigh if q == 1)
+
+
+def test_exact_dedup_null_text_not_collapsed(spark):
+    """NULL text is missing content, not duplicate content: all
+    null-text docs survive exact dedup, and form no dup group."""
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5}  # one survivor of the real dup pair, all nulls
+    groups = dedup.exact_dup_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2  # no phantom NULL group
+
+
+def test_group_quantiles_exact_rank_at_representable_targets(spark):
+    """ceil(q*n) must hit the exact rank when q*n is an integer:
+    0.07 * 100 is 7.000000000000001 in IEEE doubles, and a raw ceil
+    returns rank 8 — the round-before-ceil keeps it at 7."""
+    from canal_phoenix_adapter_spark.operators.sampling import group_quantiles
+
+    rows = [("g", v) for v in range(1, 101)]  # values 1..100, rank == value
+    df = spark.createDataFrame(rows, "grp string, val long")
+    out = group_quantiles(df, "grp", "val", [0.07, 0.29, 0.55]).collect()[0]
+    assert out["q_7"] == 7 and out["q_29"] == 29 and out["q_55"] == 55
+
+
+def test_band_divisibility_guards(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide num_perm"):
+        dedup.minhash_band_buckets(docs, "doc_id", "text", num_perm=16, bands=5)
+    with _pytest.raises(ValueError, match="divide the 32-bit"):
+        dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=2, bands=5)
