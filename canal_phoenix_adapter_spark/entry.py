@@ -1670,8 +1670,6 @@ def _ivf_trained_replica_codebook(
         return _degrade(f"replica codebook training failed reading {parquet_path}: {e!r}")
     if len(ids) < k:
         return _degrade(f"{parquet_path} has {len(ids)} vectors < k={k}")
-    import numpy as np
-
     order = np.argsort(ids, kind="stable")
     x = emb[order].astype(np.float64)
     cb = x[:k].copy()

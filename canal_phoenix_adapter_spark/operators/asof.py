@@ -29,7 +29,11 @@ tag orders right (0) before left (1) at equal ts. When the right side
 can hold several rows per (key, ts), pass ``right_order`` columns to
 pick a deterministic winner (greatest right_order tuple wins);
 without it, which duplicate wins depends on partition order —
-pre-collapse with ``keep_last`` or pass ``right_order``.
+pre-collapse with ``keep_last`` or pass ``right_order``. The
+tie-break is only as deterministic as the tuple: duplicate (key, ts)
+rows whose right_order values are also equal — or all NULL — still
+fall back to partition order (NULLs sort first, so they lose to any
+non-NULL tuple, but not to each other).
 """
 
 from __future__ import annotations

@@ -44,6 +44,22 @@ def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "o
     ).first()[0]
 
 
+def _image_cols(
+    columns: list[str], seq_col: str, op_col: str, old_prefix: str
+) -> list[str]:
+    """Row-image columns of a change batch: everything except the
+    sequence/op metadata, the ``old_<pk>`` PK-change columns, and
+    is_ddl (routing metadata — its ROWS are filtered in merge_cdc;
+    including the COLUMN would heal it into the state schema
+    permanently). One definition shared by collapse_changes and
+    merge_cdc so a future metadata column cannot be excluded in one
+    and healed into state by the other."""
+    return [
+        c for c in columns
+        if c not in (seq_col, op_col, "is_ddl") and not c.startswith(old_prefix)
+    ]
+
+
 def collapse_changes(
     changes: DataFrame,
     pk: list[str],
@@ -64,14 +80,7 @@ def collapse_changes(
     TRUNCATE rows must be filtered out beforehand (see merge_cdc).
     """
     op = F.upper(F.col(op_col))
-    image_cols = [
-        c for c in changes.columns
-        # is_ddl is routing metadata (its ROWS are filtered in
-        # merge_cdc); including the COLUMN here would heal it into the
-        # state schema permanently.
-        if c not in (seq_col, op_col, "is_ddl") and not c.startswith(old_prefix)
-    ]
-    non_pk = [c for c in image_cols if c not in pk]
+    image_cols = _image_cols(changes.columns, seq_col, op_col, old_prefix)
 
     # Build the per-key timeline in ONE pass: each change row yields its
     # main effect (create with the row image, or delete with a null
@@ -159,7 +168,6 @@ def collapse_changes(
         )
         .select(*key_cols, "__t.*")
     )
-    _ = non_pk  # non-pk image columns ride along untouched
     return last
 
 
@@ -208,13 +216,7 @@ def merge_cdc(
         changes = changes.where(~F.coalesce(F.col("is_ddl"), F.lit(False)))
 
     last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
-    image_cols = [
-        c for c in changes.columns
-        # is_ddl is routing metadata (its ROWS are filtered in
-        # merge_cdc); including the COLUMN here would heal it into the
-        # state schema permanently.
-        if c not in (seq_col, op_col, "is_ddl") and not c.startswith(old_prefix)
-    ]
+    image_cols = _image_cols(changes.columns, seq_col, op_col, old_prefix)
     survivors = last.where(F.col("__is_create") == 1).select(
         *[F.col(f"__k_{k}").alias(k) for k in pk],
         *[F.col(c) for c in image_cols if c not in pk],
@@ -245,11 +247,25 @@ def keep_last(
     shuffle gets map-side partial aggregation: at most one candidate
     per key per map partition crosses the exchange, and no per-key
     sort runs after it — the shape that survives a 100 TB batch.
+
+    The ordering key is ``(order_col IS NOT NULL, order_col)``, never
+    the bare column: max_by SKIPS rows whose ordering key is NULL, so
+    a key whose order values are all NULL would aggregate to a NULL
+    struct and ``__t.*`` would fabricate an all-NULL row that never
+    existed. The non-null flag makes the key itself non-null for
+    every row — NULL-ordered rows simply lose to any non-NULL one
+    (the window form's ``desc`` = NULLS LAST behavior), and an
+    all-NULL key keeps one of its real rows.
     """
     payload = [c for c in df.columns if c not in pk]
+    order = F.col(order_col)
     out = (
         df.groupBy(*pk)
-        .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("__t"))
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(order.isNotNull(), order)
+            ).alias("__t")
+        )
         .select(*pk, "__t.*")
     )
     return out.select(*df.columns)

@@ -747,21 +747,28 @@ def state_changes(
         ):
             # A heal/DDL epoch changed the column's TYPE between the
             # snapshots: a raw null-safe compare would either raise or
-            # implicitly coerce. Compare VALUES under the migration
-            # the heal itself performs — try_cast the old side to the
-            # new type — so a pure widening (int 2 -> double 2.0, or
-            # string "2" -> int 2) is representation-only and emits
-            # no row, instead of an UPDATE storm over the whole table
-            # (which a string-rendering compare produces: "2" !=
-            # "2.0"). An old value the new type cannot represent
-            # (try_cast NULL while the original was not) is
+            # implicitly coerce. A row is UNCHANGED only if the value
+            # round-trips BOTH ways (try_cast old->new equals after
+            # AND try_cast new->old equals before): a pure widening
+            # (int 2 -> double 2.0, or string "2" -> int 2) is
+            # representation-only and emits no row, instead of an
+            # UPDATE storm over the whole table (which a string-
+            # rendering compare produces: "2" != "2.0") — but a LOSSY
+            # migration (double 2.5 healed to int 2) fails the
+            # reverse cast (2 -> 2.0 != 2.5) and is correctly
+            # CHANGED; one-directional compare would silently
+            # suppress it. A value either type cannot represent
+            # (try_cast NULL while the source was not) is
             # conservatively CHANGED. Output keeps each side's own
             # type.
             bc = b.try_cast(new_types[c])
+            ac = a.try_cast(old_types[c])
             changed = (
                 changed
                 | ~bc.eqNullSafe(a)
+                | ~ac.eqNullSafe(b)
                 | (b.isNotNull() & bc.isNull())
+                | (a.isNotNull() & ac.isNull())
             )
         else:
             changed = changed | ~b.eqNullSafe(a)

@@ -125,6 +125,22 @@ def test_keep_last_operator(spark):
     assert rows == {1: "b", 2: "c"}
 
 
+def test_keep_last_null_order_values(spark):
+    """NULL order values must not fabricate rows: bare max_by SKIPS
+    NULL-ordered rows, so a key whose order values are ALL null would
+    aggregate to a null struct and expand to an invented all-NULL row.
+    The (isNotNull, order) key keeps a real row instead; keys with a
+    mix keep the greatest non-NULL one (the window form's desc =
+    NULLS LAST behavior)."""
+    df = spark.createDataFrame(
+        [(None, 1, "a"), (5, 2, "b"), (None, 2, "c")],
+        "seq long, k long, v string",
+    )
+    rows = {r["k"]: (r["seq"], r["v"]) for r in keep_last(df, ["k"], "seq").collect()}
+    assert rows[1] == (None, "a")  # real row kept, not (None, None)
+    assert rows[2] == (5, "b")  # non-NULL beats NULL
+
+
 def test_composite_pk_delete_and_update(spark):
     """F1: composite keys everywhere (targetPk is a map,
     config/MappingConfig.java:102) — merge keyed on (tenant, id),

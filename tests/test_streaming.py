@@ -974,6 +974,26 @@ def test_state_changes_widening_heal_no_update_storm(spark, tmp_path):
     assert got == {2: ("UPDATE", 3, 3.5)}
 
 
+def test_state_changes_lossy_narrowing_not_suppressed(spark, tmp_path):
+    """A LOSSY heal (double -> int) must still report rows whose
+    stored value actually changed: comparing only old-cast-to-new
+    would see try_cast(2.5 AS int) == 2 and silently emit nothing —
+    the reverse-direction cast (2 -> 2.0 != 2.5) catches it. A value
+    that survives the round-trip (4.0 -> 4 -> 4.0) stays unchanged."""
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdf5"))
+    v0 = spark.createDataFrame([(1, 2.5), (2, 4.0)], "id long, bal double")
+    v1 = spark.createDataFrame([(1, 2), (2, 4)], "id long, bal int")
+    store.write(v0, 0)
+    store.write(v1, 1)
+    got = {
+        r["id"]: (r["op"], r["bal__before"], r["bal__after"])
+        for r in state_changes(store, 0, 1, ["id"]).collect()
+    }
+    assert got == {1: ("UPDATE", 2.5, 2)}
+
+
 def test_commit_lock_serializes_writers(spark, tmp_path):
     """The store's commit lock excludes a second committer (thread or
     process) for the whole basis-read -> write -> repoint window: a
