@@ -151,8 +151,10 @@ def collapse_changes(
     # Last writer wins per key, as an argmax AGGREGATE rather than a
     # row_number window: max_by gets map-side partial aggregation, so
     # the shuffle carries at most one candidate per key per map
-    # partition instead of every timeline row, and no per-key sort runs
-    # after the exchange. (seq, __is_create) compares lexicographically
+    # partition instead of every timeline row, and the post-exchange
+    # sort (max_by's struct buffer forces SortAggregate) runs over
+    # those collapsed candidates only — not the full timeline a
+    # window would sort. (seq, __is_create) compares lexicographically
     # via the struct; __is_create breaks the (otherwise impossible)
     # same-seq tie in favor of the create, mirroring the reference's
     # delete-before-upsert order within one event.
@@ -245,8 +247,10 @@ def keep_last(
 
     Expressed as a max_by aggregate (not a row_number window) so the
     shuffle gets map-side partial aggregation: at most one candidate
-    per key per map partition crosses the exchange, and no per-key
-    sort runs after it — the shape that survives a 100 TB batch.
+    per key per map partition crosses the exchange, and the
+    post-exchange sort (max_by's struct buffer forces SortAggregate)
+    covers only those collapsed candidates, not every input row —
+    the shape that survives a 100 TB batch.
 
     The ordering key is ``(order_col IS NOT NULL, order_col)``, never
     the bare column: max_by SKIPS rows whose ordering key is NULL, so

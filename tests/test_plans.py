@@ -10,6 +10,8 @@ only make them 100x more expensive at scale — so it must fail CI.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from canal_phoenix_adapter_spark import entry as E
@@ -74,6 +76,25 @@ def test_keep_last_single_shuffle_budget(q):
     the PK for the window; a third exchange would mean the window
     partitioning no longer reuses the PK shuffle."""
     assert shuffle_count(q("etl_idempotent_load")) <= 2
+
+
+def test_cdc_merge_is_aggregate_not_window(q):
+    """The CDC hot path collapses per-key history with a max_by
+    AGGREGATE (map-side partial combine: at most one candidate per key
+    per map partition crosses the exchange). A Window node here means
+    the rewrite regressed to shuffling the full timeline and sorting
+    every row per key."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    for name in ("cdc_merge_full", "cdc_keep_last"):
+        df = q(name)
+        text = explain_str(df)
+        assert "Window" not in text, f"{name}: window regressed into merge plan"
+        # partial + final aggregate around ONE hash exchange (the other
+        # allowed exchange is load_table's fan-out repartition)
+        n_aggs = len(re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", text))
+        assert n_aggs >= 2, f"{name}: no partial aggregation: {n_aggs}"
+        assert shuffle_count(df) <= 2, name
 
 
 def test_embedding_lsh_near_dup_has_no_nested_loop(q):

@@ -270,3 +270,53 @@ def test_asof_join_matches_pandas_merge_asof(spark, tables):
     else:
         expect = {int(lid): (None, None) for _, _, lid in left_rows}
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # key
+            st.one_of(st.none(), st.integers(0, 9)),        # seq (nullable)
+            st.integers(min_value=0, max_value=99),         # payload
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_keep_last_matches_window_form(spark, rows):
+    """keep_last's max_by aggregate must equal the row_number window
+    it replaced — including NULL sequence values (desc = NULLS LAST:
+    a NULL-seq row survives only when the whole key has no non-NULL
+    seq) and including WHICH payload rides along. Ties on (key, seq)
+    are resolved arbitrarily by both forms, so ties are excluded by
+    construction (unique (key, seq) pairs, one NULL seq per key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.operators.merge import keep_last
+
+    seen: set[tuple[int, int | None]] = set()
+    uniq = []
+    for k, seq, v in rows:
+        if (k, seq) in seen:
+            continue
+        seen.add((k, seq))
+        uniq.append((k, seq, v))
+
+    df = spark.createDataFrame(uniq, "k long, seq long, v long")
+    got = {(r["k"], r["seq"], r["v"]) for r in keep_last(df, ["k"], "seq").collect()}
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    expect = {
+        (r["k"], r["seq"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    assert got == expect
