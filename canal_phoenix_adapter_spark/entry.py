@@ -795,6 +795,36 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
 
 
+# Shared oracle fragments for the quality score (used by the
+# text_quality, text_adaptive_filter, and pipeline_corpus_clean
+# gates; assumes a CTE exposing text/toks/low). Ratios are CASE-
+# guarded exactly like the engine (operators/text.py::
+# quality_features): empty/whitespace-only docs score 0.0 instead of
+# NaN; NULL text stays NULL.
+_STOPS_SQL = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
+_STOP_RATIO_SQL = (
+    "CASE WHEN toks IS NULL THEN NULL WHEN len(toks) > 0 THEN "
+    f"CAST(len(list_filter(low, x -> x IN ({_STOPS_SQL}))) AS DOUBLE) / len(toks) "
+    "ELSE 0.0 END"
+)
+_PUNCT_RATIO_SQL = (
+    "CASE WHEN text IS NULL THEN NULL WHEN length(text) > 0 THEN "
+    "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) "
+    "ELSE 0.0 END"
+)
+_DIGIT_RATIO_SQL = (
+    "CASE WHEN text IS NULL THEN NULL WHEN length(text) > 0 THEN "
+    "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) "
+    "ELSE 0.0 END"
+)
+_QUALITY_EXPR = (
+    "CASE WHEN toks IS NULL THEN NULL WHEN len(toks) > 0 THEN "
+    f"({_STOP_RATIO_SQL}) * 0.4 + (1.0 - ({_PUNCT_RATIO_SQL})) * 0.3 "
+    f"+ (1.0 - ({_DIGIT_RATIO_SQL})) * 0.3 "
+    "ELSE 0.0 END"
+)
+
+
 @register(
     "text_quality",
     f"""
@@ -807,12 +837,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars,
            len(toks) AS n_tokens,
-           CAST(len(list_filter(low, x -> x IN ({", ".join(f"'{s}'" for s in text_ops.STOPWORDS)}))) AS DOUBLE) / len(toks) AS stopword_ratio,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_ratio,
-           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
-           (CAST(len(list_filter(low, x -> x IN ({", ".join(f"'{s}'" for s in text_ops.STOPWORDS)}))) AS DOUBLE) / len(toks)) * 0.4
-           + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3
-           + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 0.3 AS quality
+           {_STOP_RATIO_SQL} AS stopword_ratio,
+           {_PUNCT_RATIO_SQL} AS punct_ratio,
+           {_DIGIT_RATIO_SQL} AS digit_ratio,
+           {_QUALITY_EXPR} AS quality
     FROM t
     """,
 )
@@ -1329,12 +1357,7 @@ def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _adaptive_filter_sql() -> str:
-    stopword_list = ", ".join(f"'{s}'" for s in text_ops.STOPWORDS)
-    qual = (
-        f"(CAST(len(list_filter(low, x -> x IN ({stopword_list}))) AS DOUBLE) / len(toks)) * 0.4"
-        " + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3"
-        " + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 0.3"
-    )
+    qual = _QUALITY_EXPR
     return f"""
     WITH t AS (
         SELECT doc_id, lang, text,
@@ -2049,13 +2072,6 @@ def analytics_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("decimal(18,4)").cast("string").alias("revenue"),
         "n_items",
     )
-
-
-_QUALITY_EXPR = (
-    "(CAST(len(list_filter(low, x -> x IN ({stops}))) AS DOUBLE) / len(toks)) * 0.4"
-    " + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)) * 0.3"
-    " + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) * 0.3"
-).format(stops=", ".join(f"'{s}'" for s in text_ops.STOPWORDS))
 
 
 @register(

@@ -56,18 +56,34 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on content digest: keep the smallest id per sha256.
     One shuffle on the 64-char digest; survivors = canonical docs.
 
-    NULL text is NOT comparable content: sha2(NULL) is NULL, and a
-    plain digest window would collapse every null-text doc into one
-    group and delete all but one — so null-digest rows bypass the
-    dedup and all survive (common in scraped corpora where text is
-    missing, not duplicated)."""
-    h = F.sha2(F.col(text_col), 256)
-    w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
+    NULL text is NOT comparable content: sha2(NULL) is NULL, and
+    deduping on the digest would collapse every null-text doc into
+    one group and delete all but one — so every null-text doc
+    survives (common in scraped corpora where text is missing, not
+    duplicated). Null rows must not all land on ONE reducer either
+    (a single NULL grouping key is an unsplittable hot key — AQE
+    splits partitions, not keys — and a union-branch bypass would
+    scan the text column twice): each null-digest row gets a UNIQUE
+    synthetic group key derived from its id, so nulls spread evenly
+    across the exchange and trivially survive as singleton groups.
+    The '\\x00:' prefix cannot collide with a real digest (64 hex
+    chars). Keep-smallest is a min AGGREGATE, not a row_number
+    window — map-side partial combine ships one candidate per digest
+    per map partition, in one scan of the corpus."""
+    sha = F.sha2(F.col(text_col), 256)
+    key = F.coalesce(
+        sha, F.concat(F.lit("\x00:"), F.col(id_col).cast("string"))
+    )
     return (
-        df.select(F.col(id_col), h.alias("content_sha"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("content_sha").isNull() | (F.col("__rn") == 1))
-        .drop("__rn")
+        df.select(
+            F.col(id_col), sha.alias("content_sha"), key.alias("__k")
+        )
+        .groupBy("__k")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min("content_sha").alias("content_sha"),
+        )
+        .select(id_col, "content_sha")
     )
 
 
@@ -606,6 +622,11 @@ def dup_clusters(
 
     Only ids that appear in some pair are labeled; singleton docs are
     their own cluster by definition and need no rows here.
+
+    Raises RuntimeError if the label sum is still falling after
+    ``max_iters`` iterations: non-converged labels are internally
+    inconsistent and keep_canonical over them silently
+    under-deduplicates, so they must never be returned as if final.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -640,6 +661,19 @@ def dup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Exhausting max_iters with the sum still falling means some
+        # component's diameter exceeds the budget: the labels are
+        # internally INCONSISTENT (a node can point at an intermediate
+        # member, not the min), and keep_canonical over them silently
+        # under-deduplicates. Refuse to return them.
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} iterations "
+            "(a component's diameter exceeds the budget); raise "
+            "max_iters — near-dup graphs this deep usually mean a "
+            "pathological boilerplate chain worth inspecting."
+        )
     edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 

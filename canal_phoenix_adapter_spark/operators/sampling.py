@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.functions.hashing import md5_long
+from canal_phoenix_adapter_spark.operators.text import tokens as _tokens
 
 
 def hash_split(
@@ -57,7 +58,17 @@ def group_quantiles(
     `percentile`) would emit IEEE-order-dependent doubles.
 
     One shuffle on the group key; output one row per group with a
-    `q_<pct>` column per requested quantile."""
+    `q_<pct>` column per requested quantile. Quantiles that round to
+    the same whole percent (e.g. 0.115 and 0.125, or any two
+    sub-percent values) would silently alias to one column name —
+    rejected up front instead of emitting a DataFrame with duplicate
+    columns that throws AMBIGUOUS_REFERENCE on first use."""
+    names = [f"q_{int(round(q * 100))}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantiles {quantiles} collide on column names {names}; "
+            "q_<pct> naming needs quantiles at least a whole percent apart"
+        )
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     ranked = df.select(
         F.col(group_col),
@@ -108,9 +119,13 @@ def vocab_topk(
     partitionSpec comes out empty, warning back). ``doc_freq -
     doc_freq`` survives: no x - x rewrite exists, so the optimizer
     keeps the key and WindowExec sees a one-group partition."""
+    # THE shared whitespace tokenizer (text.tokens — one definition so
+    # the vocabulary can never drift from the shingle/chunk token
+    # stream built from the same text); trim(lower(x)) == lower(trim(x))
+    # for whitespace, so lowering before tokenizing is equivalent.
     toks = df.select(
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+            F.array_distinct(_tokens(F.lower(F.col(text_col))))
         ).alias("token")
     ).where(F.length("token") >= min_len)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))

@@ -228,8 +228,21 @@ def schema_inventory(df: DataFrame) -> DataFrame:
     )
 
 
+# ADD INDEX/KEY/PRIMARY KEY/UNIQUE/CONSTRAINT/FULLTEXT/SPATIAL/
+# FOREIGN KEY/CHECK/PARTITION clauses are NOT add-column intents: the
+# negative lookahead rejects a bare keyword in name position (the
+# reference's Druid parser only emits SQLAlterTableAddColumn for real
+# columns, PhoenixSyncService.java:256-330). A genuine column that
+# happens to be NAMED `index`/`key` is still accepted — MySQL requires
+# backticks for those reserved names, and the backtick makes the
+# lookahead pass.
+_DDL_NON_COLUMN = (
+    r"(?:index|key|primary|unique|constraint|fulltext|spatial|foreign"
+    r"|check|partition)"
+)
 _ADD_RE = re.compile(
-    r"add\s+(?:column\s+)?`?(\w+)`?\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"add\s+(?:column\s+)?(?!" + _DDL_NON_COLUMN + r"\b)"
+    r"`?(\w+)`?\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
     r"(?:\s+unsigned)?)"
     r"(?:.*?default\s+(?:'([^']*)'|(\S+)))?",
     re.IGNORECASE | re.DOTALL,
@@ -271,6 +284,8 @@ def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
             )
             continue
         m = _DROP_RE.search(clause)
-        if m and not re.search(r"drop\s+(index|key|primary|foreign)", clause, re.IGNORECASE):
+        if m and not re.search(
+            r"drop\s+" + _DDL_NON_COLUMN, clause, re.IGNORECASE
+        ):
             intents.append(DdlIntent("drop", m.group(1)))
     return intents or [DdlIntent("other")]

@@ -298,10 +298,12 @@ def _dist2_expr(vec_col: str, centroid: list[float]) -> F.Column:
     )
 
 
-def assign_cells(df: DataFrame, vec_col: str, codebook: list[list[float]]) -> F.Column:
+def assign_cells(vec_col: str, codebook: list[list[float]]) -> F.Column:
     """Cell id = argmin squared-L2 over the codebook, evaluated as one
     scan-local projection (k distance folds + array_position) — no
-    join, no shuffle; the codebook rides into the plan as literals."""
+    join, no shuffle; the codebook rides into the plan as literals.
+    A pure expression builder (like ivf_cell_expr / lsh_bucket_expr):
+    it binds to whatever DataFrame the caller selects it on."""
     dists = F.array(*[_dist2_expr(vec_col, c) for c in codebook])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
@@ -416,7 +418,7 @@ def ann_topk_ivf_trained(
     changed, exactly as ivf_cell_expr's docstring promises."""
     return _keyed_ann_topk(
         df, id_col, vec_col,
-        assign_cells(df, vec_col, codebook),
+        assign_cells(vec_col, codebook),
         num_queries, k,
     )
 

@@ -86,7 +86,15 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean token length, stopword ratio, punctuation ratio, digit ratio.
     quality = stopword_ratio * 0.4 + (1 - punct_ratio) * 0.3
             + (1 - digit_ratio) * 0.3   (identical expression tree in
-    the oracle -> identical doubles)."""
+    the oracle -> identical doubles).
+
+    Degenerate docs are guarded, not NaN'd: an empty or whitespace-
+    only doc has n_tokens = 0 (or n_chars = 0), and the unguarded
+    ratio would be 0.0/0 = NaN — which sorts GREATER than every
+    double in Spark, so NaN-quality empty docs would pass every
+    quality>=cut filter and skew per-group quantile thresholds.
+    Ratios and quality are 0.0 for such docs (no content = lowest
+    quality); NULL text stays NULL throughout."""
     text = F.col(text_col)
     toks = F.array_remove(_tokens(text), "")
     low = F.array_remove(_tokens(F.lower(text)), "")
@@ -95,9 +103,17 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_hits = F.size(F.filter(low, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
     n_digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0)))
-    stop_ratio = stop_hits.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / n_chars
-    digit_ratio = n_digit.cast("double") / n_chars
+
+    def _guard(n: F.Column, ratio: F.Column) -> F.Column:
+        return (
+            F.when(n.isNull(), F.lit(None).cast("double"))
+            .when(n > 0, ratio)
+            .otherwise(F.lit(0.0))
+        )
+
+    stop_ratio = _guard(n_tokens, stop_hits.cast("double") / n_tokens)
+    punct_ratio = _guard(n_chars, n_punct.cast("double") / n_chars)
+    digit_ratio = _guard(n_chars, n_digit.cast("double") / n_chars)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -105,10 +121,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
-        (
+        _guard(
+            n_tokens,
             stop_ratio * F.lit(0.4)
             + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
-            + (F.lit(1.0) - digit_ratio) * F.lit(0.3)
+            + (F.lit(1.0) - digit_ratio) * F.lit(0.3),
         ).alias("quality"),
     )
 

@@ -173,6 +173,27 @@ def test_lang_id_and_quality(spark):
     assert q[1]["n_tokens"] == 8
 
 
+def test_quality_features_degenerate_docs_not_nan(spark):
+    """Empty and whitespace-only docs must score 0.0, not NaN: NaN
+    sorts greater than every double in Spark, so a NaN quality would
+    pass every quality>=cut filter and poison per-group quantile
+    thresholds. NULL text stays NULL."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    q = {r["doc_id"]: r for r in
+         text_ops.quality_features(df, "doc_id", "text").collect()}
+    for d in (1, 2):
+        for c in ("stopword_ratio", "punct_ratio", "digit_ratio", "quality"):
+            assert q[d][c] == 0.0 and not math.isnan(q[d][c]), (d, c, q[d][c])
+    assert all(
+        q[3][c] is None
+        for c in ("stopword_ratio", "punct_ratio", "digit_ratio", "quality")
+    )
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
     r = df.select(
@@ -320,6 +341,19 @@ def test_dup_clusters_chain_cycle_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 7, 10: 10, 11: 10}
 
 
+def test_dup_clusters_raises_on_non_convergence(spark):
+    """A component deeper than the iteration budget must RAISE, not
+    return internally inconsistent labels (keep_canonical over them
+    silently under-deduplicates)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(chain, max_iters=2)
+
+
 def test_keep_canonical_drops_non_representatives(spark):
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string"
@@ -415,7 +449,7 @@ def test_ivf_trained_codebook_and_ann(spark):
     assert means[0] < -4 and means[1] > 4
 
     cells = df.select(
-        "vec_id", similarity.assign_cells(df, "embedding", cb).alias("cell")
+        "vec_id", similarity.assign_cells("embedding", cb).alias("cell")
     )
     got = {r["vec_id"]: r["cell"] for r in cells.collect()}
     # all even ids together, all odd ids together

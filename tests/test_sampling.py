@@ -46,6 +46,17 @@ def test_group_quantiles_exact(spark):
     assert out["b"] == (42, 42)  # singleton group: every quantile = the value
 
 
+def test_group_quantiles_rejects_colliding_aliases(spark):
+    """Two quantiles rounding to the same whole percent would emit
+    duplicate q_<pct> columns (AMBIGUOUS_REFERENCE downstream) —
+    rejected up front."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        sampling.group_quantiles(df, "g", "v", [0.115, 0.125])
+
+
 def test_vocab_topk_rank_and_ties(spark):
     df = spark.createDataFrame(
         [(1, "b a"), (2, "a b"), (3, "a c"), (4, "a a a")],

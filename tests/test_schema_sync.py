@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.operators.schema_sync import (
+    DdlIntent,
     align_to_schema,
     diff_schemas,
     evolve,
@@ -98,6 +99,34 @@ def test_parse_ddl_truncate_and_other():
     assert parse_ddl("TRUNCATE TABLE t")[0].kind == "truncate"
     assert parse_ddl("CREATE INDEX idx ON t(a)")[0].kind == "other"
     assert parse_ddl("alter table t drop index idx")[0].kind == "other"
+
+
+def test_parse_ddl_non_column_clauses_are_not_columns():
+    """ADD INDEX/KEY/PRIMARY KEY/UNIQUE/CONSTRAINT and DROP
+    CONSTRAINT/CHECK/PARTITION must NOT parse as column intents —
+    a phantom column named INDEX/PRIMARY healed into the state schema
+    would persist forever. Backticked reserved names (the only legal
+    MySQL spelling for a column actually named `index`/`key`) still
+    parse as real columns."""
+    for sql in (
+        "ALTER TABLE t ADD INDEX idx_name (col1)",
+        "ALTER TABLE t ADD KEY k1 (c)",
+        "ALTER TABLE t ADD PRIMARY KEY (id)",
+        "ALTER TABLE t ADD UNIQUE KEY uk (c)",
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (c) REFERENCES o(i)",
+        "ALTER TABLE t ADD FULLTEXT INDEX ft (c)",
+        "ALTER TABLE t DROP CONSTRAINT ck",
+        "ALTER TABLE t DROP CHECK ck",
+        "ALTER TABLE t DROP PARTITION p0",
+    ):
+        assert parse_ddl(sql) == [DdlIntent("other")], sql
+    # backticked reserved names ARE columns; unreserved prefixes too
+    assert [(i.kind, i.column) for i in parse_ddl("ALTER TABLE t ADD `index` INT")] \
+        == [("add", "index")]
+    assert [(i.kind, i.column) for i in parse_ddl("ALTER TABLE t ADD index2 INT")] \
+        == [("add", "index2")]
+    assert [(i.kind, i.column) for i in parse_ddl("ALTER TABLE t DROP `key`")] \
+        == [("drop", "key")]
 
 
 def test_apply_ddl_add_backfills_and_drop(spark):
