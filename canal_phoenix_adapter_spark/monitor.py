@@ -119,6 +119,10 @@ class ConfigMonitor:
     def start(self, interval_sec: float = POLL_INTERVAL_SEC) -> None:
         if self._thread is not None:
             return
+        # a stop()ed monitor must be restartable: without the clear, a
+        # second start() would launch a thread whose wait() returns
+        # immediately and dies after zero polls while looking started.
+        self._stop.clear()
         self.poll()  # initial load
 
         def run() -> None:

@@ -129,16 +129,21 @@ def _check_value(cfg: MappingConfig, tgt: str, src: str, value: Any) -> Any:
     """Write-time enum decode (DbMapping.checkColumnValue,
     config/MappingConfig.java:277-287): a 1-based index into the
     column's enum list becomes its label; out-of-range or non-enum
-    values pass through unchanged."""
-    enums = cfg.db_mapping.enum_columns or {}
-    labels = None
-    for key in (tgt, src):
-        for k, v in enums.items():
-            if k.lower() == key.lower():
-                labels = v
-                break
-        if labels is not None:
-            break
+    values pass through unchanged. The lowered lookup map is built
+    once per mapping and cached on it — this runs per column per row
+    in the executor apply loop, where a linear scan of enum_columns
+    with repeated .lower() calls would dominate."""
+    m = cfg.db_mapping
+    cache = getattr(m, "_enums_lower", None)
+    if cache is None:
+        cache = {k.lower(): v for k, v in (m.enum_columns or {}).items()}
+        try:
+            m._enums_lower = cache
+        except AttributeError:  # frozen dataclass: fall back to rebuild
+            pass
+    labels = cache.get(tgt.lower())
+    if labels is None:
+        labels = cache.get(src.lower())
     if labels is None or value is None:
         return value
     try:
@@ -194,7 +199,16 @@ def upsert_item(
         old_val = item.get(old_prefix + pk_src)
         if old_val is not None and old_val != item.get(pk_src):
             key_changed = True
-        del_vals.append(old_val if old_val is not None else item.get(pk_src))
+        # enum decode applies to PK PREDICATES too (reference runs
+        # checkColumnValue inside getPkVal, PhoenixSyncService.java:
+        # 589): an enum-typed PK stores the decoded LABEL, so a raw
+        # index in the DELETE predicate would never match.
+        del_vals.append(
+            _check_value(
+                cfg, tgt, pk_src,
+                old_val if old_val is not None else item.get(pk_src),
+            )
+        )
     if key_changed:
         executor.execute(delete_sql(m), del_vals)
     executor.execute(upsert_sql(m, [m.escape(c) for c in cols]), vals)
@@ -206,9 +220,14 @@ def delete_item(
     item: dict,
 ) -> None:
     """DELETE apply (PhoenixSyncService.delete, :473-498): PK-equality
-    predicate from the row image (composite PKs supported)."""
+    predicate from the row image (composite PKs supported), values
+    through the enum decode like every other PK predicate
+    (checkColumnValue in getPkVal, PhoenixSyncService.java:589)."""
     m = cfg.db_mapping
-    vals = [item.get(src or tgt) for tgt, src in m.target_pk.items()]
+    vals = [
+        _check_value(cfg, tgt, src or tgt, item.get(src or tgt))
+        for tgt, src in m.target_pk.items()
+    ]
     executor.execute(delete_sql(m), vals)
 
 
@@ -317,6 +336,19 @@ def write_changes(
 
     ``cfg.concurrent=False`` (C9, MappingConfig.java:17 default)
     collapses to ONE partition — the reference's hash=0 serial mode.
+
+    Ordering caveat, inherited REFERENCE semantics: the partition key
+    is the NEW-image PK, so a PK-change's old-key DELETE executes in
+    the new key's partition (exactly like the reference, whose
+    pkHash at PhoenixSyncService.java:609-628 also hashes the data
+    image while the delete targets the old key), and a TRUNCATE row
+    (null PKs) lands in one arbitrary partition. Cross-partition
+    commit order is unordered, so a same-batch event on the OLD key
+    in another partition races the delete. The reference accepts
+    this; pipelines that need strict cross-key ordering for such
+    batches use ``concurrent=False`` — or the merge kernel
+    (operators/merge.py), whose collapse resolves old-key deaths and
+    truncate cuts by sequence before anything is applied.
 
     ``connection_factory`` must be picklable (module-level function or
     closure); it runs on executors, one connection per partition.

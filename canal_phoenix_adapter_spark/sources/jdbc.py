@@ -59,12 +59,13 @@ def extract_query(cfg: DbMapping, params: list[object] | None = None) -> str:
     template / SYS_TIME incremental clause (S2+F2+F3,
     PhoenixEtlService.java:243-247,310-343)."""
     sql = f"SELECT * FROM {cfg.database}.{cfg.table}"  # noqa: S608 - config-driven
+    # render_condition already strips a real leading 'where ' (anchored
+    # with trailing whitespace); a second bare startswith('WHERE')
+    # strip here would mangle conditions whose first identifier merely
+    # BEGINS with it ('wherehouse_id={0}' -> 'house_id=...').
     cond = render_condition(cfg.etl_condition, params) if cfg.etl_condition else None
     if cond:
-        cond = cond.strip()
-        if cond.upper().startswith("WHERE"):
-            cond = cond[5:].strip()
-        sql += f" WHERE {cond}"
+        sql += f" WHERE {cond.strip()}"
     return sql
 
 

@@ -31,15 +31,22 @@ def fan_out(spark: SparkSession, df: DataFrame, n_bytes: int | None = None) -> D
     conversion): anything under one scan-split-per-core is "narrow".
     At production scale a 100 TB table is thousands of splits, the
     condition is false, and this is a no-op — no shuffle is ever added
-    to a big input. Filters still push down to the scan: Catalyst
-    moves predicates through RepartitionOperation nodes.
+    to a big input. The guard is fail-SAFE: a KNOWN-small size is the
+    only thing that triggers the repartition. Unknown size (remote
+    object-store path the driver cannot stat) must never shuffle —
+    repartitioning a 100 TB table because a stat failed would be the
+    exact disaster this helper exists to avoid. Filters still push
+    down to the scan: Catalyst moves predicates through
+    RepartitionOperation nodes.
     """
+    if n_bytes is None:
+        return df
     target = spark.sparkContext.defaultParallelism
     try:
         max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     except Exception:
         max_split = 134217728
-    if n_bytes is not None and n_bytes >= target * max_split:
+    if n_bytes >= target * max_split:
         return df
     return df.repartition(target)
 
@@ -57,16 +64,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         native precision) for window/watermark use.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        n_bytes = os.path.getsize(path)
-    except OSError:  # directory-style parquet or remote path: sum files
-        n_bytes = None
-        if os.path.isdir(path):
-            n_bytes = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
+    # getsize on a DIRECTORY does not raise — it returns the ~4 KiB
+    # inode size, which would make every directory-style dataset (the
+    # normal production layout) look tiny and get repartitioned. Check
+    # isdir FIRST; a remote/unstat-able path yields None, which
+    # fan_out treats as "unknown: never shuffle".
+    if os.path.isdir(path):
+        n_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    else:
+        try:
+            n_bytes = os.path.getsize(path)
+        except OSError:  # remote path / missing: unknown size
+            n_bytes = None
     if name != "events":
         return fan_out(spark, spark.read.parquet(path), n_bytes)
     try:

@@ -26,7 +26,6 @@ from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import MappingConfig
 from canal_phoenix_adapter_spark.operators.merge import merge_cdc
-from canal_phoenix_adapter_spark.operators.schema_sync import align_to_schema
 from canal_phoenix_adapter_spark.sources.events import (
     DML_ENVELOPE,
     explode_dml,
@@ -292,12 +291,11 @@ def apply_cdc_epoch(
         cur = store.current_version()
         state = store.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
-        if state is not None:
-            state = align_to_schema(
-                state,
-                T.StructType([f for f in batch_df.schema.fields
-                              if f.name not in ("seq", "op") and not f.name.startswith("old_")]),
-            )
+        # Schema heal (C11) happens INSIDE merge_cdc: its
+        # skip_missing=False path aligns the prior state to the
+        # batch's image schema (operators/merge.py) — no pre-align
+        # here, which would re-implement merge's image-column filter
+        # and drift from it (it once did, and missed is_ddl).
         new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
         # Version tracks the epoch id while the two are aligned (the
         # normal stream), but can never step backwards onto — or into —
@@ -556,7 +554,11 @@ class BucketedStateStore(_CommitPointer):
         os.makedirs(pointer_dir, exist_ok=True)
 
     def _table(self, version: int) -> str:
-        return f"{self.database}.{self.name}_v{version}"
+        # negative versions (the etl-then-sync bootstrap commits the
+        # backfill below any epoch id, e.g. -1) spell as `vm<abs>`:
+        # a literal '-' in a table identifier is a parse error.
+        tag = f"m{-version}" if version < 0 else str(version)
+        return f"{self.database}.{self.name}_v{tag}"
 
     def read(self) -> DataFrame | None:
         v = self.current_version()
@@ -583,11 +585,20 @@ class BucketedStateStore(_CommitPointer):
         self._repoint(version, epoch_id)
 
     def versions(self) -> list[int]:
+        """Snapshot versions in the catalog, ascending — including
+        negative bootstrap versions (spelled `vm<abs>`), which must be
+        visible or prune() would retain the full-backfill snapshot
+        (the largest in the store) forever."""
         prefix = f"{self.name}_v"
         out = []
         for t in self.spark.catalog.listTables(self.database):
-            if t.name.startswith(prefix) and t.name[len(prefix):].isdigit():
-                out.append(int(t.name[len(prefix):]))
+            if not t.name.startswith(prefix):
+                continue
+            tag = t.name[len(prefix):]
+            if tag.isdigit():
+                out.append(int(tag))
+            elif tag.startswith("m") and tag[1:].isdigit():
+                out.append(-int(tag[1:]))
         return sorted(out)
 
     def prune(self, keep_last: int = 2) -> list[int]:

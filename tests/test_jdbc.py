@@ -41,6 +41,18 @@ def test_extract_query_condition_template():
     assert extract_query(DbMapping(database="d", table="t")) == "SELECT * FROM d.t"
 
 
+def test_extract_query_where_prefix_needs_word_boundary():
+    """A condition whose first identifier merely BEGINS with 'where'
+    must not be mangled (a bare startswith strip once turned
+    wherehouse_id into house_id)."""
+    cfg = DbMapping(
+        database="d", table="t", etl_condition="where wherehouse_id={0}"
+    )
+    assert extract_query(cfg, [7]) == "SELECT * FROM d.t WHERE wherehouse_id=7"
+    bare = DbMapping(database="d", table="t", etl_condition="wherehouse_id={0}")
+    assert extract_query(bare, [7]) == "SELECT * FROM d.t WHERE wherehouse_id=7"
+
+
 def test_upsert_delete_truncate_sql():
     # UPSERT dialect + quoted-upper identifiers (PhoenixSyncService.java:370-423)
     assert (

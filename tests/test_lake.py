@@ -64,3 +64,32 @@ def test_max_records_per_file_caps(spark, tmp_path):
     assert len(files) >= 4  # 100 rows / 30 cap
     for f in files:
         assert pq.read_metadata(f).num_rows <= 30
+
+
+def test_fan_out_never_shuffles_unknown_or_big_inputs(spark, tmp_path):
+    """fan_out is fail-safe: only a KNOWN-small input triggers the
+    round-robin repartition. Unknown size (remote path the driver
+    cannot stat) and known-big inputs must pass through unshuffled —
+    repartitioning a 100 TB table because a stat failed would be the
+    disaster the helper exists to avoid. Directory-style datasets
+    must be SUMMED, not os.path.getsize(dir) (~4 KiB inode size)."""
+    from canal_phoenix_adapter_spark.sources.tables import fan_out
+
+    df = spark.range(10)
+    assert fan_out(spark, df, None) is df          # unknown: no-op
+    assert fan_out(spark, df, 10**15) is df        # big: no-op
+    assert fan_out(spark, df, 1024) is not df      # known-small: fan out
+
+    # directory-style parquet: load_table must sum member files (a
+    # bare getsize(dir) returns the inode size without raising, which
+    # would make EVERY directory dataset look tiny)
+    import os
+
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d)
+    spark.range(100).selectExpr("id AS doc_id", "'x' AS text") \
+        .repartition(2).write.parquet(os.path.join(d, "documents.parquet"))
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+
+    out = load_table(spark, d, "documents")
+    assert out.count() == 100

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import textwrap
+import time
 
 from canal_phoenix_adapter_spark.monitor import ConfigMonitor
 
@@ -96,3 +97,22 @@ def test_routing_key_groups_multiple_configs(tmp_path):
     mon.poll()
     grouped = mon.configs_for("example_mytest-user")
     assert set(grouped) == {"a.yml", "b.yml"}
+
+
+def test_monitor_restart_after_stop(tmp_path):
+    """stop() then start() must resume polling: without clearing the
+    stop event, the second start() launches a thread that exits after
+    zero polls while the monitor looks started."""
+    mon = ConfigMonitor(str(tmp_path))
+    mon.start(interval_sec=0.05)
+    mon.stop()
+    assert mon._thread is None
+    mon.start(interval_sec=0.05)
+    try:
+        write_yaml(str(tmp_path), "late.yml")
+        deadline = time.time() + 5
+        while time.time() < deadline and "late.yml" not in mon.configs:
+            time.sleep(0.05)
+        assert "late.yml" in mon.configs, "restarted monitor never polled"
+    finally:
+        mon.stop()

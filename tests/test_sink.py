@@ -366,6 +366,32 @@ def test_write_time_enum_decode():
     assert vals == [[1, "Female"], [2, "9"], [3, None]]
 
 
+def test_enum_pk_delete_predicate_decoded():
+    """checkColumnValue applies to PK PREDICATES too (the reference
+    runs it inside getPkVal, PhoenixSyncService.java:589): an
+    enum-typed PK stores the decoded label, so a DELETE binding the
+    raw index would never match — and the row would never die."""
+    cfg = make_cfg()
+    cfg.db_mapping.target_pk = {"status": None}
+    cfg.db_mapping.enum_columns = {"STATUS": ["active", "closed"]}
+    conn = FakeConnection()
+    apply_partition(
+        [
+            {"seq": 1, "op": "INSERT", "id": 1, "status": "1"},
+            {"seq": 2, "op": "DELETE", "id": 1, "status": "1"},
+            # PK-change: old status 1 -> new status 2; the pre-delete
+            # must bind the decoded OLD label
+            {"seq": 3, "op": "UPDATE", "id": 2, "status": "2",
+             "old_status": "1"},
+        ],
+        cfg,
+        lambda: conn,
+    )
+    stmts = [(e[1], e[2]) for e in conn.log if e[0] == "execute"]
+    deletes = [v for s, v in stmts if s.startswith("DELETE")]
+    assert deletes == [["active"], ["active"]]  # decoded, not '1'
+
+
 def test_etl_to_sink_backfills_through_writer(spark, tmp_path):
     """S2 -> S5 executed end-to-end: conditional extract + mapping +
     idempotent dedup, then row-wise UPSERTs through the executor-side

@@ -572,6 +572,30 @@ def test_bucketed_state_store_versioning_and_prune(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS default.t_state_ver_v{v}")
 
 
+def test_bucketed_state_store_negative_bootstrap_version(spark, tmp_path):
+    """The etl-then-sync bootstrap commits the backfill as version -1
+    (below any epoch id). A '-' is illegal in a table identifier, so
+    negative versions spell as vm<abs> — and versions()/prune() must
+    see them, or the full-backfill snapshot (the largest in the
+    store) is retained forever."""
+    from canal_phoenix_adapter_spark.streaming.stream import BucketedStateStore
+
+    store = BucketedStateStore(
+        spark, str(tmp_path / "ptr"), "t_state_boot", ["id"], buckets=2
+    )
+    try:
+        store.write(spark.createDataFrame([(1, 0)], "id long, v long"), -1)
+        assert store.current_version() == -1
+        assert store.read().count() == 1
+        store.write(spark.createDataFrame([(1, 1), (2, 1)], "id long, v long"), 5)
+        assert store.versions() == [-1, 5]
+        assert store.prune(keep_last=1) == [-1]
+        assert store.versions() == [5]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.t_state_boot_vm1")
+        spark.sql("DROP TABLE IF EXISTS default.t_state_boot_v5")
+
+
 def test_malformed_canal_json_is_dropped_not_fatal(spark):
     """Garbage lines in the Canal feed must not kill the pipeline:
     from_json yields a null envelope, routing drops it, well-formed
