@@ -70,6 +70,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = E.queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        # a silently shrinking headline reads as a phantom speedup in
+        # round-over-round BENCH comparisons — flag it loudly
+        print(f"WARNING bench: HEADLINE names not registered: {missing}",
+              file=sys.stderr)
     names = [n for n in HEADLINE if n in qs] or list(qs)
 
     # Warm the JVM at the TARGET scale factor: AQE picks different

@@ -1242,7 +1242,7 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, n_chars,
                row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rk,
                count(1) OVER (PARTITION BY lang) AS n
-        FROM documents
+        FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT lang,
            max(CASE WHEN rk = greatest(CAST(ceil(round(0.5 * n, 9)) AS BIGINT), 1) THEN n_chars END) AS q_50,
@@ -1370,11 +1370,11 @@ def _adaptive_filter_sql() -> str:
         SELECT lang, quality,
                row_number() OVER (PARTITION BY lang ORDER BY quality ASC) AS rk,
                count(1) OVER (PARTITION BY lang) AS n
-        FROM q
+        FROM q WHERE quality IS NOT NULL
     ),
     cut AS (
         SELECT lang,
-               max(CASE WHEN rk = greatest(CAST(ceil(0.1 * n) AS BIGINT), 1)
+               max(CASE WHEN rk = greatest(CAST(ceil(round(0.1 * n, 9)) AS BIGINT), 1)
                         THEN quality END) AS q_10
         FROM ranked GROUP BY lang
     )

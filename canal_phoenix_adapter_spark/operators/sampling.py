@@ -62,7 +62,14 @@ def group_quantiles(
     the same whole percent (e.g. 0.115 and 0.125, or any two
     sub-percent values) would silently alias to one column name —
     rejected up front instead of emitting a DataFrame with duplicate
-    columns that throws AMBIGUOUS_REFERENCE on first use."""
+    columns that throws AMBIGUOUS_REFERENCE on first use.
+
+    NULL values are EXCLUDED before ranking (standard
+    percentile_disc semantics): engines disagree on where NULL sorts
+    (Spark windows default NULLS FIRST ascending, DuckDB NULLS
+    LAST), so a NULL inside the ranked set would both desynchronize
+    the oracle and poison value-at-rank with a NULL threshold. A
+    group whose values are all NULL yields no output row."""
     names = [f"q_{int(round(q * 100))}" for q in quantiles]
     if len(set(names)) != len(names):
         raise ValueError(
@@ -70,7 +77,7 @@ def group_quantiles(
             "q_<pct> naming needs quantiles at least a whole percent apart"
         )
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    ranked = df.select(
+    ranked = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col),
         F.col(value_col),
         F.row_number().over(w).alias("__rk"),

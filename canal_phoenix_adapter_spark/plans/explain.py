@@ -37,7 +37,12 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+    """True iff the plan contains a Broadcast HASH join. Deliberately
+    NOT BroadcastNestedLoopJoin: that is the O(n^2) degenerate shape
+    the plan suite exists to catch — counting it as a satisfying
+    'broadcast join' would green-light an equi-join regressing to a
+    non-equi nested loop."""
+    return "BroadcastHashJoin" in explain_str(df)
 
 
 def shuffle_count(df: DataFrame) -> int:

@@ -46,6 +46,23 @@ def test_group_quantiles_exact(spark):
     assert out["b"] == (42, 42)  # singleton group: every quantile = the value
 
 
+def test_group_quantiles_ignores_nulls(spark):
+    """Standard percentile_disc semantics: NULL values are excluded
+    before ranking (engines disagree on where NULL sorts — Spark
+    windows NULLS FIRST asc, DuckDB NULLS LAST — and a NULL in the
+    ranked set would poison value-at-rank). An all-NULL group yields
+    no row."""
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", None)],
+        "g string, v long",
+    )
+    out = {r["g"]: r["q_50"] for r in
+           sampling.group_quantiles(df, "g", "v", [0.5]).collect()}
+    # 4 non-null values, rank ceil(0.5*4)=2 -> 2 (a NULLS FIRST rank
+    # over 5 rows would land rank 3 -> wrong value or NULL)
+    assert out == {"a": 2}
+
+
 def test_group_quantiles_rejects_colliding_aliases(spark):
     """Two quantiles rounding to the same whole percent would emit
     duplicate q_<pct> columns (AMBIGUOUS_REFERENCE downstream) —
