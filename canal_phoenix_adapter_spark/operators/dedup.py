@@ -628,6 +628,11 @@ def dup_clusters(
     inconsistent and keep_canonical over them silently
     under-deduplicates, so they must never be returned as if final.
     """
+    # The pair source is typically an EXPENSIVE subtree (an LSH
+    # candidate self-join); fwd/rev/nodes/loops reference it 4-6 times
+    # while edges and the initial labels materialize, so persist it
+    # for the build and release it as soon as both are concrete.
+    pairs = pairs.select(F.col(id_a), F.col(id_b)).persist()
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     nodes = fwd.select("src").union(rev.select("src")).distinct()
@@ -635,10 +640,11 @@ def dup_clusters(
     # aggregation, so each iteration is exactly one join + one groupBy
     # (no separate left-join merge step).
     loops = nodes.withColumn("dst", F.col("src"))
-    edges = fwd.union(rev).union(loops).distinct().persist()
+    edges = fwd.union(rev).union(loops).distinct().localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("src").alias("id"), F.col("src").alias("lbl")
     ).localCheckpoint(eager=True)
+    pairs.unpersist()
     # The witness sums labels in decimal(38,0): ids can be ~2^60
     # (the md5-derived id idiom), so an int64 sum overflows — and
     # under Spark's default ANSI mode that overflow RAISES mid-
@@ -667,14 +673,12 @@ def dup_clusters(
         # internally INCONSISTENT (a node can point at an intermediate
         # member, not the min), and keep_canonical over them silently
         # under-deduplicates. Refuse to return them.
-        edges.unpersist()
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} iterations "
             "(a component's diameter exceeds the budget); raise "
             "max_iters — near-dup graphs this deep usually mean a "
             "pathological boilerplate chain worth inspecting."
         )
-    edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
