@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def default_salt(skewed: DataFrame, on: list[str], num_salts: int) -> Column:
+    """The default salt: xxhash64 of the skewed side's non-key columns
+    mod num_salts — key-independent (same key lands on different
+    salts) yet deterministic under task retry. A named single
+    definition so tests can assert the REAL expression spreads a hot
+    key instead of re-deriving their own copy of it."""
+    non_key = [c for c in skewed.columns if c not in on]
+    if not non_key:
+        raise ValueError("no non-key columns to derive a salt from; pass salt_expr")
+    return F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(num_salts))
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -46,11 +58,8 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join does not support how={how!r}")
-    non_key = [c for c in skewed.columns if c not in on]
     if salt_expr is None:
-        if not non_key:
-            raise ValueError("no non-key columns to derive a salt from; pass salt_expr")
-        salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(num_salts))
+        salt_expr = default_salt(skewed, on, num_salts)
     s = skewed.withColumn(SALT_COL, salt_expr.cast("int"))
     o = other.withColumn(
         SALT_COL,

@@ -394,17 +394,28 @@ def test_salted_join_matches_plain_join(spark):
 
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must receive more than one distinct salt —
-    the whole point of the exercise."""
-    from pyspark.sql import functions as F
-
-    from canal_phoenix_adapter_spark.functions.skew import SALT_COL, salted_join  # noqa: F401
+    the whole point of the exercise. Asserts salted_join's ACTUAL
+    default expression (default_salt — not a hand copy the
+    implementation could drift from) and that the join plan really
+    keys on the salt column."""
+    from canal_phoenix_adapter_spark.functions.skew import (
+        SALT_COL,
+        default_salt,
+        salted_join,
+    )
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
 
     fact = spark.createDataFrame(
         [(0, i, f"v{i}") for i in range(64)], "k long, seq long, payload string"
     )
-    salt = F.pmod(F.xxhash64("seq", "payload"), F.lit(8)).cast("int")
-    n = fact.select(salt.alias("s")).distinct().count()
-    assert n > 1
+    n = fact.select(
+        default_salt(fact, ["k"], 8).alias("s")
+    ).distinct().count()
+    assert n > 1, "default salt is constant over the hot key's rows"
+
+    dim = spark.createDataFrame([(0, "zero")], "k long, label string")
+    joined = salted_join(fact, dim, on=["k"], num_salts=8)
+    assert SALT_COL in explain_str(joined), "join does not key on the salt"
 
 
 def test_frame_sample_plumbing(spark):
@@ -459,6 +470,9 @@ def test_ivf_trained_codebook_and_ann(spark):
 
     ann = similarity.ann_topk_ivf_trained(df, cb, num_queries=2, k=3)
     neigh = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    # non-emptiness FIRST: the parity all()s below are vacuously true
+    # on an empty result, which would silently untest the ANN path
+    assert {q for q, _ in neigh} == {0, 1}, neigh
     # query 0 (blob 0) only meets even ids; query 1 only odd ids
     assert all(n % 2 == 0 for q, n in neigh if q == 0)
     assert all(n % 2 == 1 for q, n in neigh if q == 1)

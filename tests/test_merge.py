@@ -11,10 +11,6 @@ from canal_phoenix_adapter_spark.operators.merge import keep_last, merge_cdc
 CHANGES_SCHEMA = "seq long, op string, id long, old_id long, val string"
 
 
-def _state(rows):
-    return {r[0]: r for r in rows}
-
-
 def naive_fold(initial: dict, events):
     """Reference semantics, single-threaded: the oracle for property
     tests (SURVEY §5.4). events: (seq, op, id, old_id, val) sorted."""
@@ -37,9 +33,7 @@ def run_merge(spark, state_rows, events):
         if state_rows is not None
         else None
     )
-    changes = spark.createDataFrame(events, CHANGES_SCHEMA).withColumnRenamed(
-        "old_id", "old_id"
-    )
+    changes = spark.createDataFrame(events, CHANGES_SCHEMA)
     out = merge_cdc(state, changes, ["id"], old_prefix="old_")
     return {r["id"]: (r["id"], r["val"]) for r in out.collect()}
 

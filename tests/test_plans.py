@@ -251,9 +251,12 @@ def test_scan_side_ops_have_zero_shuffles(q):
             if re.search(r"\(\d+\) Exchange", line)
             and "REPARTITION_BY_NUM" not in text[text.index(line):text.index(line) + 400]
         ]
-        # allow only the fan-out round-robin repartition from load_table
-        real = [l for l in ex]
-        assert len(real) <= 1, (name, real)
+        # the fan-out round-robin repartition is already excluded by
+        # the REPARTITION_BY_NUM filter above, so ANY surviving
+        # exchange is a real regression — no extra slack (a <=1
+        # allowance here would double-count the fan-out and wave
+        # through one genuine added hash exchange)
+        assert len(ex) == 0, (name, ex)
 
 
 def test_pack_sequences_single_group_shuffle(q):

@@ -136,7 +136,7 @@ def _replay_statements(log):
 def test_sink_statement_stream_matches_fold(evts, commit_batch):
     from canal_phoenix_adapter_spark.config import DbMapping, MappingConfig
     from canal_phoenix_adapter_spark.sinks.phoenix import apply_partition
-    from tests.test_sink import FakeConnection
+    from test_sink import FakeConnection
 
     cfg = MappingConfig(
         db_mapping=DbMapping(

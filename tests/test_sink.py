@@ -259,13 +259,21 @@ def _recording_factory(out_dir):
 
     class JsonlConn:
         def __init__(self):
+            import uuid
+
             self.rows = []
+            self.uid = uuid.uuid4().hex
 
         def cursor(self):
             return JsonlCursor(self)
 
         def commit(self):
-            path = os.path.join(out_dir, f"p{os.getpid()}_{id(self)}.jsonl")
+            # uuid, NOT id(self): a reused python worker can allocate a
+            # later partition's connection at a freed address, and a
+            # pid+id filename collision would append two partitions'
+            # streams into one file — masking exactly the key-split
+            # defect the concurrent-order test exists to catch.
+            path = os.path.join(out_dir, f"p{os.getpid()}_{self.uid}.jsonl")
             with open(path, "a", encoding="utf-8") as f:
                 for r in self.rows:
                     f.write(json.dumps(r) + "\n")

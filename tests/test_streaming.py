@@ -111,12 +111,12 @@ def test_incremental_epochs(spark, tmp_path):
     """Two micro-batches arriving over time: state carries across."""
     src = str(tmp_path / "src")
     write_events(src, EVENTS)
-    for args in ((), ()):  # run twice; second run has a new file
+    for i in range(2):  # run twice; second run sees a new file
         q = run_cdc_stream(
             spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA
         )
         q.awaitTermination(120)
-        if not args:
+        if i == 0:  # write the extra file only BETWEEN the two runs
             with open(os.path.join(src, "more.json"), "w", encoding="utf-8") as f:
                 f.write(json.dumps(dml(10, "INSERT", [{"id": "4", "name": "erin", "balance": "2"}])) + "\n")
     state = ParquetStateStore(spark, str(tmp_path / "state")).read()
@@ -249,35 +249,57 @@ def test_windowed_rollup_stream_watermark_drops_late(spark, tmp_path):
     schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
     stream = spark.readStream.schema(schema).json(src)
     rolled = windowed_rollup_stream(stream, bucket="1 day", watermark="1 hour")
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName("rollup1")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # One shared FILE sink + checkpoint across both runs: the
+    # watermark state must CARRY so run 2's day-1 event is genuinely
+    # behind it (a fresh checkpoint would reprocess b1+b2 together and
+    # the event would legitimately not be late; the memory sink cannot
+    # recover from a checkpoint at all).
+    ckpt = str(tmp_path / "wckpt")
+    out = str(tmp_path / "wout")
+
+    def run_once():
+        q = (
+            rolled.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        collected = spark.read.parquet(out).collect()
+        rows = {r["win_start_us"]: r for r in collected}
+        # one row per window — a re-emitted window would collide in
+        # the dict and silently shadow its first emission
+        assert len(collected) == len(rows), collected
+        return rows
+
+    rows = run_once()
     # append mode emits only FINALIZED windows: day 1 (watermark moved
     # past its end), not day 3 (still open)
-    rows = {r["win_start_us"]: r for r in spark.sql("SELECT * FROM rollup1").collect()}
     day1_us = int(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     assert list(rows) == [day1_us]
     assert rows[day1_us]["n_events"] == 2
     assert float(rows[day1_us]["sum_value"]) == 3.0
 
-    # batch 2: a LATE day-1 event (behind the watermark) + day-4 event.
+    # batch 2: a LATE day-1 event (behind the carried watermark) + a
+    # day-4 event that finalizes the day-3 window. Resume from the
+    # SAME checkpoint: run 2 processes only b2.
     with open(os.path.join(src, "b2.json"), "w", encoding="utf-8") as f:
         for e in [ev(4, 1, 3, 13, 100.0), ev(5, 4, 1, 14, 8.0)]:
             f.write(json.dumps(e) + "\n")
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName("rollup2")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "wckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    rows2 = run_once()
+    day3_us = int(dt.datetime(2024, 3, 3, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # Run 2 adds ONLY the finalized day-3 window. If the watermark
+    # stopped dropping late data, the day-1 window would RE-OPEN for
+    # the late event and re-emit (sum 100.0) once the day-4 event
+    # re-finalized it — so day-1 keeping its run-1 values IS the
+    # late-drop assertion.
+    assert sorted(rows2) == [day1_us, day3_us], rows2
+    assert rows2[day1_us]["n_events"] == 2
+    assert float(rows2[day1_us]["sum_value"]) == 3.0
+    assert rows2[day3_us]["n_events"] == 1
+    assert float(rows2[day3_us]["sum_value"]) == 4.0
 
 
 def test_stateful_running_totals(spark, tmp_path):
@@ -431,7 +453,7 @@ def test_run_cdc_stream_to_sink_applies_all_events(spark, tmp_path):
     changes -> executor-side statement apply. The recorded statement
     stream must replay to the same final state as the golden
     scenario's expected table."""
-    from tests.test_sink import _recording_factory
+    from test_sink import _recording_factory
     from canal_phoenix_adapter_spark.streaming.stream import run_cdc_stream_to_sink
 
     src = str(tmp_path / "src")
@@ -624,7 +646,7 @@ def test_sink_topology_checkpoint_loss_is_effectively_once(spark, tmp_path):
     topology claims."""
     import shutil
 
-    from tests.test_sink import _recording_factory
+    from test_sink import _recording_factory
     from canal_phoenix_adapter_spark.streaming.stream import run_cdc_stream_to_sink
 
     src = str(tmp_path / "src")
