@@ -653,7 +653,11 @@ def dup_clusters(
     # node count.
     _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(_lbl_sum).first()[0]
-    for _ in range(max_iters):
+    # max_iters + 1: convergence is only ever CONFIRMED by an extra
+    # unchanged iteration, so a graph whose diameter is exactly
+    # max_iters needs one more pass to prove its fixpoint — without
+    # it, fully-converged labels would be rejected as non-converged.
+    for _ in range(max_iters + 1):
         labels = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")

@@ -284,8 +284,11 @@ def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
             )
             continue
         m = _DROP_RE.search(clause)
+        # \b mirrors the ADD lookahead: a column NAMED checksum /
+        # partition_date / unique_id must still drop — only the bare
+        # keyword (DROP CHECK x, DROP PARTITION p) is a non-column.
         if m and not re.search(
-            r"drop\s+" + _DDL_NON_COLUMN, clause, re.IGNORECASE
+            r"drop\s+" + _DDL_NON_COLUMN + r"\b", clause, re.IGNORECASE
         ):
             intents.append(DdlIntent("drop", m.group(1)))
     return intents or [DdlIntent("other")]

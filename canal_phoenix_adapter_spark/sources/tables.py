@@ -51,6 +51,33 @@ def fan_out(spark: SparkSession, df: DataFrame, n_bytes: int | None = None) -> D
     return df.repartition(target)
 
 
+def dataset_size(path: str) -> int | None:
+    """Total data bytes of a local parquet dataset, or None if
+    unknowable (remote/unstat-able path — fan_out then never adds a
+    shuffle). getsize on a DIRECTORY does not raise — it returns the
+    ~4 KiB inode size, which would make every directory-style dataset
+    (the normal production layout) look tiny and get repartitioned —
+    so directories are detected explicitly and walked RECURSIVELY (a
+    hive-partitioned layout nests part files under key=value
+    subdirectories; summing only the top level would repeat the
+    inode-size mistake one level down). Dot/underscore entries
+    (_SUCCESS, _metadata, hidden files) are skipped."""
+    if os.path.isdir(path):
+        n_bytes = 0
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            n_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return n_bytes
+    try:
+        return os.path.getsize(path)
+    except OSError:  # remote path / missing: unknown size
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
@@ -64,22 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         native precision) for window/watermark use.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # getsize on a DIRECTORY does not raise — it returns the ~4 KiB
-    # inode size, which would make every directory-style dataset (the
-    # normal production layout) look tiny and get repartitioned. Check
-    # isdir FIRST; a remote/unstat-able path yields None, which
-    # fan_out treats as "unknown: never shuffle".
-    if os.path.isdir(path):
-        n_bytes = sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
-            if not f.startswith((".", "_"))
-        )
-    else:
-        try:
-            n_bytes = os.path.getsize(path)
-        except OSError:  # remote path / missing: unknown size
-            n_bytes = None
+    n_bytes = dataset_size(path)
     if name != "events":
         return fan_out(spark, spark.read.parquet(path), n_bytes)
     try:

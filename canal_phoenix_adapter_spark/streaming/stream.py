@@ -758,29 +758,35 @@ def state_changes(
         ):
             # A heal/DDL epoch changed the column's TYPE between the
             # snapshots: a raw null-safe compare would either raise or
-            # implicitly coerce. A row is UNCHANGED only if the value
-            # round-trips BOTH ways (try_cast old->new equals after
-            # AND try_cast new->old equals before): a pure widening
-            # (int 2 -> double 2.0, or string "2" -> int 2) is
-            # representation-only and emits no row, instead of an
-            # UPDATE storm over the whole table (which a string-
-            # rendering compare produces: "2" != "2.0") — but a LOSSY
-            # migration (double 2.5 healed to int 2) fails the
-            # reverse cast (2 -> 2.0 != 2.5) and is correctly
-            # CHANGED; one-directional compare would silently
-            # suppress it. A value either type cannot represent
-            # (try_cast NULL while the source was not) is
-            # conservatively CHANGED. Output keeps each side's own
-            # type.
+            # implicitly coerce. Forward leg: the row is CHANGED when
+            # try_cast(old -> new) differs from the after-value (or
+            # the new type cannot represent the old value) — a pure
+            # widening (int 2 -> double 2.0, string "2" -> int 2) is
+            # representation-only and emits no row, never an UPDATE
+            # storm over the whole table. Reverse leg, NON-STRING old
+            # types only: a lossy narrowing (double 2.5 healed to
+            # int 2) passes the forward leg, but casting the after-
+            # value back to the old type (2 -> 2.0 != 2.5) exposes
+            # it — that compare is value-based and exact for numeric/
+            # temporal old types. For a STRING old type the reverse
+            # leg is skipped: casting numerics back to string compares
+            # RENDERINGS, and '2' vs '2.0' would flag every non-
+            # canonically-spelled row — a full-table UPDATE storm over
+            # a semantically lossless heal. Output keeps each side's
+            # own type.
             bc = b.try_cast(new_types[c])
-            ac = a.try_cast(old_types[c])
             changed = (
                 changed
                 | ~bc.eqNullSafe(a)
-                | ~ac.eqNullSafe(b)
                 | (b.isNotNull() & bc.isNull())
-                | (a.isNotNull() & ac.isNull())
             )
+            if not isinstance(old_types[c], T.StringType):
+                ac = a.try_cast(old_types[c])
+                changed = (
+                    changed
+                    | ~ac.eqNullSafe(b)
+                    | (a.isNotNull() & ac.isNull())
+                )
         else:
             changed = changed | ~b.eqNullSafe(a)
     op = (

@@ -352,6 +352,12 @@ def test_dup_clusters_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dup_clusters(chain, max_iters=2)
+    # diameter == max_iters is NOT non-convergence: the fixpoint is
+    # reached on the last productive iteration and confirmed by the
+    # one extra pass the loop allows — must return, not raise
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(chain, max_iters=7).collect()}
+    assert got == {i: 1 for i in range(1, 9)}
 
 
 def test_keep_canonical_drops_non_representatives(spark):

@@ -93,3 +93,34 @@ def test_fan_out_never_shuffles_unknown_or_big_inputs(spark, tmp_path):
 
     out = load_table(spark, d, "documents")
     assert out.count() == 100
+
+
+def test_dataset_size_sums_nested_partitions(spark, tmp_path):
+    """A hive-partitioned dataset nests part files under key=value
+    subdirectories; dataset_size must sum them recursively (a
+    top-level-only sum would count ~4 KiB subdirectory inodes and a
+    multi-TB table would look tiny enough to repartition). Unknown
+    paths yield None, never a guess."""
+    import os
+
+    from canal_phoenix_adapter_spark.sources.tables import dataset_size
+
+    d = str(tmp_path / "part.parquet")
+    spark.range(500).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS lang"
+    ).write.partitionBy("lang").parquet(d)
+
+    true_sum = 0
+    for root, _dirs, files in os.walk(d):
+        true_sum += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files if not f.startswith((".", "_"))
+        )
+    inode_sum = sum(
+        os.path.getsize(os.path.join(d, e))
+        for e in os.listdir(d) if not e.startswith((".", "_"))
+    )  # what a non-recursive sum would report: subdirectory inodes
+    assert true_sum > 0
+    assert dataset_size(d) == true_sum
+    assert dataset_size(d) != inode_sum
+    assert dataset_size("s3://bucket/nope.parquet") is None

@@ -127,6 +127,11 @@ def test_parse_ddl_non_column_clauses_are_not_columns():
         == [("add", "index2")]
     assert [(i.kind, i.column) for i in parse_ddl("ALTER TABLE t DROP `key`")] \
         == [("drop", "key")]
+    # DROP of a column whose name merely STARTS with a keyword must
+    # still drop (the guard needs a word boundary, not a prefix match)
+    for col in ("checksum", "partition_date", "unique_id", "keystone"):
+        assert [(i.kind, i.column) for i in parse_ddl(f"ALTER TABLE t DROP {col}")] \
+            == [("drop", col)], col
 
 
 def test_apply_ddl_add_backfills_and_drop(spark):

@@ -1040,6 +1040,32 @@ def test_state_changes_lossy_narrowing_not_suppressed(spark, tmp_path):
     assert got == {1: ("UPDATE", 2.5, 2)}
 
 
+def test_state_changes_string_to_double_heal_no_rendering_storm(spark, tmp_path):
+    """A string -> double heal with numerically-equal values must emit
+    NOTHING: a reverse-leg compare through string RENDERINGS would
+    flag '2' vs '2.0' on every non-canonically-spelled row — a
+    full-table UPDATE storm over a lossless migration. Only genuinely
+    different values (and unparseable ones) emit."""
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdf6"))
+    v0 = spark.createDataFrame(
+        [(1, "2"), (2, "0.5"), (3, "3"), (4, "xyz")], "id long, bal string"
+    )
+    v1 = spark.createDataFrame(
+        [(1, 2.0), (2, 0.5), (3, 99.0), (4, 7.0)], "id long, bal double"
+    )
+    store.write(v0, 0)
+    store.write(v1, 1)
+    got = {
+        r["id"]: (r["op"], r["bal__before"], r["bal__after"])
+        for r in state_changes(store, 0, 1, ["id"]).collect()
+    }
+    # '2'->2.0 and '0.5'->0.5 are lossless: no row; '3'->99.0 is a
+    # real change; 'xyz' is unrepresentable -> conservatively changed
+    assert got == {3: ("UPDATE", "3", 99.0), 4: ("UPDATE", "xyz", 7.0)}
+
+
 def test_commit_lock_serializes_writers(spark, tmp_path):
     """The store's commit lock excludes a second committer (thread or
     process) for the whole basis-read -> write -> repoint window: a

@@ -26,13 +26,16 @@ def norm_cell(v):
     import decimal
     import math
 
-    if v is None:
+    # NaN folds to None DELIBERATELY: the pandas boundary has already
+    # destroyed the NULL/NaN distinction for float64 columns on BOTH
+    # sides (toPandas and duckdb .df() render SQL NULL as NaN), so a
+    # distinct NaN sentinel here cannot catch an engine-NaN-vs-oracle-
+    # NULL regression — it can only false-FAIL genuinely-equal NULLs
+    # whose dtypes differ across the two frames (object None on one
+    # side, float64 NaN on the other). NaN-regression defense lives in
+    # the operators' guards and their unit tests instead.
+    if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
-    if isinstance(v, float) and math.isnan(v):
-        # NaN must stay distinguishable from NULL: folding both to
-        # None would green-light exactly the regression class the
-        # quality guards exist to catch (engine NaN vs oracle NULL).
-        return "nan"
     if isinstance(v, float) and math.isinf(v):
         return "inf" if v > 0 else "-inf"
     if isinstance(v, decimal.Decimal):
