@@ -594,6 +594,40 @@ def test_bucketed_state_store_versioning_and_prune(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS default.t_state_ver_v{v}")
 
 
+def test_bucketed_state_store_drives_cdc_epochs(spark, tmp_path):
+    """apply_cdc_epoch against the BUCKETED store — the documented
+    100 TB state layout must work through the same epoch protocol as
+    the parquet store (commit lock, epoch watermark, replay no-op,
+    prune), not just direct write/read."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        BucketedStateStore,
+        apply_cdc_epoch,
+    )
+
+    store = BucketedStateStore(
+        spark, str(tmp_path / "ptr"), "t_state_epoch", ["id"], buckets=2
+    )
+    base = "seq long, op string, id long, name string, old_id long"
+    b0 = spark.createDataFrame(
+        [(1, "INSERT", 1, "a", None), (2, "INSERT", 2, "b", None)], base
+    )
+    b1 = spark.createDataFrame(
+        [(3, "UPDATE", 1, "a2", None), (4, "DELETE", 2, "b", None)], base
+    )
+    try:
+        assert apply_cdc_epoch(store, b0, 0, ["id"])
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+        got = {r["id"]: r["name"] for r in store.read().collect()}
+        assert got == {1: "a2"}
+        # replay of a committed epoch must no-op
+        assert apply_cdc_epoch(store, b1, 1, ["id"]) is False
+        assert store.last_epoch() == 1 and store.current_version() == 1
+        assert store.prune(keep_last=1) == [0]
+    finally:
+        for v in (0, 1):
+            spark.sql(f"DROP TABLE IF EXISTS default.t_state_epoch_v{v}")
+
+
 def test_bucketed_state_store_negative_bootstrap_version(spark, tmp_path):
     """The etl-then-sync bootstrap commits the backfill as version -1
     (below any epoch id). A '-' is illegal in a table identifier, so
