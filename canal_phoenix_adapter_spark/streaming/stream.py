@@ -804,7 +804,7 @@ def state_changes(
 
 
 def erase_keys(
-    store: ParquetStateStore,
+    store: ParquetStateStore | BucketedStateStore,
     keys: DataFrame,
     pk: list[str],
 ) -> int:

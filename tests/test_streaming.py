@@ -628,6 +628,45 @@ def test_bucketed_state_store_drives_cdc_epochs(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS default.t_state_epoch_v{v}")
 
 
+def test_erase_keys_on_bucketed_store(spark, tmp_path):
+    """Compliance erasure must work on the bucketed (100 TB-layout)
+    store through the same commit-lock/watermark protocol: a new
+    version without the erased keys, epoch watermark carried, and a
+    later CDC epoch still applies (the erasure version can neither
+    shadow it nor collide with its snapshot)."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        BucketedStateStore,
+        apply_cdc_epoch,
+        erase_keys,
+    )
+
+    store = BucketedStateStore(
+        spark, str(tmp_path / "ptr"), "t_state_erase", ["id"], buckets=2
+    )
+    base = "seq long, op string, id long, name string, old_id long"
+    b0 = spark.createDataFrame(
+        [(1, "INSERT", 1, "a", None), (2, "INSERT", 2, "b", None),
+         (3, "INSERT", 3, "c", None)], base
+    )
+    versions = []
+    try:
+        assert apply_cdc_epoch(store, b0, 0, ["id"])
+        keys = spark.createDataFrame([(2,)], "id long")
+        v = erase_keys(store, keys, ["id"])
+        versions = [0, v]
+        assert {r["id"] for r in store.read().collect()} == {1, 3}
+        assert store.last_epoch() == 0  # watermark carried, not bumped
+        # a later epoch still applies on top of the erasure snapshot
+        b1 = spark.createDataFrame([(4, "UPDATE", 1, "a2", None)], base)
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+        versions = sorted({0, v, store.current_version()})
+        got = {r["id"]: r["name"] for r in store.read().collect()}
+        assert got == {1: "a2", 3: "c"}
+    finally:
+        for ver in versions:
+            spark.sql(f"DROP TABLE IF EXISTS default.t_state_erase_v{ver}")
+
+
 def test_bucketed_state_store_negative_bootstrap_version(spark, tmp_path):
     """The etl-then-sync bootstrap commits the backfill as version -1
     (below any epoch id). A '-' is illegal in a table identifier, so
