@@ -73,11 +73,18 @@ def coerce_to(col: Column, target: T.DataType) -> Column:
             T.DecimalType,
             T.DateType,
             T.TimestampType,
+            T.TimestampNTZType,
             T.BinaryType,
         ),
     ):
         base = col.cast("string") if isinstance(target, T.BinaryType) else col
         return base.try_cast(target.simpleString())
+    if isinstance(target, (T.ArrayType, T.MapType, T.StructType)):
+        # complex targets: lenient element-wise coercion isn't part of
+        # the reference matrix (flat rows only, SURVEY §1.3); a plain
+        # try_cast covers the project-onto-schema contract instead of
+        # silently stringifying the column.
+        return col.try_cast(target.simpleString())
     return col.cast("string")
 
 

@@ -27,7 +27,16 @@ def default_salt(skewed: DataFrame, on: list[str], num_salts: int) -> Column:
     mod num_salts — key-independent (same key lands on different
     salts) yet deterministic under task retry. A named single
     definition so tests can assert the REAL expression spreads a hot
-    key instead of re-deriving their own copy of it."""
+    key instead of re-deriving their own copy of it.
+
+    Honest limitation: a content-derived salt spreads a hot key only
+    as far as its rows' non-key values vary. A hot key whose rows are
+    near-identical (constant default payload) still lands on one salt
+    — pass ``salt_expr`` with a row-unique attribute (an id, an
+    offset) for that shape. The retry-unstable alternatives
+    (rand(), monotonically_increasing_id) re-roll when a stage
+    recomputes, which silently double-or-drops rows under the
+    replicated join — why they are not the default."""
     non_key = [c for c in skewed.columns if c not in on]
     if not non_key:
         raise ValueError("no non-key columns to derive a salt from; pass salt_expr")

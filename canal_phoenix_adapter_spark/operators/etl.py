@@ -78,8 +78,17 @@ def etl_import(
     """
     extracted = append_condition(source, cfg, params)
     mapped = apply_mapping(extracted, cfg, target_schema)
-    pk_cols = [cfg.escape(k) for k in cfg.target_pk] or mapped.columns
-    return mapped.dropDuplicates(pk_cols)
+    # Resolve each PK to the column the mapping actually emitted: the
+    # escaped TARGET name when the rename is declared in targetColumns,
+    # else the escaped SOURCE name (a targetPk-only rename rides
+    # through mapAll under its source name — dropDuplicates on the
+    # target name would be an unresolvable-column error for a config
+    # shape the reference accepts).
+    pk_cols = []
+    for tgt, src in cfg.target_pk.items():
+        et = cfg.escape(tgt)
+        pk_cols.append(et if et in mapped.columns else cfg.escape(src or tgt))
+    return mapped.dropDuplicates(pk_cols or mapped.columns)
 
 
 def range_split_stats(df: DataFrame, key_col: str, num_slices: int = 3) -> DataFrame:
@@ -197,10 +206,26 @@ def etl_to_sink(
     order (backfill has no cross-row ordering constraint — the PK
     dedup already happened in etl_import). Returns the EtlResult
     envelope."""
+    from dataclasses import replace
+
     from canal_phoenix_adapter_spark.config import MappingConfig
     from canal_phoenix_adapter_spark.sinks.phoenix import write_changes
 
-    wrapper = MappingConfig(concurrent=True, db_mapping=cfg)
+    # The rows reaching the sink are ALREADY target-shaped (etl_import
+    # applied mapping/excludes/enums and escaped the names), so the
+    # sink must see an IDENTITY mapping: re-applying the original
+    # renames would emit duplicate target columns bound to None, and
+    # re-applying the enum decode would corrupt numeric-looking labels.
+    # target_pk re-keys to the escaped TARGET names the rows now carry.
+    sink_mapping = replace(
+        cfg,
+        target_columns={},
+        exclude_columns=[],
+        enum_columns={},
+        map_all=True,
+        target_pk={cfg.escape(t): None for t in cfg.target_pk},
+    )
+    wrapper = MappingConfig(concurrent=True, db_mapping=sink_mapping)
 
     def sink(df: DataFrame) -> int:
         # Persist so the pipeline executes ONCE for both the write and

@@ -19,6 +19,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from canal_phoenix_adapter_spark.functions.hashing import md5_long_bytes
+
 MEDIA_TYPES = ["image", "audio", "video"]
 
 FEATURE_SCHEMA = (
@@ -69,13 +71,18 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
         for pdf in it:
             out = pdf[["doc_id", "media_type"]].copy()
             payloads = pdf["payload"]
-            out["n_bytes"] = payloads.map(len).astype("int64")
+            # NULL payloads yield NULL features (len(None) would raise
+            # a TypeError in the executor and kill the job); pandas
+            # nullable Int dtypes carry the None through Arrow.
+            out["n_bytes"] = payloads.map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int64")
             out["first_byte"] = payloads.map(
-                lambda b: int(b[0]) if len(b) else -1
-            ).astype("int32")
+                lambda b: None if b is None else (int(b[0]) if len(b) else -1)
+            ).astype("Int32")
             out["byte_sum_mod"] = payloads.map(
-                lambda b: sum(b) % 997
-            ).astype("int64")
+                lambda b: sum(b) % 997 if b is not None else None
+            ).astype("Int64")
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
@@ -124,7 +131,7 @@ def frame_sample(
     out = vids.select("doc_id", "payload", idx.alias("frame_idx"))
     offset = (F.col("frame_idx") * frame_bytes + 1).cast("int")
     frame = F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})")
-    sig = F.conv(F.substring(F.md5(frame), 1, 15), 16, 10).cast("long")
+    sig = md5_long_bytes(frame)
     return out.select(
         "doc_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
@@ -154,9 +161,7 @@ def thumbnail_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
         )
         return F.when(long_side <= max_side, side).otherwise(scaled)
 
-    sig = F.conv(
-        F.substring(F.md5(F.expr("substring(payload, 1, 32)")), 1, 15), 16, 10
-    ).cast("long")
+    sig = md5_long_bytes(F.expr("substring(payload, 1, 32)"))
     return imgs.select(
         "doc_id",
         w.alias("width"),

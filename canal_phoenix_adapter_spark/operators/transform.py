@@ -41,8 +41,21 @@ def mapping_columns(cfg: DbMapping, source_columns: list[str]) -> dict[str, str]
         explicit_sources = {
             (src or tgt).lower() for tgt, src in (cfg.target_columns or {}).items()
         }
+        # also skip a source column whose name collides CASE-
+        # INSENSITIVELY with an explicit TARGET: escape() uppercases
+        # aliases, so keeping both would emit two identically-named
+        # output columns (AMBIGUOUS_REFERENCE downstream). Explicit
+        # rename wins, matching the "overlay" contract. (The reference
+        # keys its map case-sensitively and would emit the duplicate,
+        # SyncUtil.java:25-47 — a config shape Phoenix itself rejects,
+        # so deduping here is the strictly-saner reading.)
+        explicit_targets = {t.lower() for t in (cfg.target_columns or {})}
         for col in source_columns:
-            if col.lower() in excludes or col.lower() in explicit_sources:
+            if (
+                col.lower() in excludes
+                or col.lower() in explicit_sources
+                or col.lower() in explicit_targets
+            ):
                 continue
             out[col] = col
     for tgt, src in (cfg.target_columns or {}).items():

@@ -56,7 +56,15 @@ def write_lake(
         # shuffle parallelism (still co-locates each key's rows)
         out = out.repartition(*[F.col(c) for c in repartition_keys])
     if sort_within:
-        out = out.sortWithinPartitions(*sort_within)
+        # When also writing partitionBy dirs, LEAD the sort with the
+        # partition columns: the file writer REQUIRES an ordering on
+        # them, and if our sort doesn't satisfy it Spark inserts its
+        # own SortExec on just the partition keys — silently voiding
+        # the in-file ordering (and the parquet min/max row-group
+        # selectivity it exists for). Prefixing satisfies the required
+        # ordering, so our full sort survives to the files.
+        lead = [c for c in (partition_by or []) if c not in sort_within]
+        out = out.sortWithinPartitions(*lead, *sort_within)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

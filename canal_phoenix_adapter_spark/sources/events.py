@@ -86,7 +86,11 @@ def explode_dml(df: DataFrame, seq_col: str = "seq") -> DataFrame:
     )
     es = F.coalesce(F.col("es"), F.lit(0))
     ts = F.coalesce(F.col("ts"), es)
-    es_sec = F.floor(es / F.lit(1000))
+    # clamp the second to its 31-bit budget like the 14/18-bit
+    # components below: an es past 2038 (or a garbage future
+    # timestamp TODAY) would otherwise overflow int64 in the shift
+    # multiply, and ANSI mode turns that into a batch-killing error
+    es_sec = F.least(F.floor(es / F.lit(1000)), F.lit((1 << 31) - 1))
     ts_tie = F.least(F.greatest(ts - es_sec * 1000, F.lit(0)), F.lit(_SEQ_TS_MAX))
     out = zipped.select(
         (
@@ -119,7 +123,12 @@ def route(df: DataFrame, cfg: MappingConfig) -> DataFrame:
     if cfg.destination:
         cond = cond & (F.col("destination") == cfg.destination)
     if cfg.group_id:
-        cond = cond & (F.col("group_id") == cfg.group_id)
+        # route() runs on BOTH sides of explode_dml: the raw envelope
+        # still carries camelCase groupId (explode_dml renames it to
+        # group_id) — resolving by the columns actually present keeps
+        # a groupId-scoped config from dying at plan time pre-explode.
+        gcol = "group_id" if "group_id" in df.columns else "groupId"
+        cond = cond & (F.col(gcol) == cfg.group_id)
     return df.where(cond)
 
 

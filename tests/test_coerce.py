@@ -64,6 +64,16 @@ def test_zero_date_passthrough(spark):
     assert _one(spark, "2024-02-29", zero_date_lenient(F.col("v"), "date")) == "2024-02-29"
 
 
+def test_coerce_to_ntz_timestamp(spark):
+    """TimestampNTZType must coerce like TimestampType, not silently
+    stringify (the project-onto-schema contract)."""
+    df = spark.createDataFrame([("2024-03-01 10:30:00",), ("garbage",)], "ts string")
+    out = df.select(coerce_to(F.col("ts"), T.TimestampNTZType()).alias("ts"))
+    assert out.schema["ts"].dataType == T.TimestampNTZType()
+    vals = [r["ts"] for r in out.collect()]
+    assert vals[0] is not None and vals[1] is None  # lenient NULL on garbage
+
+
 def test_coerce_to_schema_missing_and_extra(spark):
     df = spark.createDataFrame([("1", "x", "z")], "a string, b string, zz string")
     schema = T.StructType(

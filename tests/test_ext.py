@@ -254,6 +254,25 @@ def test_multimodal_features_match_payload(spark):
     assert feats[1]["media_type"] == "audio"  # doc_id 1 -> index 2
 
 
+def test_multimodal_features_null_payload(spark):
+    """A NULL payload must yield NULL features, not a len(None)
+    TypeError that kills the whole mapInPandas job."""
+    from pyspark.sql import types as T
+
+    media = spark.createDataFrame(
+        [(0, "image", b"ab"), (1, "image", None)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 2
+    assert feats[1]["n_bytes"] is None
+    assert feats[1]["first_byte"] is None and feats[1]["byte_sum_mod"] is None
+
+
 def test_multimodal_stubs_raise(spark):
     docs = spark.createDataFrame([(0, "x", 1)], "doc_id long, text string, n_chars long")
     media = multimodal.as_media_table(docs)

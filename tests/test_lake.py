@@ -124,3 +124,26 @@ def test_dataset_size_sums_nested_partitions(spark, tmp_path):
     assert dataset_size(d) == true_sum
     assert dataset_size(d) != inode_sum
     assert dataset_size("s3://bucket/nope.parquet") is None
+
+
+def test_sort_within_survives_partition_by(spark, tmp_path):
+    """partitionBy imposes a required ordering on the partition
+    columns; if sort_within doesn't satisfy it the file writer adds
+    its own sort and the promised in-file ordering silently vanishes.
+    write_lake leads the sort with the partition columns so the
+    caller's ordering reaches the files."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i % 3, 999 - i) for i in range(300)], "part int, doc_id int"
+    )
+    out = str(tmp_path / "lake_po")
+    write_lake(df, out, partition_by=["part"], target_files=1,
+               sort_within=["doc_id"])
+    files = []
+    for root, _d, fs in os.walk(out):
+        files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids), f

@@ -123,3 +123,47 @@ def test_read_options_requires_bounds_with_partition_column():
         "jdbc:x", cfg, partition_column="id", lower_bound=0, upper_bound=10
     )
     assert opts["lowerBound"] == "0" and opts["upperBound"] == "10"
+
+
+def test_etl_import_pk_renamed_only_in_target_pk(spark):
+    """targetPk={'ID': 'uid'} without a matching targetColumns entry:
+    the mapped output carries the column under its (escaped) SOURCE
+    name, and the idempotent dedup must resolve it there instead of
+    failing on the nonexistent target name — a config shape the
+    reference accepts."""
+    from canal_phoenix_adapter_spark.operators.etl import etl_import
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "uid long, name string"
+    )
+    cfg = DbMapping(
+        database="d", table="t", target_table="D.T", target_pk={"ID": "uid"}
+    )
+    out = etl_import(df, cfg)
+    assert sorted(out.columns) == ["NAME", "UID"]
+    assert out.count() == 2  # deduped on the resolved UID column
+
+
+def test_envelope_seq_clamps_future_es(spark):
+    """An es past 2038 (garbage future binlog timestamp) must clamp to
+    the 31-bit second budget instead of overflowing int64 in the shift
+    multiply (ANSI mode turns that overflow into a batch-killing
+    error)."""
+    import json as _json
+
+    from canal_phoenix_adapter_spark.sources.events import (
+        explode_dml,
+        parse_dml_json,
+    )
+
+    far_future_ms = (2**31 + 5) * 1000  # past the 31-bit second budget
+    e = {
+        "destination": "example", "database": "d", "table": "t",
+        "type": "INSERT", "isDdl": False, "es": far_future_ms,
+        "ts": far_future_ms, "data": [{"id": "1"}], "old": None,
+    }
+    raw = spark.createDataFrame([(_json.dumps(e),)], "value string")
+    rows = explode_dml(parse_dml_json(raw)).collect()  # must not raise
+    # second clamps to 2^31-1; the 6000 ms the clamp displaced lands
+    # in the (bounded) delivery-lag tiebreak field
+    assert rows[0]["seq"] == (2**31 - 1) * (1 << 32) + 6000 * (1 << 18)

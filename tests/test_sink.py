@@ -425,3 +425,40 @@ def test_etl_to_sink_backfills_through_writer(spark, tmp_path):
             applied.append(json.loads(line))
     upserted = {a["params"][0] for a in applied if a["sql"].startswith("UPSERT")}
     assert upserted == {2, 3}  # filtered to sys_time>=50, deduped on PK
+
+
+def test_etl_to_sink_with_renames_does_not_remap(spark, tmp_path):
+    """The sink side of etl_to_sink must treat rows as ALREADY
+    target-shaped: re-applying the config's renames to mapped rows
+    emitted a duplicate target column bound to None, and a renamed PK
+    crashed the repartition (the source name no longer exists)."""
+    from canal_phoenix_adapter_spark.operators.etl import etl_to_sink
+
+    out = tmp_path / "applied2"
+    out.mkdir()
+    src = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id long, uname string, gender long"
+    )
+    cfg = DbMapping(
+        database="d", table="t", target_table="MYTEST.USER",
+        target_pk={"UID": "id"},                  # PK renamed
+        target_columns={"uid": "id", "name": "uname"},
+        enum_columns={"GENDER": ["Male", "Female"]},
+    )
+    res = etl_to_sink(src, cfg, _recording_factory(str(out)))
+    assert res["succeeded"] is True and res["rowsProcessed"] == 2
+
+    applied = []
+    for fname in os.listdir(out):
+        for line in open(out / fname, encoding="utf-8").read().splitlines():
+            applied.append(json.loads(line))
+    ups = [a for a in applied if a["sql"].startswith("UPSERT")]
+    assert len(ups) == 2
+    for a in ups:
+        # no duplicate column, no None clobber; enum decoded ONCE
+        cols = a["sql"].split("(")[1].split(")")[0].split(", ")
+        assert len(cols) == len(set(cols)), a["sql"]
+        assert None not in a["params"], a
+    assert {a["params"][a_cols.index('"GENDER"')] for a in ups
+            for a_cols in [a["sql"].split("(")[1].split(")")[0].split(", ")]} \
+        == {"Male", "Female"}

@@ -136,6 +136,34 @@ def test_parse_explode_route_batch(spark):
     assert got[4]["old"] == {"id": "2"}  # PK-change old image
 
 
+def test_route_group_id_on_raw_envelope(spark):
+    """route() must work on BOTH sides of explode_dml: the raw
+    envelope still carries camelCase groupId (explode renames it), so
+    a groupId-scoped config must filter pre-explode without an
+    unresolvable-column error — and actually scope the events."""
+    from canal_phoenix_adapter_spark.config import config_from_dict
+
+    cfg_g1 = config_from_dict(
+        {
+            "destination": "example",
+            "groupId": "g1",
+            "dbMapping": {"database": "mytest", "table": "user",
+                          "targetTable": "mytest2.user", "targetPk": {"id": "id"}},
+        }
+    )
+    e1 = dml(1, "INSERT", [{"id": "1", "name": "a", "balance": "1"}])
+    e2 = dml(2, "INSERT", [{"id": "2", "name": "b", "balance": "2"}])
+    e1["groupId"], e2["groupId"] = "g1", "g2"
+    raw = spark.createDataFrame([(json.dumps(e),) for e in (e1, e2)], "value string")
+    # pre-explode (envelope column is groupId)
+    routed = route(parse_dml_json(raw), cfg_g1)
+    rows = explode_dml(routed).collect()
+    assert [r["data"]["id"] for r in rows] == ["1"]
+    # post-explode (column renamed to group_id) must also work
+    rows2 = route(explode_dml(parse_dml_json(raw)), cfg_g1).collect()
+    assert [r["data"]["id"] for r in rows2] == ["1"]
+
+
 def test_epoch_replay_after_crash_converges(spark, tmp_path):
     """C10 rollback semantics made observable: an epoch replayed after
     a crash converges to the identical state, whichever side of the

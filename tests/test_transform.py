@@ -54,6 +54,16 @@ def test_mapping_columns_explicit_only():
     assert mapping_columns(cfg, ["id", "name", "junk"]) == {"uid": "id", "name": "name"}
 
 
+def test_mapping_columns_case_colliding_target_deduped():
+    """A source column differing only in CASE from an explicit rename
+    target must not survive as a second identity entry: escape()
+    uppercases aliases, so both would emit the same output column name
+    (AMBIGUOUS_REFERENCE downstream). Explicit rename wins."""
+    cfg = DbMapping(map_all=True, target_columns={"name": "uname"})
+    cols = mapping_columns(cfg, ["NAME", "uname", "id"])
+    assert cols == {"id": "id", "name": "uname"}
+
+
 def test_enum_decode_edges(spark):
     # MappingConfig.java:273-287: 1-based; 0, n+1, negative, junk pass through
     df = spark.createDataFrame(
