@@ -620,7 +620,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings WHERE vec_id < 1000
+        FROM embeddings WHERE vec_id < 1000 AND list_dot_product(ve, ve) > 0
     )
     SELECT a.id AS id_a, b.id AS id_b
     FROM v a JOIN v b ON a.id < b.id
@@ -641,7 +641,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     q AS (SELECT id AS query_id, ve AS qv FROM v WHERE id < 8),
     scored AS (
@@ -677,7 +677,7 @@ def _ann_lsh_sql(num_planes: int = 8, dim: int = 64, num_queries: int = 8, k: in
     return f"""
     WITH v AS (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     b AS (SELECT id, ve, CAST({bucket} AS BIGINT) AS bucket FROM v),
     q AS (SELECT id AS query_id, ve AS qv, bucket FROM b WHERE id < {num_queries}),
@@ -729,7 +729,7 @@ def _embedding_lsh_sql(
     return f"""
     WITH v AS (
         SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     banded AS (
         {banded}
@@ -1622,7 +1622,7 @@ def _ann_ivf_sql(num_queries: int = 8, k: int = 5) -> str:
     WITH v AS (
         SELECT vec_id AS id, embedding,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     cells AS (
         SELECT id, ve,
@@ -1723,7 +1723,7 @@ def _ann_ivf_trained_sql(
     v AS (
         SELECT vec_id AS id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     d AS (
         SELECT id, ve, cell,
@@ -1998,7 +1998,7 @@ def _semantic_ivf_sql(threshold: float = 0.4) -> str:
     WITH v AS (
         SELECT vec_id AS id, embedding,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     cells AS (
         SELECT id, ve,
@@ -2210,7 +2210,7 @@ def _knn_join_ivf_sql(k: int = 5) -> str:
     WITH v AS (
         SELECT vec_id AS id, embedding,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings
+        FROM embeddings WHERE list_dot_product(ve, ve) > 0
     ),
     cells AS (
         SELECT id, ve,

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join"]
 
@@ -109,6 +110,22 @@ def asof_join(
 
     sign = F.lit(1) if direction == "backward" else F.lit(-1)
 
+    def num_expr(col: F.Column, dtype: T.DataType) -> F.Column:
+        # The merge ordering needs a NUMERIC timeline (forward mode
+        # negates it, and Multiply rejects temporal operands): temporal
+        # ts columns convert to epoch micros / epoch days; numerics
+        # pass through. The ORIGINAL right_ts value still rides in the
+        # match struct untouched. Tolerance is therefore micros (resp.
+        # days) for temporal columns.
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(col.cast("timestamp"))
+        if isinstance(dtype, T.DateType):
+            return F.unix_date(col)
+        return col
+
+    def ts_num(df: DataFrame, c: str) -> F.Column:
+        return num_expr(F.col(c), df.schema[c].dataType)
+
     # The matched right row travels as ONE struct column, so a match is
     # atomic: per-column last(ignorenulls) would stitch fields from
     # DIFFERENT right rows whenever the newest match carries a NULL in
@@ -117,9 +134,18 @@ def asof_join(
     # all-null payload — and null on left rows, so last(ignorenulls)
     # over it picks exactly the latest preceding right ROW.
     order_cols = list(right_order or [])
-    r = right.select(
+    # EQUI-JOIN null semantics: a NULL key matches NOTHING. The window
+    # groups NULL partition keys together, so without this filter a
+    # NULL-key left row would fabricate a match against NULL-key right
+    # rows. Dropping NULL-key RIGHT rows leaves NULL-key left rows in
+    # a partition with no right rows -> matched stays NULL (left-join
+    # behavior), exactly like pandas merge_asof / SQL.
+    r_src = right
+    for k in on:
+        r_src = r_src.where(F.col(k).isNotNull())
+    r = r_src.select(
         *[F.col(k) for k in on],
-        (F.col(right_ts) * sign).alias("__asof_ts"),
+        (ts_num(right, right_ts) * sign).alias("__asof_ts"),
         F.lit(0).alias("__asof_tag"),
         *[F.col(c).alias(f"__asof_ord{i}") for i, c in enumerate(order_cols)],
         F.struct(
@@ -129,7 +155,7 @@ def asof_join(
     )
     l = left.select(
         "*",
-        (F.col(left_ts) * sign).alias("__asof_ts"),
+        (ts_num(left, left_ts) * sign).alias("__asof_ts"),
         F.lit(1).alias("__asof_tag"),
     )
     # unionByName with allowMissingColumns aligns the two schemas,
@@ -162,9 +188,12 @@ def asof_join(
     )
     if tolerance is not None:
         m_ts = F.col("__asof_row")[ts_out]
-        gap = (
-            F.col(left_ts) - m_ts if direction == "backward" else m_ts - F.col(left_ts)
-        )
+        # gap on the same NUMERIC timeline as the ordering (timestamp
+        # minus timestamp yields an INTERVAL, which an int tolerance
+        # cannot compare against)
+        l_num = num_expr(F.col(left_ts), left.schema[left_ts].dataType)
+        m_num = num_expr(m_ts, right.schema[right_ts].dataType)
+        gap = l_num - m_num if direction == "backward" else m_num - l_num
         out = out.withColumn(
             "__asof_row", F.when(m_ts.isNotNull() & (gap <= tolerance), F.col("__asof_row"))
         )

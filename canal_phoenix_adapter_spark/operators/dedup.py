@@ -475,7 +475,8 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)  # zero-norm: cosine would be NaN, which
+    # sorts GREATER than every double — see similarity._norm docstring
     if max_id is not None:
         v = v.where(F.col("id") < max_id)
     return (
@@ -581,7 +582,8 @@ def embedding_near_dup_pairs_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine passes every
+    # >= threshold (NaN sorts greater) — drop before the pair join
     return (
         cand.join(vecs.alias("a"), F.col("id_a") == F.col("a.id"))
         .join(vecs.alias("b"), F.col("id_b") == F.col("b.id"))
@@ -694,12 +696,16 @@ def keep_canonical(
     """Keep-one-per-cluster materialization: drop every row whose id
     appears in ``clusters`` with cluster_id != id (the min-id member
     is the canonical representative; singletons are untouched since
-    they have no cluster row). One broadcast-able anti join — the
-    clusters table is O(near-dup docs), tiny next to the corpus."""
+    they have no cluster row). One anti join, NOT force-broadcast:
+    victims is one row per non-canonical doc, which scales with the
+    corpus's duplicate rate (a 100 TB web crawl routinely carries
+    30-50% duplicates — billions of rows, past any broadcast limit).
+    AQE broadcasts it when it is actually small, exactly like the
+    `sizes` table in ngram_jaccard_pairs."""
     victims = clusters.where(F.col("cluster_id") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(victims), on=id_col, how="left_anti")
+    return df.join(victims, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -769,7 +775,7 @@ def semantic_dup_pairs_ivf(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
         ivf_cell_expr(vec_col).alias("cell"),
-    )
+    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine (see above)
     if max_bucket is not None:
         # broadcast_hot: the cell universe is bounded by the quantizer
         # (2*dim ids), so the hot-cell anti-join side is a genuinely
@@ -827,7 +833,11 @@ def ngram_overlap_contamination(
         .dropDuplicates([id_col, "sh"])
     )
     if max_df is not None:
-        t = _cap_bucket_size(t, ["sh"], max_df)
+        # persist before the cap: _cap_bucket_size reads t twice (size
+        # aggregate + anti-join), and the train-side explode+hash+
+        # distinct is the dominant cost at scale — same pattern (and
+        # reason) as ngram_jaccard_pairs' staged persists
+        t = _cap_bucket_size(t.persist(), ["sh"], max_df)
     e = (
         raw_shingles(eval_df, id_col, text_col, n)
         .select(F.col(id_col).alias("__eid"), md5_long(F.col("shingle")).alias("sh"))

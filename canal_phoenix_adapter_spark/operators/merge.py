@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.operators.schema_sync import align_to_schema
 
@@ -45,18 +46,23 @@ def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "o
 
 
 def _image_cols(
-    columns: list[str], seq_col: str, op_col: str, old_prefix: str
+    columns: list[str], pk: list[str], seq_col: str, op_col: str, old_prefix: str
 ) -> list[str]:
     """Row-image columns of a change batch: everything except the
-    sequence/op metadata, the ``old_<pk>`` PK-change columns, and
-    is_ddl (routing metadata — its ROWS are filtered in merge_cdc;
-    including the COLUMN would heal it into the state schema
-    permanently). One definition shared by collapse_changes and
+    sequence/op metadata, the EXACT ``old_<pk>`` PK-change columns,
+    and is_ddl (routing metadata — its ROWS are filtered in
+    merge_cdc; including the COLUMN would heal it into the state
+    schema permanently). Exclusion is by the exact old_<pk> names,
+    never a bare prefix match: a business column that happens to be
+    NAMED old_status is real data, and a prefix strip would silently
+    drop it from every survivor (and then wipe it from state via the
+    schema align). One definition shared by collapse_changes and
     merge_cdc so a future metadata column cannot be excluded in one
     and healed into state by the other."""
+    old_keys = {old_prefix + k for k in pk}
     return [
         c for c in columns
-        if c not in (seq_col, op_col, "is_ddl") and not c.startswith(old_prefix)
+        if c not in (seq_col, op_col, "is_ddl") and c not in old_keys
     ]
 
 
@@ -80,7 +86,7 @@ def collapse_changes(
     TRUNCATE rows must be filtered out beforehand (see merge_cdc).
     """
     op = F.upper(F.col(op_col))
-    image_cols = _image_cols(changes.columns, seq_col, op_col, old_prefix)
+    image_cols = _image_cols(changes.columns, pk, seq_col, op_col, old_prefix)
 
     # Build the per-key timeline in ONE pass: each change row yields its
     # main effect (create with the row image, or delete with a null
@@ -218,7 +224,7 @@ def merge_cdc(
         changes = changes.where(~F.coalesce(F.col("is_ddl"), F.lit(False)))
 
     last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
-    image_cols = _image_cols(changes.columns, seq_col, op_col, old_prefix)
+    image_cols = _image_cols(changes.columns, pk, seq_col, op_col, old_prefix)
     survivors = last.where(F.col("__is_create") == 1).select(
         *[F.col(f"__k_{k}").alias(k) for k in pk],
         *[F.col(c) for c in image_cols if c not in pk],
@@ -230,7 +236,21 @@ def merge_cdc(
     if skip_missing:
         survivors = align_to_schema(survivors, state.schema)
     else:
-        state = align_to_schema(state, survivors.schema)
+        # Heal to the UNION schema, never down to the batch's: batch
+        # types win for common columns (the heal direction), batch-new
+        # columns are added to state as NULLs, and STATE-ONLY columns
+        # SURVIVE — a batch whose image stopped carrying a column must
+        # not wipe it from every untouched row (schema_sync gates real
+        # drops behind its own flag). Survivor rows take NULL for
+        # state-only columns: these are full-row images (the Canal
+        # contract), not partial updates.
+        surv_names = {f.name.lower() for f in survivors.schema.fields}
+        union_schema = T.StructType(
+            list(survivors.schema.fields)
+            + [f for f in state.schema.fields if f.name.lower() not in surv_names]
+        )
+        state = align_to_schema(state, union_schema)
+        survivors = align_to_schema(survivors, union_schema)
     touched = last.select(*[F.col(f"__k_{k}").alias(k) for k in pk]).dropDuplicates()
     if broadcast_changes:
         touched = F.broadcast(touched)

@@ -122,6 +122,28 @@ def diff_schemas(source: T.StructType, target: T.StructType | None) -> SchemaDif
     return d
 
 
+# MySQL function defaults a DDL can declare; they are DYNAMIC, so a
+# deterministic backfill cannot evaluate them (and replaying the same
+# epoch later must not produce a different value) — they backfill NULL.
+_FUNCTION_DEFAULTS = {
+    "current_timestamp", "current_timestamp()", "now()", "current_date",
+    "current_date()", "localtime", "localtime()", "localtimestamp",
+    "localtimestamp()", "curdate()", "curtime()",
+}
+
+
+def _default_lit(dv: object, dtype: T.DataType) -> F.Column:
+    """Typed backfill literal for an ADD COLUMN default. try_cast, not
+    cast: the default arrives as DDL text, and under ANSI a plain cast
+    of an unparseable default ('CURRENT_TIMESTAMP' -> timestamp, 'abc'
+    -> int) raises at runtime and kills the batch — the lenient
+    coercion discipline (functions/coerce.py) applies here too.
+    Function defaults are recognized and backfill NULL explicitly."""
+    if isinstance(dv, str) and dv.strip().lower() in _FUNCTION_DEFAULTS:
+        dv = None
+    return F.lit(dv).try_cast(dtype)
+
+
 def evolve(
     df: DataFrame,
     diff: SchemaDiff,
@@ -137,7 +159,7 @@ def evolve(
     out = df
     for f in diff.add:
         dv = defaults.get(f.name, defaults.get(f.name.lower()))
-        out = out.withColumn(f.name, F.lit(dv).cast(f.dataType))
+        out = out.withColumn(f.name, _default_lit(dv, f.dataType))
     if allow_drop and diff.drop:
         out = out.drop(*diff.drop)
     return out
@@ -186,7 +208,8 @@ def apply_ddl(
     for intent in parse_ddl(sql, limit=limit):
         if intent.kind == "add" and intent.column:
             out = out.withColumn(
-                intent.column, F.lit(intent.default).cast(intent.dtype or T.StringType())
+                intent.column,
+                _default_lit(intent.default, intent.dtype or T.StringType()),
             )
         elif intent.kind == "drop" and intent.column and allow_drop:
             out = out.drop(intent.column)

@@ -78,7 +78,8 @@ def _keyed_ann_topk(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
         key_expr.alias("__key"),
-    )
+    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine sorts greater
+    # than every double and would take rank 1 of every query's top-k
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("__key"),
@@ -113,7 +114,7 @@ def cosine_topk(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine would rank 1
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -450,7 +451,7 @@ def knn_join_ivf(
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
         ivf_cell_expr(vec_col).alias("cell"),
-    )
+    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine would rank 1
     if max_bucket is not None:
         from canal_phoenix_adapter_spark.operators.dedup import _cap_bucket_size
 

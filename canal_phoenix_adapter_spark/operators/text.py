@@ -317,10 +317,15 @@ def boilerplate_strip(
     Returns (id, n_kept_chunks, text_clean)."""
     from canal_phoenix_adapter_spark.functions.hashing import md5_long
 
+    # persist: ch feeds BOTH the hot-chunk doc-frequency aggregate and
+    # the anti-join probe — uncached, the chunk explode + hash over the
+    # whole corpus would execute twice (the dedup module persists its
+    # multi-consumer shingle/bucket tables for exactly this reason;
+    # callers own cache release, same contract).
     ch = doc_chunks(df, id_col, text_col, size).select(
         F.col(id_col), F.col("pos"), F.col("chunk"),
         md5_long(F.col("chunk")).alias("__h"),
-    )
+    ).persist()
     hot = (
         ch.select(id_col, "__h")
         .distinct()

@@ -118,10 +118,17 @@ class BatchExecutor:
                 self._conn = None
 
 
-def _image_columns(item: dict, seq_col: str, op_col: str, old_prefix: str) -> list[str]:
+def _image_columns(
+    item: dict, pk_src: list[str], seq_col: str, op_col: str, old_prefix: str
+) -> list[str]:
+    """Image columns of one change row: excludes metadata and the
+    EXACT old_<pk-source> PK-change columns — never a bare prefix
+    match, which would silently drop a business column named
+    old_status from every UPSERT (mirrors merge._image_cols)."""
+    old_keys = {old_prefix + k for k in pk_src}
     return [
         c for c in item
-        if c not in (seq_col, op_col) and not c.startswith(old_prefix)
+        if c not in (seq_col, op_col) and c not in old_keys
     ]
 
 
@@ -183,7 +190,9 @@ def upsert_item(
     the row's PK, DELETE the old key first (:425-456) — order matters
     and is asserted by tests."""
     m = cfg.db_mapping
-    colmap = mapping_columns(m, _image_columns(item, seq_col, op_col, old_prefix))
+    colmap = mapping_columns(
+        m, _image_columns(item, m.pk_source_columns(), seq_col, op_col, old_prefix)
+    )
     cols: list[str] = []
     vals: list[Any] = []
     for tgt, src in colmap.items():

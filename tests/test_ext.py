@@ -536,3 +536,22 @@ def test_band_divisibility_guards(spark):
         dedup.minhash_band_buckets(docs, "doc_id", "text", num_perm=16, bands=5)
     with _pytest.raises(ValueError, match="divide the 32-bit"):
         dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=2, bands=5)
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """A zero vector's cosine is 0/0 = NaN, and NaN compares GREATER
+    than every double in Spark — unguarded, it would take rank 1 of
+    every top-k and pair with every bucket-mate as a 'near-dup'.
+    Zero-norm vectors must be excluded from every cosine operator."""
+    rows = [(i, [float(i + 1)] * 4) for i in range(6)]
+    rows.append((6, [0.0, 0.0, 0.0, 0.0]))  # the zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    topk = similarity.cosine_topk(df, num_queries=2, k=10)
+    assert 6 not in {r["neighbor_id"] for r in topk.collect()}
+
+    pairs = dedup.embedding_near_dup_pairs(df, threshold=0.0)
+    ids_in_pairs = {r["id_a"] for r in pairs.collect()} | {
+        r["id_b"] for r in pairs.collect()
+    }
+    assert 6 not in ids_in_pairs

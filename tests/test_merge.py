@@ -164,3 +164,34 @@ def test_composite_pk_delete_and_update(spark):
     out2 = merge_cdc(state, changes, ["tenant", "id"], old_prefix="old_")
     got2 = {(r["tenant"], r["id"]): r["val"] for r in out2.collect()}
     assert got2 == {("t1", 1): "a2", ("t2", 9): "c-moved", ("t3", 7): "keep"}
+
+
+def test_old_prefixed_business_column_is_image_data(spark):
+    """Only the EXACT old_<pk> columns are PK-change metadata; a
+    business column that happens to be named old_status must survive
+    as image data (a prefix strip silently dropped it from survivors
+    and then wiped it from state via the align)."""
+    changes = spark.createDataFrame(
+        [(1, "INSERT", 1, None, "active", "none")],
+        "seq long, op string, id long, old_id long, val string, old_status string",
+    )
+    out = merge_cdc(None, changes, ["id"], old_prefix="old_")
+    row = out.collect()[0]
+    assert row["old_status"] == "none"
+    assert "old_id" not in out.columns  # real PK-change metadata still excluded
+
+
+def test_state_only_column_survives_narrower_batch(spark):
+    """A batch whose image stopped carrying a column must not wipe it
+    from untouched state rows: the heal aligns to the UNION schema
+    (state-only columns kept; batch-new added; batch types win)."""
+    state = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, val string, extra long"
+    )
+    changes = spark.createDataFrame(
+        [(1, "UPDATE", 1, "a2")], "seq long, op string, id long, val string"
+    )
+    out = {r["id"]: (r["val"], r["extra"])
+           for r in merge_cdc(state, changes, ["id"]).collect()}
+    assert out[2] == ("b", 20)       # untouched row keeps its column
+    assert out[1] == ("a2", None)    # full-row image: survivor takes NULL

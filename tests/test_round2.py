@@ -528,3 +528,47 @@ def test_pii_scrub_ip_inside_email_not_double_counted(spark):
     assert out[1]["text_scrubbed"] == "write <EMAIL> now"
     assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 1
     assert out[2]["text_scrubbed"] == "bare <IP> here"
+
+
+def test_asof_join_timestamp_columns_and_null_keys(spark):
+    """(a) Real TimestampType ts columns must work in both directions
+    (the ordering converts temporal columns to a numeric timeline —
+    a bare ts * sign multiply rejects temporal operands). (b) Equi-
+    join NULL semantics: a NULL join key matches NOTHING — without
+    dropping NULL-key right rows, the window's NULL partition would
+    fabricate matches between NULL-key rows."""
+    import datetime as dt
+
+    from canal_phoenix_adapter_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [("a", ts(10)), ("a", ts(1)), (None, ts(10))],
+        "k string, trade_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", ts(5), 100.0), ("a", ts(9), 200.0), (None, ts(3), 999.0)],
+        "k string, quote_ts timestamp, px double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="trade_ts",
+                    right_ts="quote_ts")
+    got = {(r["k"], r["trade_ts"].minute): r["px"] for r in out.collect()}
+    assert got[("a", 10)] == 200.0   # latest quote at/before 10:10
+    assert got[("a", 1)] is None     # no quote yet
+    assert got[(None, 10)] is None   # NULL key matches nothing
+
+    fwd = asof_join(left, right, on=["k"], left_ts="trade_ts",
+                    right_ts="quote_ts", direction="forward")
+    fgot = {(r["k"], r["trade_ts"].minute): r["px"] for r in fwd.collect()}
+    assert fgot[("a", 1)] == 100.0   # earliest quote at/after 10:01
+
+    # tolerance in MICROS for temporal columns: 10:10 trade vs 10:09
+    # quote = 60s gap; a 30s tolerance nulls it
+    tol = asof_join(left, right, on=["k"], left_ts="trade_ts",
+                    right_ts="quote_ts", tolerance=30_000_000)
+    tgot = {(r["k"], r["trade_ts"].minute): r["px"] for r in tol.collect()}
+    assert tgot[("a", 10)] is None

@@ -156,3 +156,21 @@ def test_schema_inventory_canonical_types(spark):
         "id": "bigint", "s": "varchar", "d": "double",
         "t": "timestamp", "arr": "float[]",
     }
+
+
+def test_apply_ddl_function_default_backfills_null(spark):
+    """DEFAULT CURRENT_TIMESTAMP (and friends) are DYNAMIC — a
+    deterministic backfill cannot evaluate them, and a plain cast of
+    the literal text raises under ANSI and kills the batch. They
+    backfill NULL; a garbage literal default likewise goes NULL via
+    try_cast instead of raising."""
+    from canal_phoenix_adapter_spark.operators.schema_sync import apply_ddl
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = apply_ddl(
+        df, "ALTER TABLE t ADD COLUMN created_at datetime DEFAULT CURRENT_TIMESTAMP"
+    )
+    assert out.schema["created_at"].dataType.typeName().startswith("timestamp")
+    assert out.collect()[0]["created_at"] is None
+    out2 = apply_ddl(df, "ALTER TABLE t ADD COLUMN n int DEFAULT 'abc'")
+    assert out2.collect()[0]["n"] is None
