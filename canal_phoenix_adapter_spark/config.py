@@ -104,13 +104,23 @@ def config_from_dict(d: dict[str, Any]) -> MappingConfig:
     reference's camelCase key names (ConfigLoader.java:24-46)."""
     dm = d.get("dbMapping") or {}
     target_columns = dm.get("targetColumns") or {}
+    # targetPk must be a MAPPING (target pk -> source): dict() on a
+    # list-shaped YAML ('targetPk: [id]') would "succeed" for 2-char
+    # names by splitting them into a bogus key/value pair ('id' ->
+    # {'i': 'd'}) and key every merge on a nonexistent column.
+    raw_pk = dm.get("targetPk") or {}
+    if not isinstance(raw_pk, dict):
+        raise ValueError(
+            f"targetPk must be a map of target pk -> source column, "
+            f"got {type(raw_pk).__name__}: {raw_pk!r}"
+        )
     # YAML `id:` (no value) parses to None => identity mapping
     mapping = DbMapping(
         database=str(dm.get("database") or ""),
         table=str(dm.get("table") or ""),
         target_table=str(dm.get("targetTable") or ""),
         target_db=str(dm.get("targetDb") or ""),
-        target_pk=dict(dm.get("targetPk") or {}),
+        target_pk=dict(raw_pk),
         target_columns={k: (v if v else None) for k, v in target_columns.items()},
         exclude_columns=list(dm.get("excludeColumns") or []),
         enum_columns={k: list(v or []) for k, v in (dm.get("enumColumns") or {}).items()},
@@ -127,7 +137,11 @@ def config_from_dict(d: dict[str, Any]) -> MappingConfig:
     cfg = MappingConfig(
         data_source_key=str(d.get("dataSourceKey") or "defaultDS"),
         destination=str(d.get("destination") or ""),
-        group_id=d.get("groupId"),
+        # str-coerce like destination/database/table: an unquoted
+        # numeric YAML groupId would otherwise compare a string column
+        # to an int, which ANSI turns into CAST_INVALID_INPUT on the
+        # first non-numeric groupId envelope sharing the stream
+        group_id=str(d["groupId"]) if d.get("groupId") is not None else None,
         outer_adapter_key=d.get("outerAdapterKey"),
         concurrent=_as_bool(d.get("concurrent"), False),
         notify_url=d.get("notifyUrl"),

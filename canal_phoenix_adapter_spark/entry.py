@@ -1442,8 +1442,8 @@ def cdc_truncate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_envelope_route",
     """
-    SELECT LEAST(event_id // 1000, 2147483647) * 4294967296
-             + LEAST(event_id - LEAST(event_id // 1000, 2147483647) * 1000, 16383) * 262144
+    SELECT GREATEST(LEAST(event_id // 1000, 2147483647), 0) * 4294967296
+             + LEAST(event_id - GREATEST(LEAST(event_id // 1000, 2147483647), 0) * 1000, 16383) * 262144
              AS seq,
            CASE WHEN event_type = 'signup' THEN 'INSERT'
                 WHEN event_type = 'error'  THEN 'DELETE'

@@ -282,7 +282,10 @@ def apply_partition(
 
     ``commit_batch`` additionally commits every N executed statements
     (the ETL import's commitBatch flush, PhoenixEtlService.java:448;
-    config/MappingConfig.java:116). Returns statements executed.
+    config/MappingConfig.java:116). Returns the number of ITEMS
+    applied — a PK-change item executes two statements (DELETE +
+    UPSERT), so this is not a statement count (BatchExecutor.idx
+    tracks statements for the commit threshold).
 
     The items are buffered in a list because the heal path replays
     them — partition size is the caller's batching decision, exactly
@@ -312,9 +315,14 @@ def apply_partition(
             executor.rollback()
             if not is_schema_error(e) or heal is None or not heal(executor.conn()):
                 raise
-            # heal succeeded: replay once (java :118-127)
-            executed = apply_all()
+            # heal succeeded: replay once (java :118-127). The whole
+            # replay — statements AND final commit — rolls back on any
+            # failure: guarding only the commit would close the
+            # connection with an open transaction when a replayed
+            # STATEMENT raises (the documented second-failure contract
+            # is rollback-and-raise).
             try:
+                executed = apply_all()
                 executor.commit()
             except Exception:
                 executor.rollback()

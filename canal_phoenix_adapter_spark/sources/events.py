@@ -87,10 +87,13 @@ def explode_dml(df: DataFrame, seq_col: str = "seq") -> DataFrame:
     es = F.coalesce(F.col("es"), F.lit(0))
     ts = F.coalesce(F.col("ts"), es)
     # clamp the second to its 31-bit budget like the 14/18-bit
-    # components below: an es past 2038 (or a garbage future
-    # timestamp TODAY) would otherwise overflow int64 in the shift
-    # multiply, and ANSI mode turns that into a batch-killing error
-    es_sec = F.least(F.floor(es / F.lit(1000)), F.lit((1 << 31) - 1))
+    # components below — BOTH sides: an es past 2038 (or a garbage
+    # future timestamp TODAY) would overflow int64 in the shift
+    # multiply, and a garbage NEGATIVE es the same way; ANSI mode
+    # turns either into a batch-killing error
+    es_sec = F.greatest(
+        F.least(F.floor(es / F.lit(1000)), F.lit((1 << 31) - 1)), F.lit(0)
+    )
     ts_tie = F.least(F.greatest(ts - es_sec * 1000, F.lit(0)), F.lit(_SEQ_TS_MAX))
     out = zipped.select(
         (

@@ -45,9 +45,18 @@ def quote_ident(name: str, escape_upper: bool = True) -> str:
 
 
 def qualified_table(cfg: DbMapping) -> str:
-    """`"DB"."TABLE"` target naming (SyncUtil.getTargetTableName)."""
+    """`"DB"."TABLE"` target naming (SyncUtil.getTargetTableName,
+    support/SyncUtil.java:258-273): an undotted targetTable is
+    qualified by targetDb when set — otherwise a configured targetDb
+    would be silently ignored and every statement would hit the
+    default-schema table while notify announces targetDb's."""
     db, _, tbl = cfg.target_table.partition(".")
     if not tbl:
+        if cfg.target_db:
+            return (
+                f"{quote_ident(cfg.target_db, cfg.escape_upper)}."
+                f"{quote_ident(db, cfg.escape_upper)}"
+            )
         return quote_ident(db, cfg.escape_upper)
     return (
         f"{quote_ident(db, cfg.escape_upper)}.{quote_ident(tbl, cfg.escape_upper)}"

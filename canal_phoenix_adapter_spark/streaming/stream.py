@@ -337,7 +337,7 @@ def run_cdc_stream(
     from canal_phoenix_adapter_spark.notify import make_notifier, notify_payload
 
     store = ParquetStateStore(spark, state_path)
-    pk = [src or tgt for tgt, src in cfg.db_mapping.target_pk.items()]
+    pk = cfg.db_mapping.pk_source_columns()
     hook = notify_hook if notify_hook is not None else make_notifier(cfg)
     on_change = (lambda: hook(notify_payload(cfg))) if hook is not None else None
 
@@ -382,7 +382,10 @@ def windowed_rollup_stream(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            # try_cast per the engine invariant (session.py): under ANSI a
+            # plain cast of one out-of-range value would wedge the stream
+            # (the failed epoch replays forever)
+            F.sum(F.col("value").try_cast("decimal(18,4)")).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("win.start")).alias("win_start_us"),
@@ -589,7 +592,10 @@ class BucketedStateStore(_CommitPointer):
         negative bootstrap versions (spelled `vm<abs>`), which must be
         visible or prune() would retain the full-backfill snapshot
         (the largest in the store) forever."""
-        prefix = f"{self.name}_v"
+        # the catalog lowercases identifiers on write, so the prefix
+        # match must be case-insensitive or an uppercase store name
+        # would hide every snapshot from prune (unbounded growth)
+        prefix = f"{self.name.lower()}_v"
         out = []
         for t in self.spark.catalog.listTables(self.database):
             if not t.name.startswith(prefix):

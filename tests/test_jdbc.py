@@ -95,3 +95,13 @@ def test_writer_batchsize(spark):
     assert opts["dbtable"] == '"MYTEST2"."USER"'
     df = spark.range(3).withColumnRenamed("id", "v")
     assert jdbc_writer(df, url="jdbc:phoenix:h", cfg=CFG) is not None
+
+
+def test_qualified_table_target_db_qualifies_undotted_name():
+    """An undotted targetTable with targetDb set must qualify as
+    targetDb.table (SyncUtil.java:258-273) — ignoring targetDb would
+    write into the default schema while notify announces targetDb."""
+    cfg = DbMapping(target_table="user", target_db="tgt")
+    assert qualified_table(cfg) == '"TGT"."USER"'
+    dotted = DbMapping(target_table="other.user", target_db="tgt")
+    assert qualified_table(dotted) == '"OTHER"."USER"'  # explicit dot wins

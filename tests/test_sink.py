@@ -462,3 +462,48 @@ def test_etl_to_sink_with_renames_does_not_remap(spark, tmp_path):
     assert {a["params"][a_cols.index('"GENDER"')] for a in ups
             for a_cols in [a["sql"].split("(")[1].split(")")[0].split(", ")]} \
         == {"Male", "Female"}
+
+
+def test_replay_statement_failure_rolls_back():
+    """A statement failure DURING the post-heal replay (not just at
+    its commit) must roll back before the connection closes — the
+    documented second-failure contract; without it the connection
+    closed with an open transaction."""
+    import pytest
+
+    class TwoPhaseFail(FakeConnection):
+        """Fails UPSERTs until healed; after heal, fails DELETEs."""
+
+        def cursor(self):
+            conn = self
+
+            class C(FakeCursor):
+                def execute(self, sql, params=None):
+                    if conn.healed and sql.startswith("DELETE"):
+                        raise RuntimeError("replay statement boom")
+                    super().execute(sql, params)
+
+            return C(conn)
+
+    conn = TwoPhaseFail(fail_on="UPSERT")
+
+    def heal(c):
+        c.healed = True
+        c.log.append(("heal",))
+        return True
+
+    with pytest.raises(RuntimeError, match="replay statement boom"):
+        apply_partition(
+            [
+                {"seq": 1, "op": "INSERT", "id": 1, "name": "a"},
+                {"seq": 2, "op": "DELETE", "id": 9, "name": None},
+            ],
+            make_cfg(),
+            lambda: conn,
+            heal=heal,
+        )
+    # first failure: rollback + heal; replay executes the UPSERT, dies
+    # on the DELETE -> rollback again, then close
+    assert ops_of(conn.log) == [
+        "rollback", "heal", "execute", "rollback", "close",
+    ]

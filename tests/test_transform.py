@@ -38,6 +38,25 @@ def test_config_from_dict_roundtrip():
     assert cfg.routing_key() == "example-g1_mytest-user"
 
 
+def test_config_numeric_group_id_coerced_and_bad_target_pk_rejected():
+    """(a) An unquoted numeric YAML groupId must load as a STRING:
+    comparing a string column to an int raises CAST_INVALID_INPUT
+    under ANSI on the first non-numeric groupId envelope sharing the
+    stream. (b) A list-shaped targetPk must be rejected: dict(['id'])
+    'succeeds' as {'i': 'd'} and keys every merge on a nonexistent
+    column."""
+    import pytest
+
+    d = dict(SAMPLE_YAML_DICT)
+    d["groupId"] = 1
+    assert config_from_dict(d).group_id == "1"
+
+    bad = {**SAMPLE_YAML_DICT,
+           "dbMapping": {**SAMPLE_YAML_DICT["dbMapping"], "targetPk": ["id"]}}
+    with pytest.raises(ValueError, match="targetPk"):
+        config_from_dict(bad)
+
+
 def test_mapping_columns_map_all_with_exclude_and_rename():
     cfg = DbMapping(
         map_all=True,
