@@ -67,10 +67,11 @@ def asof_join(
     the default) or 'forward' (earliest right with right_ts >=
     left_ts, computed as backward over negated timestamps).
 
-    ``tolerance``: when set, a match farther than this (in the ts
-    columns' own units) is nulled out — pandas ``merge_asof``
-    tolerance semantics, applied as a post-projection so the plan
-    shape is unchanged.
+    ``tolerance``: when set, a match farther than this is nulled out —
+    pandas ``merge_asof`` tolerance semantics, applied as a
+    post-projection so the plan shape is unchanged. Units: epoch
+    micros when either ts column is a timestamp, epoch days when both
+    are dates, the columns' own unit when both are numeric.
 
     ``right_order``: right-side columns breaking ties among duplicate
     (key, ts) right rows — the row with the GREATEST right_order tuple
@@ -110,16 +111,42 @@ def asof_join(
 
     sign = F.lit(1) if direction == "backward" else F.lit(-1)
 
-    def num_expr(col: F.Column, dtype: T.DataType) -> F.Column:
-        # The merge ordering needs a NUMERIC timeline (forward mode
-        # negates it, and Multiply rejects temporal operands): temporal
-        # ts columns convert to epoch micros / epoch days; numerics
-        # pass through. The ORIGINAL right_ts value still rides in the
-        # match struct untouched. Tolerance is therefore micros (resp.
-        # days) for temporal columns.
+    # The merge ordering needs a NUMERIC timeline (forward mode negates
+    # it, and Multiply rejects temporal operands). BOTH sides must land
+    # on the SAME unit: converting each side by its own type (timestamp
+    # -> micros, date -> days) would silently interleave micros with
+    # days on the merged axis — wrong matches, not an error, since both
+    # legs are bigint. So the unit is chosen from the PAIR: any
+    # timestamp on either side promotes both to epoch micros (a date
+    # casts to midnight); two dates use epoch days; two numerics pass
+    # through raw. A temporal column paired with a numeric one is
+    # ambiguous (which epoch? which unit?) and raises. Tolerance is in
+    # the common unit: micros / days / the raw numeric unit.
+    def _unit(dtype: T.DataType) -> str:
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            return F.unix_micros(col.cast("timestamp"))
+            return "micros"
         if isinstance(dtype, T.DateType):
+            return "days"
+        return "numeric"
+
+    l_unit = _unit(left.schema[left_ts].dataType)
+    r_unit = _unit(right.schema[right_ts].dataType)
+    if {l_unit, r_unit} == {"micros", "days"}:
+        unit = "micros"
+    elif l_unit != r_unit:
+        raise ValueError(
+            f"asof_join ts columns mix a temporal type with a numeric one "
+            f"(left {left_ts!r} is {l_unit}, right {right_ts!r} is {r_unit}); "
+            f"convert the numeric side to timestamp/date (or the temporal "
+            f"side to its epoch number) before joining"
+        )
+    else:
+        unit = l_unit
+
+    def num_expr(col: F.Column, dtype: T.DataType) -> F.Column:
+        if unit == "micros" and _unit(dtype) != "numeric":
+            return F.unix_micros(col.cast("timestamp"))
+        if unit == "days":
             return F.unix_date(col)
         return col
 

@@ -620,7 +620,10 @@ def dup_clusters(
     driver sees only a per-iteration convergence scalar (the strictly
     decreasing label sum), never data. ``localCheckpoint`` truncates
     the iteration's lineage so the plan does not grow unboundedly —
-    the standard Spark treatment for iterative algorithms.
+    the standard Spark treatment for iterative algorithms. Each
+    iteration's blocks (and the edge table's) are explicitly released
+    once superseded; only the returned labels' checkpoint survives,
+    caller-owned (freed on driver GC of the result).
 
     Only ids that appear in some pair are labeled; singleton docs are
     their own cluster by definition and need no rows here.
@@ -630,6 +633,42 @@ def dup_clusters(
     inconsistent and keep_canonical over them silently
     under-deduplicates, so they must never be returned as if final.
     """
+    # localCheckpoint blocks are NOT released by DataFrame.unpersist()
+    # (the cache manager doesn't track them) — only by driver GC of
+    # the underlying RDD. A long-lived driver calling dup_clusters
+    # repeatedly would accumulate every iteration's blocks, so this
+    # function releases its intermediates EXPLICITLY: it diffs the
+    # SparkContext's persistent-RDD registry around each checkpoint
+    # and unpersists the ids it created once the next iteration has
+    # consumed them. Only the RETURNED labels' blocks survive —
+    # caller-owned, freed on driver GC of the result (the module's
+    # usual caller-owned-cache contract). The registry diff assumes
+    # no concurrent persist from another driver thread mid-call.
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    def _release(ids: set[int]) -> None:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            if t._1() in ids:
+                t._2().unpersist(False)
+
+    seen = _persistent_ids()
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        nonlocal seen
+        out = df.localCheckpoint(eager=True)
+        new = _persistent_ids() - seen
+        seen |= new
+        return out, new
+
     # The pair source is typically an EXPENSIVE subtree (an LSH
     # candidate self-join); fwd/rev/nodes/loops reference it 4-6 times
     # while edges and the initial labels materialize, so persist it
@@ -642,10 +681,10 @@ def dup_clusters(
     # aggregation, so each iteration is exactly one join + one groupBy
     # (no separate left-join merge step).
     loops = nodes.withColumn("dst", F.col("src"))
-    edges = fwd.union(rev).union(loops).distinct().localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col("src").alias("id"), F.col("src").alias("lbl")
-    ).localCheckpoint(eager=True)
+    edges, edges_ids = _ckpt(fwd.union(rev).union(loops).distinct())
+    labels, prev_ids = _ckpt(
+        nodes.select(F.col("src").alias("id"), F.col("src").alias("lbl"))
+    )
     pairs.unpersist()
     # The witness sums labels in decimal(38,0): ids can be ~2^60
     # (the md5-derived id idiom), so an int64 sum overflows — and
@@ -660,13 +699,17 @@ def dup_clusters(
     # max_iters needs one more pass to prove its fixpoint — without
     # it, fully-converged labels would be rejected as non-converged.
     for _ in range(max_iters + 1):
-        labels = (
+        labels, new_ids = _ckpt(
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("lbl").alias("lbl"))
             .select(F.col("src").alias("id"), "lbl")
-            .localCheckpoint(eager=True)
         )
+        # The new checkpoint is eager, so the previous iteration's
+        # blocks are no longer reachable through any returned plan —
+        # free them now instead of waiting for driver GC.
+        _release(prev_ids)
+        prev_ids = new_ids
         # labels only ever decrease, so the sum is a strict-progress
         # witness: unchanged sum == fixpoint reached.
         cur_sum = labels.agg(_lbl_sum).first()[0]
@@ -679,12 +722,14 @@ def dup_clusters(
         # internally INCONSISTENT (a node can point at an intermediate
         # member, not the min), and keep_canonical over them silently
         # under-deduplicates. Refuse to return them.
+        _release(edges_ids | prev_ids)
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} iterations "
             "(a component's diameter exceeds the budget); raise "
             "max_iters — near-dup graphs this deep usually mean a "
             "pathological boilerplate chain worth inspecting."
         )
+    _release(edges_ids)
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 

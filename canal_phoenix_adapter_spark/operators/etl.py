@@ -78,17 +78,24 @@ def etl_import(
     """
     extracted = append_condition(source, cfg, params)
     mapped = apply_mapping(extracted, cfg, target_schema)
-    # Resolve each PK to the column the mapping actually emitted: the
-    # escaped TARGET name when the rename is declared in targetColumns,
-    # else the escaped SOURCE name (a targetPk-only rename rides
-    # through mapAll under its source name — dropDuplicates on the
-    # target name would be an unresolvable-column error for a config
-    # shape the reference accepts).
-    pk_cols = []
+    pk_cols = resolve_pk_columns(cfg, mapped.columns)
+    return mapped.dropDuplicates(pk_cols or mapped.columns)
+
+
+def resolve_pk_columns(cfg: DbMapping, columns: list[str]) -> list[str]:
+    """Resolve each configured PK to the column name the mapping
+    actually emitted: the escaped TARGET name when the rename is
+    declared in targetColumns, else the escaped SOURCE name (a
+    targetPk-only rename rides through mapAll under its source name —
+    keying on the target name would be an unresolvable-column error
+    for a config shape the reference accepts). Shared by etl_import's
+    dedup and etl_to_sink's sink keying so the two can't diverge."""
+    cols = set(columns)
+    out = []
     for tgt, src in cfg.target_pk.items():
         et = cfg.escape(tgt)
-        pk_cols.append(et if et in mapped.columns else cfg.escape(src or tgt))
-    return mapped.dropDuplicates(pk_cols or mapped.columns)
+        out.append(et if et in cols else cfg.escape(src or tgt))
+    return out
 
 
 def range_split_stats(df: DataFrame, key_col: str, num_slices: int = 3) -> DataFrame:
@@ -211,23 +218,27 @@ def etl_to_sink(
     from canal_phoenix_adapter_spark.config import MappingConfig
     from canal_phoenix_adapter_spark.sinks.phoenix import write_changes
 
-    # The rows reaching the sink are ALREADY target-shaped (etl_import
-    # applied mapping/excludes/enums and escaped the names), so the
-    # sink must see an IDENTITY mapping: re-applying the original
-    # renames would emit duplicate target columns bound to None, and
-    # re-applying the enum decode would corrupt numeric-looking labels.
-    # target_pk re-keys to the escaped TARGET names the rows now carry.
-    sink_mapping = replace(
-        cfg,
-        target_columns={},
-        exclude_columns=[],
-        enum_columns={},
-        map_all=True,
-        target_pk={cfg.escape(t): None for t in cfg.target_pk},
-    )
-    wrapper = MappingConfig(concurrent=True, db_mapping=sink_mapping)
-
     def sink(df: DataFrame) -> int:
+        # The rows reaching the sink are ALREADY target-shaped
+        # (etl_import applied mapping/excludes/enums and escaped the
+        # names), so the sink must see an IDENTITY mapping: re-applying
+        # the original renames would emit duplicate target columns
+        # bound to None, and re-applying the enum decode would corrupt
+        # numeric-looking labels. target_pk re-keys to the names the
+        # mapped rows ACTUALLY carry — resolved exactly like
+        # etl_import's dedup (a targetPk-only rename rides through
+        # mapAll under its escaped SOURCE name; keying the sink on the
+        # escaped target name would crash write_changes' repartition
+        # on an unresolvable column).
+        sink_mapping = replace(
+            cfg,
+            target_columns={},
+            exclude_columns=[],
+            enum_columns={},
+            map_all=True,
+            target_pk={c: None for c in resolve_pk_columns(cfg, df.columns)},
+        )
+        wrapper = MappingConfig(concurrent=True, db_mapping=sink_mapping)
         # Persist so the pipeline executes ONCE for both the write and
         # the rowsProcessed count: without it the count() re-runs the
         # whole source scan + transform + dedup shuffle, and on a

@@ -63,8 +63,15 @@ def write_lake(
         # the in-file ordering (and the parquet min/max row-group
         # selectivity it exists for). Prefixing satisfies the required
         # ordering, so our full sort survives to the files.
-        lead = [c for c in (partition_by or []) if c not in sort_within]
-        out = out.sortWithinPartitions(*lead, *sort_within)
+        # ALL partition columns lead, even ones the caller listed mid-
+        # sort (sort_within=["x", "pdate"] with partition_by=["pdate"]
+        # would otherwise still violate the required ordering and Spark
+        # would re-insert its own SortExec). Within one output file the
+        # partition columns are constant anyway, so hoisting them
+        # changes nothing about the caller's intended in-file order.
+        lead = list(partition_by or [])
+        tail = [c for c in sort_within if c not in lead]
+        out = out.sortWithinPartitions(*lead, *tail)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -45,22 +45,18 @@ def quote_ident(name: str, escape_upper: bool = True) -> str:
 
 
 def qualified_table(cfg: DbMapping) -> str:
-    """`"DB"."TABLE"` target naming (SyncUtil.getTargetTableName,
-    support/SyncUtil.java:258-273): an undotted targetTable is
-    qualified by targetDb when set — otherwise a configured targetDb
-    would be silently ignored and every statement would hit the
-    default-schema table while notify announces targetDb's."""
-    db, _, tbl = cfg.target_table.partition(".")
-    if not tbl:
-        if cfg.target_db:
-            return (
-                f"{quote_ident(cfg.target_db, cfg.escape_upper)}."
-                f"{quote_ident(db, cfg.escape_upper)}"
-            )
-        return quote_ident(db, cfg.escape_upper)
-    return (
-        f"{quote_ident(db, cfg.escape_upper)}.{quote_ident(tbl, cfg.escape_upper)}"
+    """`"DB"."TABLE"` target naming (SyncUtil.getDbTableName,
+    support/SyncUtil.java:258-273): targetDb, WHENEVER set, is
+    prepended — including for an already-dotted targetTable (the
+    reference unconditionally emits `targetDb.` then quotes each
+    dotted targetTable segment; a dotted targetTable + targetDb config
+    must resolve to the same table here as there)."""
+    quoted = ".".join(
+        quote_ident(seg, cfg.escape_upper) for seg in cfg.target_table.split(".")
     )
+    if cfg.target_db:
+        return f"{quote_ident(cfg.target_db, cfg.escape_upper)}.{quoted}"
+    return quoted
 
 
 def extract_query(cfg: DbMapping, params: list[object] | None = None) -> str:

@@ -103,5 +103,7 @@ def test_qualified_table_target_db_qualifies_undotted_name():
     write into the default schema while notify announces targetDb."""
     cfg = DbMapping(target_table="user", target_db="tgt")
     assert qualified_table(cfg) == '"TGT"."USER"'
+    # the reference prepends targetDb WHENEVER set, even for a dotted
+    # targetTable (SyncUtil.getDbTableName, SyncUtil.java:258-273)
     dotted = DbMapping(target_table="other.user", target_db="tgt")
-    assert qualified_table(dotted) == '"OTHER"."USER"'  # explicit dot wins
+    assert qualified_table(dotted) == '"TGT"."OTHER"."USER"'

@@ -147,3 +147,26 @@ def test_sort_within_survives_partition_by(spark, tmp_path):
     for f in files:
         ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_sort_within_with_partition_col_midlist(spark, tmp_path):
+    """A partition column listed MID-sort_within must not void the
+    in-file ordering: write_lake hoists every partition column to the
+    front of the local sort (within one file the partition value is
+    constant, so hoisting never changes the caller's intended order;
+    r3 ADVICE)."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i % 3, 999 - i) for i in range(300)], "part int, doc_id int"
+    )
+    out = str(tmp_path / "lake_mid")
+    write_lake(df, out, partition_by=["part"], target_files=1,
+               sort_within=["doc_id", "part"])
+    files = []
+    for root, _d, fs in os.walk(out):
+        files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids), f

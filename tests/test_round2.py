@@ -572,3 +572,72 @@ def test_asof_join_timestamp_columns_and_null_keys(spark):
                     right_ts="quote_ts", tolerance=30_000_000)
     tgot = {(r["k"], r["trade_ts"].minute): r["px"] for r in tol.collect()}
     assert tgot[("a", 10)] is None
+
+
+def test_asof_mixed_timestamp_and_date_units(spark):
+    """A timestamp on one side and a date on the other must merge on a
+    COMMON unit (epoch micros; the date casts to midnight) —
+    converting each side by its own type would interleave micros with
+    days on one bigint axis and silently match wrong rows (r3
+    ADVICE)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", dt.datetime(2024, 3, 10, 12, 0, 0))],
+        "k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", dt.date(2024, 3, 9), 1.0), ("a", dt.date(2024, 3, 10), 2.0),
+         ("a", dt.date(2024, 3, 11), 3.0)],
+        "k string, rts date, px double",
+    )
+    row = asof_join(left, right, on=["k"], left_ts="lts",
+                    right_ts="rts").collect()[0]
+    assert row["px"] == 2.0                    # midnight of the 10th <= noon
+    assert row["rts"] == dt.date(2024, 3, 10)  # original value rides through
+    # tolerance is on the promoted MICROS axis: the 12 h gap to
+    # midnight exceeds a 1 h tolerance
+    tol = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                    tolerance=3_600_000_000)
+    assert tol.collect()[0]["px"] is None
+
+
+def test_asof_temporal_vs_numeric_ts_raises(spark):
+    """A temporal ts paired with a numeric one is ambiguous (which
+    epoch? which unit?) and must raise, not guess."""
+    import pytest
+
+    import datetime as dt
+
+    left = spark.createDataFrame([("a", 100)], "k string, lts long")
+    right = spark.createDataFrame(
+        [("a", dt.date(2024, 3, 9), 1.0)], "k string, rts date, px double"
+    )
+    with pytest.raises(ValueError, match="mix a temporal"):
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+
+
+def test_dup_clusters_releases_checkpoint_storage(spark):
+    """Iterative localCheckpoint blocks must not accumulate across
+    calls (r3 ADVICE): after dup_clusters returns, only the returned
+    labels' checkpoint may remain persisted."""
+    sc = spark.sparkContext
+
+    def pids():
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a int, id_b int",
+    )
+    before = pids()
+    out = dedup.dup_clusters(pairs)
+    rows = {(r["id"], r["cluster_id"]) for r in out.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                    (20, 20), (21, 20), (22, 20), (23, 20)}
+    leaked = pids() - before
+    assert len(leaked) <= 1, f"checkpoint blocks leaked: {leaked}"

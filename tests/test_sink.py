@@ -507,3 +507,29 @@ def test_replay_statement_failure_rolls_back():
     assert ops_of(conn.log) == [
         "rollback", "heal", "execute", "rollback", "close",
     ]
+
+
+def test_etl_to_sink_targetpk_only_rename(spark, tmp_path):
+    """A targetPk-only rename (PK declared UID<-id with NO
+    targetColumns entry) rides through mapAll under the escaped
+    SOURCE name; the sink must key its repartition on the column the
+    mapped rows actually carry — keying on the escaped TARGET name
+    crashed the backfill on an unresolvable column (r3 ADVICE)."""
+    from canal_phoenix_adapter_spark.operators.etl import etl_to_sink
+
+    out = tmp_path / "applied_pkonly"
+    out.mkdir()
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    cfg = DbMapping(
+        database="d", table="t", target_table="MYTEST.USER",
+        target_pk={"UID": "id"}, map_all=True,
+    )
+    res = etl_to_sink(src, cfg, _recording_factory(str(out)))
+    assert res["errors"] == []
+    assert res["succeeded"] is True and res["rowsProcessed"] == 2
+    applied = []
+    for fname in os.listdir(out):
+        for line in open(out / fname, encoding="utf-8").read().splitlines():
+            applied.append(json.loads(line))
+    ups = [a for a in applied if a["sql"].startswith("UPSERT")]
+    assert len(ups) == 2
