@@ -94,15 +94,34 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     double in Spark, so NaN-quality empty docs would pass every
     quality>=cut filter and skew per-group quantile thresholds.
     Ratios and quality are 0.0 for such docs (no content = lowest
-    quality); NULL text stays NULL throughout."""
+    quality); NULL text stays NULL throughout.
+
+    STAGED projections on purpose: the raw counts (two tokenizations,
+    two regex scans, a stopword filter) are expensive higher-order /
+    regex expressions that whole-stage codegen does NOT subexpression-
+    eliminate across output columns, so a single flat select that
+    mentions stop_ratio in both its own column and quality re-runs
+    the tokenize+filter per mention (~1.3x the whole operator's cost,
+    measured at sf0.1). Computing counts -> ratios -> quality in three
+    nested selects makes each appear exactly once; CollapseProject
+    deliberately refuses to inline non-cheap duplicated expressions,
+    so the staging survives optimization."""
     text = F.col(text_col)
-    toks = F.array_remove(_tokens(text), "")
-    low = F.array_remove(_tokens(F.lower(text)), "")
-    n_chars = F.length(text)
-    n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(low, lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
-    n_digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0)))
+    counts = df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        F.size(F.array_remove(_tokens(text), "")).alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.array_remove(_tokens(F.lower(text)), ""),
+                lambda t: t.isin(*STOPWORDS),
+            )
+        ).alias("_stop_hits"),
+        F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias(
+            "_n_punct"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0))).alias("_n_digit"),
+    )
 
     def _guard(n: F.Column, ratio: F.Column) -> F.Column:
         return (
@@ -111,21 +130,27 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         )
 
-    stop_ratio = _guard(n_tokens, stop_hits.cast("double") / n_tokens)
-    punct_ratio = _guard(n_chars, n_punct.cast("double") / n_chars)
-    digit_ratio = _guard(n_chars, n_digit.cast("double") / n_chars)
-    return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
+    nt, nc = F.col("n_tokens"), F.col("n_chars")
+    ratios = counts.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        _guard(nt, F.col("_stop_hits").cast("double") / nt).alias("stopword_ratio"),
+        _guard(nc, F.col("_n_punct").cast("double") / nc).alias("punct_ratio"),
+        _guard(nc, F.col("_n_digit").cast("double") / nc).alias("digit_ratio"),
+    )
+    return ratios.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
         _guard(
-            n_tokens,
-            stop_ratio * F.lit(0.4)
-            + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
-            + (F.lit(1.0) - digit_ratio) * F.lit(0.3),
+            nt,
+            F.col("stopword_ratio") * F.lit(0.4)
+            + (F.lit(1.0) - F.col("punct_ratio")) * F.lit(0.3)
+            + (F.lit(1.0) - F.col("digit_ratio")) * F.lit(0.3),
         ).alias("quality"),
     )
 
