@@ -599,6 +599,22 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def _cc_iterate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation step of dup_clusters: exactly one
+    equi-join (neighbor label lookup on dst == id) and one per-node
+    min aggregate — both keyed on node id. This is the per-iteration
+    cost model the 100 TB story relies on, pinned as a plan-shape
+    test (tests/test_plans.py): a refactor that slips a second join,
+    an extra aggregate, or a cartesian into the loop multiplies total
+    work by the iteration count."""
+    return (
+        edges.join(labels, edges["dst"] == labels["id"])
+        .groupBy("src")
+        .agg(F.min("lbl").alias("lbl"))
+        .select(F.col("src").alias("id"), "lbl")
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -699,12 +715,7 @@ def dup_clusters(
     # max_iters needs one more pass to prove its fixpoint — without
     # it, fully-converged labels would be rejected as non-converged.
     for _ in range(max_iters + 1):
-        labels, new_ids = _ckpt(
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("lbl"))
-            .select(F.col("src").alias("id"), "lbl")
-        )
+        labels, new_ids = _ckpt(_cc_iterate(edges, labels))
         # The new checkpoint is eager, so the previous iteration's
         # blocks are no longer reachable through any returned plan —
         # free them now instead of waiting for driver GC.

@@ -309,6 +309,36 @@ def assign_cells(vec_col: str, codebook: list[list[float]]) -> F.Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
 
+def _train_iteration_sql(view: str, codebook: list[list[float]], dim: int) -> str:
+    """ONE Lloyd's assignment+update pass as a single SQL statement
+    over the persisted vector view: a scan-local argmin projection
+    feeding one grouped aggregate (k x (dim+1) partial-combined
+    doubles per map partition) — no join, no second scan, exactly one
+    exchange. This per-iteration cost model is pinned as a plan-shape
+    test (tests/test_plans.py); see ivf_train_codebook's docstring
+    for why it is SQL text rather than Column composition."""
+    # CAST('<repr>' AS DOUBLE) literals: repr() is shortest round-trip
+    # decimal, so the JVM parses back the exact same double —
+    # bit-identical to the F.lit() path in assign_cells.
+    lits = [
+        ", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in centroid)
+        for centroid in codebook
+    ]
+    dists = ", ".join(
+        f"aggregate(zip_with(__v, array({ls}), "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        for ls in lits
+    )
+    sums = ", ".join(f"sum(CAST(__v[{i}] AS DOUBLE)) AS s{i}" for i in range(dim))
+    return (
+        f"SELECT array_position(__d, array_min(__d)) - 1 AS cell, "
+        f"count(1) AS n, {sums} "
+        f"FROM (SELECT __v, array({dists}) AS __d FROM {view}) "
+        f"GROUP BY cell"
+    )
+
+
 def ivf_train_codebook(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -371,28 +401,10 @@ def ivf_train_codebook(
     view = f"__ivf_train_{id(base)}"
     base.createOrReplaceTempView(view)
 
-    def _dist2_sql(centroid: list[float]) -> str:
-        # CAST('<repr>' AS DOUBLE) literals: repr() is shortest
-        # round-trip decimal, so the JVM parses back the exact same
-        # double — bit-identical to the F.lit() path in assign_cells.
-        lits = ", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in centroid)
-        return (
-            f"aggregate(zip_with(__v, array({lits}), "
-            "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-
     try:
-        sums = ", ".join(
-            f"sum(CAST(__v[{i}] AS DOUBLE)) AS s{i}" for i in range(dim)
-        )
         for _ in range(iters):
-            dists = ", ".join(_dist2_sql(c) for c in codebook)
             stats = base.sparkSession.sql(
-                f"SELECT array_position(__d, array_min(__d)) - 1 AS cell, "
-                f"count(1) AS n, {sums} "
-                f"FROM (SELECT __v, array({dists}) AS __d FROM {view}) "
-                f"GROUP BY cell"
+                _train_iteration_sql(view, codebook, dim)
             ).collect()
             for r in stats:
                 n = r["n"]

@@ -320,11 +320,17 @@ def run_cdc_stream(
     available_now: bool = True,
     notify_hook=None,
     retain_versions: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Wire the full pipeline: file stream -> typed changes ->
     foreachBatch(merge into versioned parquet state). Returns the
     query handle; with available_now it drains pending files and stops
     (the test/batch-replay mode).
+
+    ``max_files_per_trigger``: bound each micro-batch to N source
+    files (epoch-granularity control — availableNow otherwise drains
+    everything pending into ONE epoch; bench.py uses 1 to measure
+    per-epoch overhead over a fixed epoch count).
 
     ``notify_hook``: callable(payload dict) fired on schema-changing
     epochs with the reference's ``{database, table}`` body; defaults
@@ -348,7 +354,7 @@ def run_cdc_stream(
         if committed and retain_versions is not None:
             store.prune(keep_last=retain_versions)
 
-    stream = read_canal_stream(spark, source_path)
+    stream = read_canal_stream(spark, source_path, max_files_per_trigger)
     changes = typed_changes(stream, cfg, value_schema)
     writer = (
         changes.writeStream.foreachBatch(apply_epoch)

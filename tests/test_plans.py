@@ -25,8 +25,14 @@ from canal_phoenix_adapter_spark.plans.explain import (
 
 @pytest.fixture(scope="module")
 def q(spark, sf_dir):
+    # Plan assertions cover both the driver-gate registry and the
+    # r4-folded parity registry (tests/parity_registry.py) — folding a
+    # gate must not silently drop its plan-shape guarantees.
+    from tests.parity_registry import PARITY_QUERIES
+
     def build(name):
-        return E.QUERIES[name](spark, sf_dir)
+        fn = E.QUERIES.get(name) or PARITY_QUERIES[name]
+        return fn(spark, sf_dir)
 
     return build
 
@@ -188,15 +194,23 @@ def test_no_nested_loop_or_row_udf_anywhere(q):
       * etl_range_split — scalar join of a broadcast 1-row min/max
         aggregate onto the scan;
       * text_contamination — substring theta-join against a broadcast
-        probe set (an eval suite: constant size by construction)."""
+        probe set (an eval suite: constant size by construction);
+      * mm_geometry — annotates thumbnail rows with ONE broadcast
+        aggregate row (the image type's payload stats): a 1-row
+        condition-free broadcast join, O(n) by construction.
+
+    Covers BOTH registries: the driver gates and the r4-folded parity
+    queries (folding must not drop the audit)."""
     from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    from tests.parity_registry import PARITY_QUERIES
 
     ALLOWED_NESTED_LOOP = {
         "dedup_embedding_cosine", "sim_topk_cosine", "etl_range_split",
-        "text_contamination",
+        "text_contamination", "mm_geometry",
     }
     offenders = []
-    for name in E.QUERIES:
+    for name in {**E.QUERIES, **PARITY_QUERIES}:
         text = explain_str(q(name))
         if name not in ALLOWED_NESTED_LOOP and (
             "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text
@@ -285,3 +299,55 @@ def test_chunk_crossdoc_keyed_exchanges_never_carry_text(q):
         cols, args = m.group(1), m.group(2)
         if "hashpartitioning" in args.lower():
             assert "text#" not in cols, f"text in keyed exchange: {cols} / {args}"
+
+
+def test_cc_iteration_plan_one_join_one_aggregate(spark):
+    """Pin dup_clusters' per-iteration cost model (r3 VERDICT #6): one
+    equi-join + one aggregate, keyed on node id — a refactor that
+    slips a second join, an extra aggregate pair, or a cartesian into
+    the loop multiplies total work by the iteration count."""
+    import re
+
+    from canal_phoenix_adapter_spark.operators.dedup import _cc_iterate
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 2)], "src long, dst long"
+    )
+    labels = spark.createDataFrame([(1, 1), (2, 2)], "id long, lbl long")
+    text = explain_str(_cc_iterate(edges, labels))
+    joins = re.findall(r"\(\d+\) [A-Za-z]*Join\w*", text)
+    assert len(joins) == 1, joins
+    assert "CartesianProduct" not in text and "NestedLoop" not in text
+    # one logical aggregate = at most a partial+final HashAggregate pair
+    aggs = re.findall(r"\(\d+\) \w*Aggregate\w*", text)
+    assert len(aggs) <= 2, aggs
+
+
+def test_ivf_train_iteration_plan_one_scan_one_aggregate(spark):
+    """Pin ivf_train_codebook's per-iteration cost model (r3 VERDICT
+    #6): a scan-local argmin projection feeding ONE grouped aggregate
+    — no join, one exchange carrying k x (dim+1) partial-combined
+    doubles. A refactor that quadratic-ifies an iteration (second
+    scan, join against the codebook, posexplode of components) fails
+    here, not in a benchmark three rounds later."""
+    import re
+
+    from canal_phoenix_adapter_spark.operators.similarity import (
+        _train_iteration_sql,
+    )
+    from canal_phoenix_adapter_spark.plans.explain import explain_str, shuffle_count
+
+    df = spark.createDataFrame(
+        [(float(i), float(i + 1)) for i in range(4)], "a double, b double"
+    ).selectExpr("array(a, b) AS __v")
+    df.createOrReplaceTempView("__ivf_plan_pin")
+    try:
+        it = spark.sql(_train_iteration_sql("__ivf_plan_pin", [[0.0, 0.0], [9.0, 9.0]], 2))
+        text = explain_str(it)
+        assert not re.findall(r"\(\d+\) [A-Za-z]*Join\w*", text), text
+        aggs = re.findall(r"\(\d+\) \w*Aggregate\w*", text)
+        assert 1 <= len(aggs) <= 2, aggs
+        assert shuffle_count(it) <= 1
+    finally:
+        spark.catalog.dropTempView("__ivf_plan_pin")

@@ -2,7 +2,11 @@
 queries() entry and its oracle_sql() on the same parquet tables,
 compare row-count + schema + order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--parity] [sf_dir] [name ...]
+
+``--parity`` additionally includes the folded-gate registry
+(tests/parity_registry.py) — the queries verified by pytest's
+test_oracle_parity.py rather than the driver artifact since round 4.
 """
 
 from __future__ import annotations
@@ -62,8 +66,10 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--parity"]
+    include_parity = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from canal_phoenix_adapter_spark.session import get_spark
@@ -76,6 +82,11 @@ def main() -> int:
         )
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if include_parity:
+        from tests.parity_registry import PARITY_ORACLE, PARITY_QUERIES
+
+        qs = {**qs, **PARITY_QUERIES}
+        oracles = {**oracles, **PARITY_ORACLE}
     if only:
         unknown = only - set(qs)
         if unknown:
