@@ -320,3 +320,63 @@ def test_keep_last_matches_window_form(spark, rows):
         .collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(asof_tables())
+def test_asof_join_mixed_temporal_matches_pandas(spark, tables):
+    """Timestamp left vs DATE right (the r3-ADVICE unit-mixing shape):
+    the merged axis must promote BOTH sides to epoch micros — pandas
+    merge_asof over the promoted timestamps is the reference
+    semantics. Same generated tables as the numeric property test,
+    lifted onto a day/hour timeline."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from canal_phoenix_adapter_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left_rows, right_rows = tables
+    lrows = [(k, base + dt.timedelta(days=t, hours=6), lid)
+             for k, t, lid in left_rows]
+    rrows = [(k, (base + dt.timedelta(days=t)).date(), rid)
+             for k, t, rid in right_rows]
+    left = spark.createDataFrame(lrows, "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "k long, rts date, rid long"
+    )
+    if not right_rows:
+        right = right.where("k IS NOT NULL")
+    got = {
+        r["lid"]: (r["rid"], r["rts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "lts", "lid"]).sort_values(
+        "lts", kind="stable"
+    )
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(d), rid) for k, d, rid in rrows],
+        columns=["k", "rts", "rid"],
+    ).sort_values("rts", kind="stable")
+    if right_rows:
+        merged = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+        )
+        expect = {
+            int(r.lid): (
+                None if pd.isna(r.rid) else int(r.rid),
+                None if pd.isna(r.rts) else r.rts.date(),
+            )
+            for r in merged.itertuples()
+        }
+    else:
+        expect = {int(lid): (None, None) for _, _, lid in lrows}
+    assert got == expect
