@@ -28,7 +28,7 @@ eviction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.functions.hashing import (

@@ -53,7 +53,6 @@ from pyspark.sql import functions as F
 from canal_phoenix_adapter_spark.entry import (  # noqa: F401 - SQL fragments
     _H,
     _QUALITY_EXPR,
-    _SHINGLE_CTE,
     _SPLIT_BUCKET,
     _minhash_lsh_sql,
     _minhash_sql,
