@@ -1204,3 +1204,24 @@ def test_commit_lock_serializes_writers(spark, tmp_path):
     ]
     # the contender's commit landed AFTER (and on top of) the holder's
     assert store.current_version() == 2
+
+
+def test_max_files_per_trigger_bounds_epochs(spark, tmp_path):
+    """The r4 epoch-granularity knob: N source files with
+    max_files_per_trigger=1 must commit N distinct epochs (availableNow
+    otherwise drains everything into ONE) — this is what lets bench.py
+    measure per-epoch overhead over a FIXED epoch count."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, e in enumerate(EVENTS[:3]):
+        with open(os.path.join(src, f"f{i}.json"), "w", encoding="utf-8") as f:
+            f.write(json.dumps(e) + "\n")
+    q = run_cdc_stream(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        CFG, VALUE_SCHEMA, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    # epochs 0..2 each committed a version; one batch per file
+    assert store.current_version() == 2
+    assert store.last_epoch() == 2
