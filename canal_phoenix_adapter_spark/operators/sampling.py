@@ -58,7 +58,16 @@ def group_quantiles(
     `percentile`) would emit IEEE-order-dependent doubles.
 
     One shuffle on the group key; output one row per group with a
-    `q_<pct>` column per requested quantile. Quantiles that round to
+    `q_<pct>` column per requested quantile.
+
+    Scale bound, by construction of EXACT quantiles: the rank window
+    sorts each group inside one task, so the cost ceiling is the
+    hottest group's row count (a corpus that is 80% one language
+    sorts 80% of its rows in one partition — a spill-heavy sort, not
+    a failure). That is the price of driver-exact, engine-agnostic
+    thresholds; when a corpus-scale hot group makes it unacceptable,
+    `F.percentile_approx` (t-digest, fully map-side-combining) is the
+    drop-in at the cost of oracle-exact values. Quantiles that round to
     the same whole percent (e.g. 0.115 and 0.125, or any two
     sub-percent values) would silently alias to one column name —
     rejected up front instead of emitting a DataFrame with duplicate
