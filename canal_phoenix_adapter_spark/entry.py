@@ -1823,7 +1823,9 @@ def sampling_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined into one driver row (r4 registry fold), and stronger than
     the old split gate: the assignment is now verified PER DOCUMENT,
     not as three aggregate rows. The quantile table is one row per
-    language, broadcast."""
+    language, broadcast. NULL-lang docs have no quantile row and drop
+    out of the inner join — identical on the oracle side (JOIN USING
+    excludes NULL keys), pinned by a unit test."""
     docs = load_table(spark, sf_dir, "documents")
     split = sampling.hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}

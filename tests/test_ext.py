@@ -555,3 +555,56 @@ def test_zero_norm_vectors_excluded_everywhere(spark):
         r["id_b"] for r in pairs.collect()
     }
     assert 6 not in ids_in_pairs
+
+
+def test_bundle_gates_degenerate_inputs(spark):
+    """The r4 bundle-gate compositions on inputs the sf0.01 oracle
+    never sees: NULL/empty text through the text-feature join, a
+    corpus with no image rows through the geometry join, NULL lang /
+    NULL n_chars through the assembly join. Pins today's (oracle-
+    consistent) behavior: NULL text yields NULL counts + zeroed
+    repetition, no-image input yields zero rows (inner join against
+    empty stats), NULL-lang docs drop (inner join on lang; SQL JOIN
+    USING has the same NULL-key semantics)."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.operators import multimodal, sampling
+    from canal_phoenix_adapter_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello world"), (2, None), (3, ""), (4, "x")],
+        "doc_id long, text string",
+    )
+    proj = docs.select(
+        "doc_id",
+        text_ops.token_count_ws(F.col("text")).alias("n_ws"),
+        text_ops.token_count_bpe(F.col("text")).alias("n_bpe"),
+        text_ops.fingerprint(F.col("text")).alias("fp"),
+    )
+    out = {r["doc_id"]: r for r in
+           proj.join(text_ops.repetition_features(docs, "doc_id", "text"),
+                     on="doc_id").collect()}
+    assert out[1]["n_ws"] == 4 and out[1]["top_bigram_frac"] == 2 / 3
+    assert out[2]["n_ws"] is None and out[2]["fp"] is None
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[3]["n_ws"] == 0 and out[3]["n_bigrams"] == 0
+
+    no_images = spark.createDataFrame(
+        [(1, "a", 1), (2, "bb", 2)], "doc_id long, text string, n_chars long"
+    )
+    media = multimodal.as_media_table(no_images)
+    thumb = multimodal.thumbnail_plan(media, max_side=64)
+    stats = multimodal.payload_stats(media).where(F.col("media_type") == "image")
+    assert thumb.join(
+        F.broadcast(stats.select(F.col("n").alias("type_n")))
+    ).count() == 0
+
+    d3 = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 5), (3, "en", None)],
+        "doc_id long, lang string, n_chars long",
+    )
+    split = sampling.hash_split(d3, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    q = sampling.group_quantiles(d3, "lang", "n_chars", [0.5])
+    got = {r["doc_id"]: r["q_50"] for r in
+           split.join(F.broadcast(q), on="lang").collect()}
+    assert got == {1: 10, 3: 10}  # NULL-lang doc 2 drops; NULL n_chars rides
