@@ -172,7 +172,16 @@ def align_to_schema(
     missing columns -> typed defaults/NULLs, extra columns dropped,
     order normalized, types cast. This is the batch-level equivalent of
     heal-and-replay (C11): instead of failing on ColumnNotFound and
-    retrying, the batch is aligned before the merge."""
+    retrying, the batch is aligned before the merge.
+
+    try_cast, not cast, on BOTH legs: this is the heal path, so the
+    values crossing a type change are untrusted by definition, and
+    under ANSI (the driver default) ONE malformed value ('abc' in a
+    column healing string -> bigint) would otherwise throw mid-epoch —
+    and a failed streaming epoch replays forever (the wedged-stream
+    mode session.py's lenient-cast invariant exists to prevent).
+    Malformed values become NULL, the reference's own coercion
+    discipline for unparseable input (SyncUtil.java:203-207)."""
     defaults = defaults or {}
     have = {c.lower(): c for c in df.columns}
     cols = []
@@ -180,9 +189,9 @@ def align_to_schema(
         src = have.get(f.name.lower())
         if src is None:
             dv = defaults.get(f.name, defaults.get(f.name.lower()))
-            cols.append(F.lit(dv).cast(f.dataType).alias(f.name))
+            cols.append(F.lit(dv).try_cast(f.dataType).alias(f.name))
         else:
-            cols.append(F.col(src).cast(f.dataType).alias(f.name))
+            cols.append(F.col(src).try_cast(f.dataType).alias(f.name))
     return df.select(*cols)
 
 

@@ -174,3 +174,20 @@ def test_apply_ddl_function_default_backfills_null(spark):
     assert out.collect()[0]["created_at"] is None
     out2 = apply_ddl(df, "ALTER TABLE t ADD COLUMN n int DEFAULT 'abc'")
     assert out2.collect()[0]["n"] is None
+
+
+def test_align_to_schema_malformed_value_nulls_not_crashes(spark):
+    """A type-changing heal whose old state holds ONE malformed value
+    must coerce it to NULL (SyncUtil's unparseable -> NULL discipline),
+    never raise: under ANSI a plain cast here threw mid-epoch, and a
+    failed streaming epoch replays forever — the wedged-stream mode
+    the engine's lenient-cast invariant exists to prevent."""
+    from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+
+    state = spark.createDataFrame([(1, "abc"), (2, "7")], "id long, value string")
+    changes = spark.createDataFrame(
+        [(10, "UPDATE", 3, 5)], "seq long, op string, id long, value long"
+    )
+    out = merge_cdc(state, changes, ["id"], check_truncate=False)
+    got = {r["id"]: r["value"] for r in out.collect()}
+    assert got == {1: None, 2: 7, 3: 5}
