@@ -202,22 +202,35 @@ def main() -> None:
     # the standard estimator for true cost under asymmetric noise.
     # Caches are cleared before every pass, so each pass recomputes the
     # full pipeline from the parquet scans.
+    def run_once(name: str) -> float:
+        # Drop datasets persisted by earlier queries (operators persist
+        # intermediates reused within one query; across queries stale
+        # blocks only add GC/eviction pressure).
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        if name in SPECIAL:
+            SPECIAL[name](spark, sf_dir)
+        else:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     times: dict[str, float] = {}
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     for _pass in range(n_passes):
         for name in names:
-            # Drop datasets persisted by earlier queries (operators
-            # persist intermediates reused within one query; across
-            # queries stale blocks only add GC/eviction pressure).
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            if name in SPECIAL:
-                SPECIAL[name](spark, sf_dir)
-            else:
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
+            elapsed = run_once(name)
             times[name] = min(times.get(name, elapsed), elapsed)
+
+    # Sub-second queries are the noisiest in RELATIVE terms (a host
+    # steal of tens of ms reads as a double-digit-percent regression),
+    # and extra samples of them are cheap by construction — so give
+    # the fast tail extra min-samples before reporting.
+    fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUTOFF", "0.8"))
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "2"))):
+        for name in names:
+            if times.get(name, fast_cut) >= fast_cut:
+                continue
+            times[name] = min(times[name], run_once(name))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
