@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import MappingConfig
-from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+from canal_phoenix_adapter_spark.operators.merge import last_truncate_seq, merge_cdc
 from canal_phoenix_adapter_spark.sources.events import (
     DML_ENVELOPE,
     explode_dml,
@@ -97,6 +97,26 @@ class _CommitPointer:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"version": version, "epoch": epoch_id}, f)
         os.replace(tmp, self._pointer())
+
+    def _merge_commit_unlocked(
+        self,
+        state: DataFrame | None,
+        batch_df: DataFrame,
+        pk: list[str],
+        version: int,
+        epoch_id: int,
+    ) -> DataFrame:
+        """Merge ``batch_df`` into ``state`` and commit the result as
+        ``version`` — the store's epoch-commit strategy, called by
+        apply_cdc_epoch UNDER the commit lock. Default: full-snapshot
+        rewrite (merge the whole state, write the whole state).
+        PrunedParquetStateStore overrides this with the O(touched
+        buckets) path. Requires the concrete store's
+        ``_write_unlocked``. Returns the new state (for the
+        schema-change hook)."""
+        new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
+        self._write_unlocked(new_state, version, epoch_id=epoch_id)
+        return new_state
 
 
 class ParquetStateStore(_CommitPointer):
@@ -219,6 +239,188 @@ class ParquetStateStore(_CommitPointer):
         return doomed
 
 
+class PrunedParquetStateStore(ParquetStateStore):
+    """ParquetStateStore variant whose epoch commit is O(touched
+    buckets), not O(state) — the fix for the one 100 TB scale-killer
+    in the snapshot topology (the reference's JDBC sink only ever
+    writes the changed rows, support/BatchExecutor.java:60-75; a
+    full-state rewrite per epoch has no analogue there).
+
+    Layout: each snapshot dir is hash-partitioned into ``__bucket=K``
+    subdirectories (K = pmod(hash(pk), n_buckets) — Spark partition
+    dirs, computed once at write). An epoch then:
+      1. computes the bucket set its batch touches (new keys plus
+         PK-change old keys) — a collect bounded by n_buckets ints;
+      2. merges the batch against ONLY those buckets (partition
+         pruning keeps untouched buckets off the scan entirely);
+      3. writes the merged touched buckets into the new version dir
+         and HARDLINKS every untouched bucket's immutable parquet
+         files forward from the previous version (an O(#files)
+         metadata op, no data copied; on an object store the same
+         move is a manifest/metadata copy, à la Delta/Iceberg).
+    Per-epoch I/O is therefore proportional to the touched buckets —
+    with batch keys ≪ state keys, a constant as state grows.
+
+    Falls back to the full-rewrite commit (one epoch, automatically)
+    when the epoch cannot be bucket-local: a TRUNCATE in the batch
+    (wipes every bucket) or a schema-changing heal/DDL epoch (every
+    bucket's file schema must advance together, or snapshot reads
+    would need per-file schema merging forever after).
+
+    Crash-safety is the inherited pointer contract, unchanged: the
+    partitioned write uses static overwrite (clears a crashed
+    attempt's orphan dir — including its stale hardlinks — before
+    writing), links land before the repoint, and a replayed committed
+    epoch no-ops on the watermark. prune() needs no changes: deleting
+    an old version unlinks its names; bucket files live until their
+    last referencing version is pruned."""
+
+    BUCKET = "__bucket"
+
+    def __init__(self, spark: SparkSession, path: str, pk: list[str],
+                 n_buckets: int = 64):
+        super().__init__(spark, path)
+        self.pk = list(pk)
+        self.n_buckets = n_buckets
+
+    def _bucket_of(self, key_cols: list) -> F.Column:
+        # hash() is seed-stable Murmur3 and NULL-accepting, so a key's
+        # bucket is identical across epochs and versions by construction
+        return F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
+
+    def read(self) -> DataFrame | None:
+        df = super().read()
+        return None if df is None else df.drop(self.BUCKET)
+
+    def read_version(self, version: int) -> DataFrame:
+        return super().read_version(version).drop(self.BUCKET)
+
+    def _write_unlocked(
+        self, df: DataFrame, version: int, epoch_id: int | None = None
+    ) -> None:
+        """Full partitioned rewrite — bootstrap, erasure, and the
+        TRUNCATE/schema-change fallbacks land here."""
+        if epoch_id is None:
+            epoch_id = self.last_epoch()
+        if self.BUCKET in df.columns:
+            raise ValueError(f"state may not carry a {self.BUCKET} column")
+        self._write_partitioned(df, os.path.join(self.path, f"v{version}"))
+        self._repoint(version, epoch_id)
+
+    def _write_partitioned(
+        self, df: DataFrame, target: str, empty_fallback: bool = True
+    ) -> None:
+        """Bucket-partitioned snapshot write. An EMPTY state (truncate
+        with no survivors, full erasure) produces zero partition dirs —
+        unreadable — so it re-lands as a schema-only unpartitioned
+        file that the bucket-dropping read path handles identically.
+        The pruned merge defers that fallback (empty_fallback=False)
+        until after link-forward: a root-level schema file plus linked
+        partition dirs would be a mixed, unreadable layout."""
+        (
+            df.withColumn(self.BUCKET, self._bucket_of([F.col(k) for k in self.pk]))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(self.BUCKET)
+            .parquet(target)
+        )
+        if empty_fallback and not any(
+            n.startswith(self.BUCKET + "=") for n in os.listdir(target)
+        ):
+            df.limit(0).write.mode("overwrite").parquet(target)
+
+    def _touched_buckets(self, batch_df: DataFrame, pk: list[str]) -> list[int]:
+        """Buckets the batch can modify: every row's NEW key bucket,
+        plus the OLD key bucket of PK-change rows (the old key's death
+        row lands there — same coalesce(old, new) key collapse_changes
+        uses)."""
+        sel = batch_df.select(
+            self._bucket_of([F.col(k) for k in pk]).alias("b")
+        )
+        if any(f"old_{k}" in batch_df.columns for k in pk):
+            old_key = [
+                F.coalesce(F.col(f"old_{k}"), F.col(k))
+                if f"old_{k}" in batch_df.columns else F.col(k)
+                for k in pk
+            ]
+            sel = sel.union(batch_df.select(self._bucket_of(old_key).alias("b")))
+        return sorted({r["b"] for r in sel.distinct().collect()})
+
+    def _merge_commit_unlocked(
+        self,
+        state: DataFrame | None,
+        batch_df: DataFrame,
+        pk: list[str],
+        version: int,
+        epoch_id: int,
+    ) -> DataFrame:
+        if [k.lower() for k in pk] != [k.lower() for k in self.pk]:
+            raise ValueError(
+                f"epoch pk {pk} != store bucketing pk {self.pk}: a "
+                "mismatched key would scatter rows across wrong buckets"
+            )
+        cur = self.current_version()
+        if state is None or last_truncate_seq(batch_df) is not None:
+            # bootstrap / TRUNCATE: every bucket changes anyway
+            return super()._merge_commit_unlocked(
+                state, batch_df, pk, version, epoch_id
+            )
+        touched = self._touched_buckets(batch_df, pk)
+        vdir = os.path.join(self.path, f"v{cur}")
+        cur_full = self.spark.read.parquet(vdir)
+        if self.BUCKET in cur_full.columns:
+            touched_state = cur_full.where(
+                F.col(self.BUCKET).isin(touched)
+            ).drop(self.BUCKET)
+        else:
+            # previous snapshot is the schema-only empty layout: no
+            # partition dirs to prune or link, merge against it as-is
+            touched_state = cur_full
+        merged = merge_cdc(touched_state, batch_df, pk, old_prefix="old_")
+        prev_fields = {(f.name.lower(), f.dataType) for f in state.schema.fields}
+        new_fields = {(f.name.lower(), f.dataType) for f in merged.schema.fields}
+        if prev_fields != new_fields:
+            # heal/DDL epoch: rewrite all buckets onto the new schema
+            return super()._merge_commit_unlocked(
+                state, batch_df, pk, version, epoch_id
+            )
+        target = os.path.join(self.path, f"v{version}")
+        self._write_partitioned(merged, target, empty_fallback=False)
+        self._link_forward(vdir, target, set(touched))
+        if not any(n.startswith(self.BUCKET + "=") for n in os.listdir(target)):
+            merged.limit(0).write.mode("overwrite").parquet(target)
+        self._repoint(version, epoch_id)
+        return merged
+
+    @classmethod
+    def _link_forward(cls, src_dir: str, dst_dir: str, touched: set[int]) -> None:
+        """Carry untouched buckets into the new version by hardlink
+        (copy fallback for filesystems without link support). Parquet
+        part files are immutable once committed, so shared inodes are
+        safe; prune() only ever unlinks a version's own names."""
+        import shutil
+
+        prefix = cls.BUCKET + "="
+        for name in os.listdir(src_dir):
+            if not name.startswith(prefix):
+                continue
+            try:
+                b = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if b in touched:
+                continue
+            src, dst = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.startswith((".", "_")):
+                    continue
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+
+
 def read_canal_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -291,18 +493,22 @@ def apply_cdc_epoch(
         cur = store.current_version()
         state = store.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
-        # Schema heal (C11) happens INSIDE merge_cdc: its
-        # skip_missing=False path aligns the prior state to the
-        # batch's image schema (operators/merge.py) — no pre-align
-        # here, which would re-implement merge's image-column filter
-        # and drift from it (it once did, and missed is_ddl).
-        new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
         # Version tracks the epoch id while the two are aligned (the
         # normal stream), but can never step backwards onto — or into —
         # a snapshot an interleaved non-CDC commit (erasure) already
         # occupies.
         version = epoch_id if cur is None else max(cur + 1, epoch_id)
-        store._write_unlocked(new_state, version, epoch_id=epoch_id)
+        # Schema heal (C11) happens INSIDE merge_cdc (reached via the
+        # store's merge-commit strategy): its skip_missing=False path
+        # aligns the prior state to the batch's image schema
+        # (operators/merge.py) — no pre-align here, which would
+        # re-implement merge's image-column filter and drift from it
+        # (it once did, and missed is_ddl). The store picks the WRITE
+        # strategy: full-snapshot rewrite by default, O(touched
+        # buckets) for PrunedParquetStateStore.
+        new_state = store._merge_commit_unlocked(
+            state, batch_df, pk, version, epoch_id
+        )
     if on_schema_change is not None:
         new_cols = {c.lower() for c in new_state.columns}
         if prev_cols is None or prev_cols != new_cols:
@@ -321,6 +527,7 @@ def run_cdc_stream(
     notify_hook=None,
     retain_versions: int | None = None,
     max_files_per_trigger: int | None = None,
+    state_buckets: int | None = None,
 ):
     """Wire the full pipeline: file stream -> typed changes ->
     foreachBatch(merge into versioned parquet state). Returns the
@@ -339,11 +546,22 @@ def run_cdc_stream(
 
     ``retain_versions``: when set, prune committed snapshots older
     than the newest N after every committing epoch (the long-running
-    deployment needs this or state size x epochs accumulates)."""
+    deployment needs this or state size x epochs accumulates).
+
+    ``state_buckets``: when set, back the stream with the
+    PrunedParquetStateStore (N PK-hash buckets) so each epoch's commit
+    rewrites only the buckets its batch touches — O(batch) per-epoch
+    I/O instead of O(state), the setting a long-lived large-state
+    deployment wants. Default keeps the plain full-snapshot store."""
     from canal_phoenix_adapter_spark.notify import make_notifier, notify_payload
 
-    store = ParquetStateStore(spark, state_path)
     pk = cfg.db_mapping.pk_source_columns()
+    if state_buckets:
+        store: ParquetStateStore = PrunedParquetStateStore(
+            spark, state_path, pk, n_buckets=state_buckets
+        )
+    else:
+        store = ParquetStateStore(spark, state_path)
     hook = notify_hook if notify_hook is not None else make_notifier(cfg)
     on_change = (lambda: hook(notify_payload(cfg))) if hook is not None else None
 

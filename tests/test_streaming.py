@@ -1225,3 +1225,211 @@ def test_max_files_per_trigger_bounds_epochs(spark, tmp_path):
     # epochs 0..2 each committed a version; one batch per file
     assert store.current_version() == 2
     assert store.last_epoch() == 2
+
+
+# ---------------------------------------------------------------------------
+# PrunedParquetStateStore: O(touched-bucket) epoch commits (r5 task 1/3).
+# The contract under test: byte-for-byte state equality with the
+# full-rewrite store over every epoch shape (insert/update/delete/
+# PK-change/truncate/heal), across crash-replay, with untouched
+# buckets HARDLINKED forward (the O(touched) evidence) on normal
+# epochs and fully rewritten on fallback epochs.
+# ---------------------------------------------------------------------------
+
+BASE_SCHEMA = "seq long, op string, id long, name string, balance double, old_id long"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, BASE_SCHEMA)
+
+
+def _pruned_and_full(spark, tmp_path, n_buckets=8):
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        PrunedParquetStateStore,
+    )
+
+    pruned = PrunedParquetStateStore(
+        spark, str(tmp_path / "pruned"), ["id"], n_buckets=n_buckets
+    )
+    full = ParquetStateStore(spark, str(tmp_path / "full"))
+    return pruned, full
+
+
+def _state_dict(store):
+    df = store.read()
+    return {r["id"]: tuple(r[c] for c in sorted(df.columns) if c != "id")
+            for r in df.collect()}
+
+
+def _bucket_of_ids(spark, ids, n_buckets):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return {r["b"] for r in
+            df.select(F.pmod(F.hash("id"), F.lit(n_buckets)).alias("b")).collect()}
+
+
+def test_pruned_store_matches_full_and_links_untouched(spark, tmp_path):
+    """A normal epoch over a pruned store must (a) produce the exact
+    state the full-rewrite store produces and (b) rewrite ONLY the
+    buckets the batch touches — every other bucket's files carried
+    forward as hardlinks of the previous version's files."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    n_buckets = 8
+    pruned, full = _pruned_and_full(spark, tmp_path, n_buckets)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 201)])
+    # epoch 1: update one key, delete one, PK-change one (17 -> 901)
+    b1 = _batch(spark, [
+        (300, "UPDATE", 5, "five", 5.5, None),
+        (301, "DELETE", 9, None, None, None),
+        (302, "UPDATE", 901, "moved", 17.0, 17),
+    ])
+    for store in (pruned, full):
+        assert apply_cdc_epoch(store, b0, 0, ["id"])
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+    assert _state_dict(pruned) == _state_dict(full)
+    got = _state_dict(pruned)
+    assert got[5] == (5.5, "five") and 9 not in got
+    assert got[901] == (17.0, "moved") and 17 not in got
+
+    # O(touched) evidence: untouched buckets in v1 are hardlinks into v0
+    touched = _bucket_of_ids(spark, [5, 9, 901, 17], n_buckets)
+    assert len(touched) < n_buckets  # the test must exercise both kinds
+    v0, v1 = (os.path.join(pruned.path, v) for v in ("v0", "v1"))
+    seen_linked = 0
+    for name in os.listdir(v1):
+        if not name.startswith("__bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        files = [f for f in os.listdir(os.path.join(v1, name))
+                 if not f.startswith((".", "_"))]
+        assert files, name
+        for f in files:
+            p = os.path.join(v1, name, f)
+            if b in touched:
+                # fresh file: not shared with any v0 file
+                assert os.stat(p).st_nlink == 1, (name, f)
+            else:
+                assert os.path.samefile(p, os.path.join(v0, name, f)), (name, f)
+                seen_linked += 1
+    assert seen_linked > 0
+
+
+def test_pruned_store_crash_replay_converges_with_full(spark, tmp_path):
+    """Task-3 gate: after a crashed-then-replayed epoch the pruned
+    store equals the full-rewrite store, whichever side of the commit
+    marker the crash fell on (the failure mode partial rewrites
+    historically introduce: a replay over a half-linked orphan)."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    pruned, full = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 101)])
+    b1 = _batch(spark, [(200, "UPDATE", 7, "seven", 0.7, None),
+                        (201, "DELETE", 8, None, None, None)])
+    for store in (pruned, full):
+        assert apply_cdc_epoch(store, b0, 0, ["id"])
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+
+    # crash AFTER commit, BEFORE checkpoint: replay must no-op
+    assert apply_cdc_epoch(pruned, b1, 1, ["id"]) is False
+    assert _state_dict(pruned) == _state_dict(full)
+
+    # crash BEFORE commit: pointer back at v0, v1 left as a half-
+    # written orphan (stale links included); replay must rebuild v1
+    pruned._repoint(0, 0)
+    orphan = os.path.join(pruned.path, "v1")
+    assert os.path.isdir(orphan)
+    assert apply_cdc_epoch(pruned, b1, 1, ["id"])
+    assert pruned.current_version() == 1 and pruned.last_epoch() == 1
+    assert _state_dict(pruned) == _state_dict(full)
+
+
+def test_pruned_store_schema_heal_rewrites_all_buckets(spark, tmp_path):
+    """A heal epoch (batch adds a column) cannot be bucket-local: the
+    pruned store must fall back to the full rewrite so every bucket
+    advances to the union schema — and still match the full store."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    pruned, full = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 101)])
+    healed = "seq long, op string, id long, name string, balance double, tier string, old_id long"
+    b1 = spark.createDataFrame([(200, "UPDATE", 3, "three", 3.0, "gold", None)], healed)
+    for store in (pruned, full):
+        assert apply_cdc_epoch(store, b0, 0, ["id"])
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+    assert _state_dict(pruned) == _state_dict(full)
+    assert "tier" in pruned.read().columns
+    # fallback evidence: nothing in v1 is a link into v0
+    v1 = os.path.join(pruned.path, "v1")
+    for name in os.listdir(v1):
+        if not name.startswith("__bucket="):
+            continue
+        for f in os.listdir(os.path.join(v1, name)):
+            if f.startswith((".", "_")):
+                continue
+            assert os.stat(os.path.join(v1, name, f)).st_nlink == 1
+
+
+def test_pruned_store_truncate_erase_prune_timetravel(spark, tmp_path):
+    """TRUNCATE falls back to full rewrite; erase_keys commits a new
+    pruned-layout version; prune() drops old versions without harming
+    shared hardlinked files; read_version time-travel stays exact."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        apply_cdc_epoch,
+        erase_keys,
+        state_changes,
+    )
+
+    pruned, full = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 51)])
+    b1 = _batch(spark, [(100, "UPDATE", 2, "two", 2.2, None)])
+    b2 = _batch(spark, [(200, "TRUNCATE", None, None, None, None),
+                        (201, "INSERT", 5, "reborn", 5.0, None)])
+    for store in (pruned, full):
+        assert apply_cdc_epoch(store, b0, 0, ["id"])
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+    # CDF between pruned versions (bucket column must never surface)
+    diff = state_changes(pruned, 0, 1, ["id"]).collect()
+    assert [(r["id"], r["op"]) for r in diff] == [(2, "UPDATE")]
+    for store in (pruned, full):
+        assert apply_cdc_epoch(store, b2, 2, ["id"])
+    assert _state_dict(pruned) == _state_dict(full) == {5: (5.0, "reborn")}
+
+    v = erase_keys(pruned, spark.createDataFrame([(5,)], "id long"), ["id"])
+    assert v == 3
+    assert pruned.read().count() == 0  # empty state stays readable
+    # prune old versions; the survivor must still read (hardlinked
+    # files shared with pruned versions keep their remaining names)
+    doomed = pruned.prune(keep_last=1)
+    assert doomed == [0, 1, 2]
+    assert pruned.versions() == [3]
+    assert pruned.read().count() == 0
+    assert pruned.last_epoch() == 2  # erasure carried the watermark
+    # an epoch on top of the empty schema-only snapshot still applies
+    b3 = _batch(spark, [(300, "INSERT", 8, "back", 8.0, None)])
+    assert apply_cdc_epoch(pruned, b3, 3, ["id"])
+    assert _state_dict(pruned) == {8: (8.0, "back")}
+
+
+def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
+    """The golden scenario through run_cdc_stream(state_buckets=...)
+    must land the exact same final state as the default store."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        PrunedParquetStateStore,
+    )
+
+    src = str(tmp_path / "src")
+    write_events(src, EVENTS)
+    q = run_cdc_stream(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        CFG, VALUE_SCHEMA, state_buckets=8,
+    )
+    q.awaitTermination(120)
+    store = PrunedParquetStateStore(spark, str(tmp_path / "state"), ["id"], 8)
+    got = {r["id"]: (r["name"], r["balance"]) for r in store.read().collect()}
+    assert got == EXPECTED
