@@ -29,7 +29,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "cdc_merge_full",
     "cdc_merge_into_state",
-    "cdc_stream_20_epochs",
     "etl_scan_condition",
     "etl_idempotent_load",
     "proj_type_coercion",
@@ -65,11 +64,24 @@ HEADLINE = [
     "dedup_minhash_lsh_incremental",
     "sim_knn_join_ivf",
     "sim_ann_ivf_trained",
+    # LAST, and timed in their own tail loop after every normal pass:
+    # 20 streaming epochs leave shuffle/GC/checkpoint state behind
+    # that polluted whichever queries followed it in r4's interleaved
+    # order (the suspected cause of the +19-22% dedup readings on
+    # unchanged code — VERDICT r4 task 2). The base row keeps the
+    # r4-comparable full-snapshot store; the _pruned row watches the
+    # O(touched-bucket) store's per-epoch machinery (at bench scale —
+    # tiny state, every bucket touched — it measures that machinery's
+    # OVERHEAD; its win is the state-scaling octave in
+    # SCALE_SMOKE.json/tools/epoch_smoke.py, not this number).
+    "cdc_stream_20_epochs",
+    "cdc_stream_20_epochs_pruned",
 ]
 
 
 def _run_cdc_stream_epochs(spark, sf_dir: str, n_epochs: int = 20,
-                           rows_per_epoch: int = 100) -> None:
+                           rows_per_epoch: int = 100,
+                           state_buckets: int | None = None) -> None:
     """Streaming-path workload: a fixed 20-epoch availableNow drive
     (one source file per micro-batch) through run_cdc_stream into the
     versioned parquet state store. What this measures — and the
@@ -89,6 +101,7 @@ def _run_cdc_stream_epochs(spark, sf_dir: str, n_epochs: int = 20,
     from canal_phoenix_adapter_spark.config import config_from_dict
     from canal_phoenix_adapter_spark.streaming.stream import (
         ParquetStateStore,
+        PrunedParquetStateStore,
         run_cdc_stream,
     )
 
@@ -140,10 +153,16 @@ def _run_cdc_stream_epochs(spark, sf_dir: str, n_epochs: int = 20,
         q = run_cdc_stream(
             spark, src, os.path.join(base, "state"),
             os.path.join(base, "ckpt"), cfg, schema,
-            max_files_per_trigger=1,
+            max_files_per_trigger=1, state_buckets=state_buckets,
         )
         q.awaitTermination(600)
-        state = ParquetStateStore(spark, os.path.join(base, "state")).read()
+        if state_buckets:
+            store = PrunedParquetStateStore(
+                spark, os.path.join(base, "state"), ["id"], state_buckets
+            )
+        else:
+            store = ParquetStateStore(spark, os.path.join(base, "state"))
+        state = store.read()
         assert state is not None and state.count() > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -151,7 +170,14 @@ def _run_cdc_stream_epochs(spark, sf_dir: str, n_epochs: int = 20,
 
 # Workloads that drive their own execution (streaming epochs) instead
 # of returning a DataFrame for the noop sink.
-SPECIAL = {"cdc_stream_20_epochs": _run_cdc_stream_epochs}
+SPECIAL = {
+    "cdc_stream_20_epochs": _run_cdc_stream_epochs,
+    "cdc_stream_20_epochs_pruned": (
+        lambda spark, sf_dir: _run_cdc_stream_epochs(
+            spark, sf_dir, state_buckets=32
+        )
+    ),
+}
 
 
 def main() -> None:
@@ -214,23 +240,35 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # Normal queries run all their passes BEFORE any SPECIAL workload:
+    # the 20-epoch streaming drive leaves session state (shuffle files,
+    # GC pressure, checkpoint churn) that r4 measured as +19-22% on
+    # the queries that followed it in interleaved order.
     times: dict[str, float] = {}
+    normal = [n for n in names if n not in SPECIAL]
+    specials = [n for n in names if n in SPECIAL]
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     for _pass in range(n_passes):
-        for name in names:
+        for name in normal:
             elapsed = run_once(name)
             times[name] = min(times.get(name, elapsed), elapsed)
 
-    # Sub-second queries are the noisiest in RELATIVE terms (a host
-    # steal of tens of ms reads as a double-digit-percent regression),
-    # and extra samples of them are cheap by construction — so give
-    # the fast tail extra min-samples before reporting.
-    fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUTOFF", "0.8"))
+    # Queries under a few seconds are the noisiest in RELATIVE terms
+    # (a multi-hundred-ms host steal reads as a double-digit-percent
+    # regression — r4 flagged +19-22% on byte-identical code in the
+    # 1-3 s band), and extra samples of them are cheap by
+    # construction — so give the fast tail extra min-samples.
+    fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUTOFF", "3.0"))
     for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "2"))):
-        for name in names:
+        for name in normal:
             if times.get(name, fast_cut) >= fast_cut:
                 continue
             times[name] = min(times[name], run_once(name))
+
+    for _pass in range(n_passes):
+        for name in specials:
+            elapsed = run_once(name)
+            times[name] = min(times.get(name, elapsed), elapsed)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

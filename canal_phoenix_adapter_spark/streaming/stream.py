@@ -100,23 +100,25 @@ class _CommitPointer:
 
     def _merge_commit_unlocked(
         self,
-        state: DataFrame | None,
         batch_df: DataFrame,
         pk: list[str],
         version: int,
         epoch_id: int,
-    ) -> DataFrame:
-        """Merge ``batch_df`` into ``state`` and commit the result as
-        ``version`` — the store's epoch-commit strategy, called by
-        apply_cdc_epoch UNDER the commit lock. Default: full-snapshot
-        rewrite (merge the whole state, write the whole state).
-        PrunedParquetStateStore overrides this with the O(touched
-        buckets) path. Requires the concrete store's
-        ``_write_unlocked``. Returns the new state (for the
-        schema-change hook)."""
+    ) -> tuple[DataFrame, set[str] | None]:
+        """Merge ``batch_df`` into this store's current state and
+        commit the result as ``version`` — the store's epoch-commit
+        strategy, called by apply_cdc_epoch UNDER the commit lock.
+        The strategy owns the basis READ too (not just the write):
+        the pruned store must never pay a full-state partition
+        discovery for a bucket-local epoch. Default: full-snapshot
+        read-merge-rewrite. Requires the concrete store's ``read`` /
+        ``_write_unlocked``. Returns (new state, prior lowercase
+        column set or None) for the schema-change hook."""
+        state = self.read()
+        prev_cols = None if state is None else {c.lower() for c in state.columns}
         new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
         self._write_unlocked(new_state, version, epoch_id=epoch_id)
-        return new_state
+        return new_state, prev_cols
 
 
 class ParquetStateStore(_CommitPointer):
@@ -246,88 +248,185 @@ class PrunedParquetStateStore(ParquetStateStore):
     writes the changed rows, support/BatchExecutor.java:60-75; a
     full-state rewrite per epoch has no analogue there).
 
-    Layout: each snapshot dir is hash-partitioned into ``__bucket=K``
-    subdirectories (K = pmod(hash(pk), n_buckets) — Spark partition
-    dirs, computed once at write). An epoch then:
+    Layout: state is hash-bucketed (K = pmod(hash(pk), n_buckets));
+    each version dir holds parquet dirs ``__bucket=K`` for ONLY the
+    buckets that version rewrote, plus a ``_manifest.json`` mapping
+    EVERY bucket to the version that owns its current data (and the
+    state schema). A snapshot read assembles explicit paths from the
+    manifest; an epoch commit:
       1. computes the bucket set its batch touches (new keys plus
          PK-change old keys) — a collect bounded by n_buckets ints;
-      2. merges the batch against ONLY those buckets (partition
-         pruning keeps untouched buckets off the scan entirely);
-      3. writes the merged touched buckets into the new version dir
-         and HARDLINKS every untouched bucket's immutable parquet
-         files forward from the previous version (an O(#files)
-         metadata op, no data copied; on an object store the same
-         move is a manifest/metadata copy, à la Delta/Iceberg).
-    Per-epoch I/O is therefore proportional to the touched buckets —
-    with batch keys ≪ state keys, a constant as state grows.
+      2. reads and merges ONLY those buckets' dirs (schema comes from
+         the manifest — no footer inference, no partition discovery);
+      3. writes the merged touched buckets + a new manifest whose
+         untouched entries still point at the older versions.
+    Per-epoch I/O and metadata are therefore O(touched buckets + one
+    manifest file) — with batch keys ≪ state keys, ~constant as state
+    grows. (An earlier hardlink-forward design was O(n_buckets) file
+    links per epoch — measured as the dominant growth term past ~1k
+    buckets; manifests are also what object stores need, à la
+    Delta/Iceberg, where hardlinks don't exist.)
 
     Falls back to the full-rewrite commit (one epoch, automatically)
     when the epoch cannot be bucket-local: a TRUNCATE in the batch
     (wipes every bucket) or a schema-changing heal/DDL epoch (every
-    bucket's file schema must advance together, or snapshot reads
-    would need per-file schema merging forever after).
+    bucket must advance to the union schema together, keeping one
+    schema per manifest and reads merge-free).
 
     Crash-safety is the inherited pointer contract, unchanged: the
     partitioned write uses static overwrite (clears a crashed
-    attempt's orphan dir — including its stale hardlinks — before
-    writing), links land before the repoint, and a replayed committed
-    epoch no-ops on the watermark. prune() needs no changes: deleting
-    an old version unlinks its names; bucket files live until their
-    last referencing version is pruned."""
+    attempt's orphan dir — stale manifest included — before writing),
+    the manifest lands before the repoint, and a replayed committed
+    epoch no-ops on the watermark. ``prune`` GCs at bucket-dir
+    granularity: a dir is deleted only when no RETAINED version's
+    manifest references it, so time travel within retention keeps
+    working even though versions share bucket dirs."""
 
     BUCKET = "__bucket"
+    MANIFEST = "_manifest.json"
 
     def __init__(self, spark: SparkSession, path: str, pk: list[str],
                  n_buckets: int = 64):
         super().__init__(spark, path)
         self.pk = list(pk)
         self.n_buckets = n_buckets
+        self._manifest_cache: dict[int, dict] = {}
 
     def _bucket_of(self, key_cols: list) -> F.Column:
         # hash() is seed-stable Murmur3 and NULL-accepting, so a key's
         # bucket is identical across epochs and versions by construction
         return F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
 
+    # -- manifest bookkeeping ------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version}", self.MANIFEST)
+
+    def _manifest(self, version: int) -> dict:
+        """{"schema": StructType-json, "buckets": {bucket_id: owner
+        version}} for a COMMITTED version. Memoized: committed
+        manifests are immutable (orphan overwrite only targets
+        versions above _CURRENT)."""
+        m = self._manifest_cache.get(version)
+        if m is None:
+            with open(self._manifest_path(version), encoding="utf-8") as f:
+                raw = json.load(f)
+            m = {
+                "schema": raw["schema"],
+                "buckets": {int(k): int(v) for k, v in raw["buckets"].items()},
+            }
+            if len(self._manifest_cache) > 8:
+                self._manifest_cache.clear()
+            self._manifest_cache[version] = m
+        return m
+
+    def _write_manifest(
+        self, version: int, schema: T.StructType, buckets: dict[int, int]
+    ) -> None:
+        tmp = self._manifest_path(version) + ".tmp"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"schema": schema.jsonValue(),
+                 "buckets": {str(k): v for k, v in buckets.items()}},
+                f,
+            )
+        os.replace(tmp, self._manifest_path(version))
+
+    def _schema_of(self, manifest: dict) -> T.StructType:
+        return T.StructType.fromJson(manifest["schema"])
+
+    def _bucket_dir(self, owner: int, bucket: int) -> str:
+        return os.path.join(self.path, f"v{owner}", f"{self.BUCKET}={bucket}")
+
+    def _owned_buckets(self, version: int) -> dict[int, int]:
+        """Buckets whose data dir a version's own directory holds."""
+        vdir = os.path.join(self.path, f"v{version}")
+        out = {}
+        prefix = self.BUCKET + "="
+        try:
+            names = os.listdir(vdir)
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.startswith(prefix):
+                try:
+                    out[int(n[len(prefix):])] = version
+                except ValueError:
+                    continue
+        return out
+
+    # -- reads ---------------------------------------------------------------
+
+    def _read_buckets(self, manifest: dict, buckets=None) -> DataFrame:
+        """Assemble a DataFrame from explicit bucket-dir paths (all
+        buckets, or a subset) with the manifest's schema — never a
+        partition discovery over the version dir."""
+        entries = manifest["buckets"]
+        if buckets is not None:
+            entries = {b: o for b, o in entries.items() if b in buckets}
+        dirs = [self._bucket_dir(o, b) for b, o in sorted(entries.items())]
+        schema = self._schema_of(manifest)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
     def read(self) -> DataFrame | None:
-        df = super().read()
-        return None if df is None else df.drop(self.BUCKET)
+        v = self.current_version()
+        return None if v is None else self._read_buckets(self._manifest(v))
 
     def read_version(self, version: int) -> DataFrame:
-        return super().read_version(version).drop(self.BUCKET)
+        cur = self.current_version()
+        if cur is None or version > cur or not os.path.isfile(
+            self._manifest_path(version)
+        ):
+            committed = [v for v in self.versions() if cur is not None and v <= cur]
+            raise FileNotFoundError(
+                f"state version {version} not committed+retained "
+                f"(current={cur}); retained committed versions: {committed}"
+            )
+        return self._read_buckets(self._manifest(version))
+
+    # -- writes --------------------------------------------------------------
 
     def _write_unlocked(
         self, df: DataFrame, version: int, epoch_id: int | None = None
     ) -> None:
-        """Full partitioned rewrite — bootstrap, erasure, and the
-        TRUNCATE/schema-change fallbacks land here."""
+        """Full rewrite — bootstrap, erasure, and the TRUNCATE/
+        schema-change fallbacks land here: the new version owns every
+        surviving bucket."""
         if epoch_id is None:
             epoch_id = self.last_epoch()
         if self.BUCKET in df.columns:
             raise ValueError(f"state may not carry a {self.BUCKET} column")
-        self._write_partitioned(df, os.path.join(self.path, f"v{version}"))
+        self._write_bucket_dirs(df, version)
+        self._write_manifest(version, df.schema, self._owned_buckets(version))
         self._repoint(version, epoch_id)
 
-    def _write_partitioned(
-        self, df: DataFrame, target: str, empty_fallback: bool = True
+    def _write_bucket_dirs(
+        self, df: DataFrame, version: int, n_parts: int | None = None
     ) -> None:
-        """Bucket-partitioned snapshot write. An EMPTY state (truncate
-        with no survivors, full erasure) produces zero partition dirs —
-        unreadable — so it re-lands as a schema-only unpartitioned
-        file that the bucket-dropping read path handles identically.
-        The pruned merge defers that fallback (empty_fallback=False)
-        until after link-forward: a root-level schema file plus linked
-        partition dirs would be a mixed, unreadable layout."""
+        """Write ``df`` hash-clustered into ``__bucket=K`` dirs under
+        the version dir (static overwrite clears a crashed attempt's
+        orphan first). The repartition on the bucket column is
+        load-bearing: without it every write task emits one file into
+        every bucket dir it holds rows for — O(tasks x buckets) tiny
+        files per version (measured 4-5x the whole epoch wall) —
+        clustering costs one shuffle of the WRITTEN data only and pins
+        ~one file per bucket. ``n_parts`` sizes that shuffle: the
+        pruned merge passes ~2x its touched-bucket count (launching
+        n_buckets tasks to write a 200-bucket epoch is pure scheduler
+        overhead)."""
+        target = os.path.join(self.path, f"v{version}")
         (
             df.withColumn(self.BUCKET, self._bucket_of([F.col(k) for k in self.pk]))
+            .repartition(n_parts or self.n_buckets, F.col(self.BUCKET))
+            .sortWithinPartitions(*self.pk)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy(self.BUCKET)
             .parquet(target)
         )
-        if empty_fallback and not any(
-            n.startswith(self.BUCKET + "=") for n in os.listdir(target)
-        ):
-            df.limit(0).write.mode("overwrite").parquet(target)
 
     def _touched_buckets(self, batch_df: DataFrame, pk: list[str]) -> list[int]:
         """Buckets the batch can modify: every row's NEW key bucket,
@@ -348,77 +447,96 @@ class PrunedParquetStateStore(ParquetStateStore):
 
     def _merge_commit_unlocked(
         self,
-        state: DataFrame | None,
         batch_df: DataFrame,
         pk: list[str],
         version: int,
         epoch_id: int,
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, set[str] | None]:
         if [k.lower() for k in pk] != [k.lower() for k in self.pk]:
             raise ValueError(
                 f"epoch pk {pk} != store bucketing pk {self.pk}: a "
                 "mismatched key would scatter rows across wrong buckets"
             )
         cur = self.current_version()
-        if state is None or last_truncate_seq(batch_df) is not None:
+        if cur is None or last_truncate_seq(batch_df) is not None:
             # bootstrap / TRUNCATE: every bucket changes anyway
             return super()._merge_commit_unlocked(
-                state, batch_df, pk, version, epoch_id
+                batch_df, pk, version, epoch_id
             )
+        manifest = self._manifest(cur)
+        prev_schema = self._schema_of(manifest)
+        prev_cols = {f.name.lower() for f in prev_schema.fields}
         touched = self._touched_buckets(batch_df, pk)
-        vdir = os.path.join(self.path, f"v{cur}")
-        cur_full = self.spark.read.parquet(vdir)
-        if self.BUCKET in cur_full.columns:
-            touched_state = cur_full.where(
-                F.col(self.BUCKET).isin(touched)
-            ).drop(self.BUCKET)
-        else:
-            # previous snapshot is the schema-only empty layout: no
-            # partition dirs to prune or link, merge against it as-is
-            touched_state = cur_full
-        merged = merge_cdc(touched_state, batch_df, pk, old_prefix="old_")
-        prev_fields = {(f.name.lower(), f.dataType) for f in state.schema.fields}
+        touched_state = self._read_buckets(manifest, set(touched))
+        # check_truncate=False: the TRUNCATE pre-scan already ran above
+        # (it routed to the full-rewrite fallback) — re-scanning inside
+        # merge_cdc would cost one more job per epoch for nothing
+        merged = merge_cdc(
+            touched_state, batch_df, pk, old_prefix="old_", check_truncate=False
+        )
+        prev_fields = {(f.name.lower(), f.dataType) for f in prev_schema.fields}
         new_fields = {(f.name.lower(), f.dataType) for f in merged.schema.fields}
         if prev_fields != new_fields:
             # heal/DDL epoch: rewrite all buckets onto the new schema
             return super()._merge_commit_unlocked(
-                state, batch_df, pk, version, epoch_id
+                batch_df, pk, version, epoch_id
             )
-        target = os.path.join(self.path, f"v{version}")
-        self._write_partitioned(merged, target, empty_fallback=False)
-        self._link_forward(vdir, target, set(touched))
-        if not any(n.startswith(self.BUCKET + "=") for n in os.listdir(target)):
-            merged.limit(0).write.mode("overwrite").parquet(target)
+        self._write_bucket_dirs(
+            merged, version, n_parts=min(self.n_buckets, max(32, 2 * len(touched)))
+        )
+        # new manifest: touched buckets that survived -> this version;
+        # touched buckets with no survivors drop out; untouched keep
+        # their current owner
+        buckets = {
+            b: o for b, o in manifest["buckets"].items() if b not in set(touched)
+        }
+        buckets.update(self._owned_buckets(version))
+        self._write_manifest(version, merged.schema, buckets)
         self._repoint(version, epoch_id)
-        return merged
+        return merged, prev_cols
 
-    @classmethod
-    def _link_forward(cls, src_dir: str, dst_dir: str, touched: set[int]) -> None:
-        """Carry untouched buckets into the new version by hardlink
-        (copy fallback for filesystems without link support). Parquet
-        part files are immutable once committed, so shared inodes are
-        safe; prune() only ever unlinks a version's own names."""
+    # -- retention -----------------------------------------------------------
+
+    def prune(self, keep_last: int = 2) -> list[int]:
+        """Retention GC at bucket-dir granularity: keep every bucket
+        dir some RETAINED version's manifest references (versions
+        share dirs across epochs), plus everything belonging to
+        orphans above _CURRENT (a mid-crash replay target). A version
+        is fully pruned — and reported — when its manifest is dropped
+        and it owns no referenced dirs."""
         import shutil
 
-        prefix = cls.BUCKET + "="
-        for name in os.listdir(src_dir):
-            if not name.startswith(prefix):
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep_last = max(1, keep_last)
+        committed = [v for v in self.versions() if v <= cur]
+        retained = set(committed[-keep_last:])
+        referenced: set[tuple[int, int]] = set()
+        for v in retained:
+            for b, o in self._manifest(v)["buckets"].items():
+                referenced.add((o, b))
+        doomed = []
+        for v in committed:
+            if v in retained:
                 continue
-            try:
-                b = int(name[len(prefix):])
-            except ValueError:
-                continue
-            if b in touched:
-                continue
-            src, dst = os.path.join(src_dir, name), os.path.join(dst_dir, name)
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if f.startswith((".", "_")):
-                    continue
+            vdir = os.path.join(self.path, f"v{v}")
+            for b in self._owned_buckets(v):
+                if (v, b) not in referenced:
+                    shutil.rmtree(self._bucket_dir(v, b), ignore_errors=True)
+            if not self._owned_buckets(v):
+                shutil.rmtree(vdir, ignore_errors=True)
+                doomed.append(v)
+            else:
+                # still owns referenced dirs: drop only the manifest so
+                # the version stops being directly readable/retained
                 try:
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
-                except OSError:
-                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+                    os.remove(self._manifest_path(v))
+                except FileNotFoundError:
+                    pass
+                doomed.append(v)
+        self._manifest_cache.clear()
+        return doomed
 
 
 def read_canal_stream(
@@ -491,8 +609,6 @@ def apply_cdc_epoch(
         if last is not None and last >= epoch_id:
             return False
         cur = store.current_version()
-        state = store.read()
-        prev_cols = None if state is None else {c.lower() for c in state.columns}
         # Version tracks the epoch id while the two are aligned (the
         # normal stream), but can never step backwards onto — or into —
         # a snapshot an interleaved non-CDC commit (erasure) already
@@ -503,11 +619,11 @@ def apply_cdc_epoch(
         # aligns the prior state to the batch's image schema
         # (operators/merge.py) — no pre-align here, which would
         # re-implement merge's image-column filter and drift from it
-        # (it once did, and missed is_ddl). The store picks the WRITE
-        # strategy: full-snapshot rewrite by default, O(touched
-        # buckets) for PrunedParquetStateStore.
-        new_state = store._merge_commit_unlocked(
-            state, batch_df, pk, version, epoch_id
+        # (it once did, and missed is_ddl). The store picks the READ
+        # and WRITE strategy: full-snapshot rewrite by default,
+        # O(touched buckets) for PrunedParquetStateStore.
+        new_state, prev_cols = store._merge_commit_unlocked(
+            batch_df, pk, version, epoch_id
         )
     if on_schema_change is not None:
         new_cols = {c.lower() for c in new_state.columns}

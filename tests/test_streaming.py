@@ -1229,11 +1229,12 @@ def test_max_files_per_trigger_bounds_epochs(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # PrunedParquetStateStore: O(touched-bucket) epoch commits (r5 task 1/3).
-# The contract under test: byte-for-byte state equality with the
-# full-rewrite store over every epoch shape (insert/update/delete/
-# PK-change/truncate/heal), across crash-replay, with untouched
-# buckets HARDLINKED forward (the O(touched) evidence) on normal
-# epochs and fully rewritten on fallback epochs.
+# The contract under test: state equality with the full-rewrite store
+# over every epoch shape (insert/update/delete/PK-change/truncate/
+# heal), across crash-replay; a normal epoch's version dir holds ONLY
+# the touched buckets (the O(touched) evidence) with the manifest
+# pointing untouched buckets at older versions; fallback epochs own
+# every bucket.
 # ---------------------------------------------------------------------------
 
 BASE_SCHEMA = "seq long, op string, id long, name string, balance double, old_id long"
@@ -1269,11 +1270,17 @@ def _bucket_of_ids(spark, ids, n_buckets):
             df.select(F.pmod(F.hash("id"), F.lit(n_buckets)).alias("b")).collect()}
 
 
-def test_pruned_store_matches_full_and_links_untouched(spark, tmp_path):
+def _owned(store, version):
+    vdir = os.path.join(store.path, f"v{version}")
+    return {int(n.split("=", 1)[1]) for n in os.listdir(vdir)
+            if n.startswith("__bucket=")}
+
+
+def test_pruned_store_matches_full_and_rewrites_only_touched(spark, tmp_path):
     """A normal epoch over a pruned store must (a) produce the exact
-    state the full-rewrite store produces and (b) rewrite ONLY the
-    buckets the batch touches — every other bucket's files carried
-    forward as hardlinks of the previous version's files."""
+    state the full-rewrite store produces and (b) materialize ONLY the
+    buckets the batch touches in its version dir — every other bucket
+    served through the manifest from the previous version's dirs."""
     from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
 
     n_buckets = 8
@@ -1294,34 +1301,22 @@ def test_pruned_store_matches_full_and_links_untouched(spark, tmp_path):
     assert got[5] == (5.5, "five") and 9 not in got
     assert got[901] == (17.0, "moved") and 17 not in got
 
-    # O(touched) evidence: untouched buckets in v1 are hardlinks into v0
+    # O(touched) evidence: v1 holds exactly the touched buckets; the
+    # manifest serves every other bucket from v0
     touched = _bucket_of_ids(spark, [5, 9, 901, 17], n_buckets)
     assert len(touched) < n_buckets  # the test must exercise both kinds
-    v0, v1 = (os.path.join(pruned.path, v) for v in ("v0", "v1"))
-    seen_linked = 0
-    for name in os.listdir(v1):
-        if not name.startswith("__bucket="):
-            continue
-        b = int(name.split("=", 1)[1])
-        files = [f for f in os.listdir(os.path.join(v1, name))
-                 if not f.startswith((".", "_"))]
-        assert files, name
-        for f in files:
-            p = os.path.join(v1, name, f)
-            if b in touched:
-                # fresh file: not shared with any v0 file
-                assert os.stat(p).st_nlink == 1, (name, f)
-            else:
-                assert os.path.samefile(p, os.path.join(v0, name, f)), (name, f)
-                seen_linked += 1
-    assert seen_linked > 0
+    assert _owned(pruned, 1) == touched
+    m1 = pruned._manifest(1)["buckets"]
+    assert set(m1) == set(range(n_buckets))  # 200 keys cover all 8
+    for b, owner in m1.items():
+        assert owner == (1 if b in touched else 0), (b, owner)
 
 
 def test_pruned_store_crash_replay_converges_with_full(spark, tmp_path):
     """Task-3 gate: after a crashed-then-replayed epoch the pruned
     store equals the full-rewrite store, whichever side of the commit
     marker the crash fell on (the failure mode partial rewrites
-    historically introduce: a replay over a half-linked orphan)."""
+    historically introduce: a replay over a half-committed orphan)."""
     from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
 
     pruned, full = _pruned_and_full(spark, tmp_path)
@@ -1338,8 +1333,9 @@ def test_pruned_store_crash_replay_converges_with_full(spark, tmp_path):
     assert _state_dict(pruned) == _state_dict(full)
 
     # crash BEFORE commit: pointer back at v0, v1 left as a half-
-    # written orphan (stale links included); replay must rebuild v1
+    # written orphan (stale manifest included); replay must rebuild v1
     pruned._repoint(0, 0)
+    pruned._manifest_cache.clear()
     orphan = os.path.join(pruned.path, "v1")
     assert os.path.isdir(orphan)
     assert apply_cdc_epoch(pruned, b1, 1, ["id"])
@@ -1363,21 +1359,16 @@ def test_pruned_store_schema_heal_rewrites_all_buckets(spark, tmp_path):
         assert apply_cdc_epoch(store, b1, 1, ["id"])
     assert _state_dict(pruned) == _state_dict(full)
     assert "tier" in pruned.read().columns
-    # fallback evidence: nothing in v1 is a link into v0
-    v1 = os.path.join(pruned.path, "v1")
-    for name in os.listdir(v1):
-        if not name.startswith("__bucket="):
-            continue
-        for f in os.listdir(os.path.join(v1, name)):
-            if f.startswith((".", "_")):
-                continue
-            assert os.stat(os.path.join(v1, name, f)).st_nlink == 1
+    # fallback evidence: v1 owns every bucket, nothing served from v0
+    m1 = pruned._manifest(1)["buckets"]
+    assert set(m1.values()) == {1}
+    assert "tier" in {f.name for f in pruned._schema_of(pruned._manifest(1)).fields}
 
 
 def test_pruned_store_truncate_erase_prune_timetravel(spark, tmp_path):
     """TRUNCATE falls back to full rewrite; erase_keys commits a new
-    pruned-layout version; prune() drops old versions without harming
-    shared hardlinked files; read_version time-travel stays exact."""
+    manifest version; prune() GCs shared bucket dirs by reference
+    count; read_version time-travel stays exact within retention."""
     from canal_phoenix_adapter_spark.streaming.stream import (
         apply_cdc_epoch,
         erase_keys,
@@ -1393,9 +1384,11 @@ def test_pruned_store_truncate_erase_prune_timetravel(spark, tmp_path):
     for store in (pruned, full):
         assert apply_cdc_epoch(store, b0, 0, ["id"])
         assert apply_cdc_epoch(store, b1, 1, ["id"])
-    # CDF between pruned versions (bucket column must never surface)
+    # CDF between pruned versions (bucket bookkeeping must never surface)
     diff = state_changes(pruned, 0, 1, ["id"]).collect()
     assert [(r["id"], r["op"]) for r in diff] == [(2, "UPDATE")]
+    # time travel: v0 still shows the pre-update row via its manifest
+    assert {r["id"]: r["balance"] for r in pruned.read_version(0).collect()}[2] == 2.0
     for store in (pruned, full):
         assert apply_cdc_epoch(store, b2, 2, ["id"])
     assert _state_dict(pruned) == _state_dict(full) == {5: (5.0, "reborn")}
@@ -1403,17 +1396,40 @@ def test_pruned_store_truncate_erase_prune_timetravel(spark, tmp_path):
     v = erase_keys(pruned, spark.createDataFrame([(5,)], "id long"), ["id"])
     assert v == 3
     assert pruned.read().count() == 0  # empty state stays readable
-    # prune old versions; the survivor must still read (hardlinked
-    # files shared with pruned versions keep their remaining names)
     doomed = pruned.prune(keep_last=1)
     assert doomed == [0, 1, 2]
     assert pruned.versions() == [3]
     assert pruned.read().count() == 0
     assert pruned.last_epoch() == 2  # erasure carried the watermark
-    # an epoch on top of the empty schema-only snapshot still applies
+    # an epoch on top of the empty state still applies
     b3 = _batch(spark, [(300, "INSERT", 8, "back", 8.0, None)])
     assert apply_cdc_epoch(pruned, b3, 3, ["id"])
     assert _state_dict(pruned) == {8: (8.0, "back")}
+
+
+def test_pruned_store_prune_keeps_shared_buckets_readable(spark, tmp_path):
+    """The GC hazard specific to shared bucket dirs: pruning an OLD
+    version must not delete bucket dirs a retained manifest still
+    references (most of the state after a small epoch), and must
+    delete the stale copies nothing references."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    pruned, _ = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 201)])
+    b1 = _batch(spark, [(300, "UPDATE", 5, "five", 5.5, None)])
+    b2 = _batch(spark, [(400, "UPDATE", 6, "six", 6.6, None)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+    assert apply_cdc_epoch(pruned, b1, 1, ["id"])
+    assert apply_cdc_epoch(pruned, b2, 2, ["id"])
+    before = _state_dict(pruned)
+    assert pruned.prune(keep_last=1) == [0, 1]
+    # v0's dirs survive where v2's manifest references them
+    assert os.path.isdir(os.path.join(pruned.path, "v0"))
+    # v1's rewritten copy of bucket(5) is referenced unless epoch 2
+    # also touched it; either way the CURRENT state is intact
+    assert _state_dict(pruned) == before
+    assert pruned.read().count() == 200
 
 
 def test_run_cdc_stream_with_pruned_store(spark, tmp_path):

@@ -1,0 +1,144 @@
+"""Per-epoch cost model for the streaming state stores (SCALE.md).
+
+Drives apply_cdc_epoch directly (the batch path — no Structured
+Streaming machinery, so the split is clean) against a bootstrap state
+of S rows, then applies K fixed-size change batches and reports the
+mean per-epoch wall SPLIT into its phases:
+
+  * touched  — the pruned store's touched-bucket collect (a job over
+               the change batch only; absent on the full store)
+  * write    — the snapshot write job; the merge compute materializes
+               here (Spark is lazy), so this is merge+write together
+  * manifest — writing the new version's bucket->owner manifest
+  * repoint  — the atomic pointer swap
+  * other    — basis read/plan build, lock, watermark bookkeeping
+
+The question this answers (VERDICT r4 tasks 1/5): does per-epoch wall
+stay ~flat as STATE grows with the batch size fixed? The full-rewrite
+store is O(state) per epoch by construction; the pruned store should
+be ~O(batch). Output: one JSON line per (store, factor).
+
+Usage: python tools/epoch_smoke.py [factor ...]   (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from canal_phoenix_adapter_spark.session import get_spark  # noqa: E402
+from canal_phoenix_adapter_spark.streaming.stream import (  # noqa: E402
+    ParquetStateStore,
+    PrunedParquetStateStore,
+    apply_cdc_epoch,
+)
+
+BASE_ROWS = 500_000
+BATCH_ROWS = 200
+EPOCHS = 10
+# Fixed bucket SIZE, scaled bucket COUNT: the sizing rule a real
+# deployment uses (~128 MB/bucket at 100 TB). Holding rows/bucket
+# constant as state grows keeps per-epoch touched I/O at
+# ~batch_keys x rows_per_bucket = O(batch), the flatness under test.
+ROWS_PER_BUCKET = 5_000
+
+
+def _timed(times: dict, key: str):
+    def deco(fn):
+        def wrap(*a, **kw):
+            t0 = time.perf_counter()
+            try:
+                return fn(*a, **kw)
+            finally:
+                times[key] = times.get(key, 0.0) + time.perf_counter() - t0
+        return wrap
+    return deco
+
+
+def instrument(store, times: dict):
+    """Wrap the store's phase methods with wall-clock accumulators."""
+    store._repoint = _timed(times, "repoint")(store._repoint)
+    if isinstance(store, PrunedParquetStateStore):
+        store._touched_buckets = _timed(times, "touched")(store._touched_buckets)
+        store._write_bucket_dirs = _timed(times, "write")(store._write_bucket_dirs)
+        store._write_manifest = _timed(times, "manifest")(store._write_manifest)
+    else:
+        store._write_unlocked = _timed(times, "write")(store._write_unlocked)
+    return store
+
+
+def state_df(spark, n: int):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") % 997).cast("double").alias("balance"),
+        # realistic row width: state rows carry payload, not just keys
+        F.repeat(F.concat(F.lit("p"), (F.col("id") % 10).cast("string")), 32
+                 ).alias("pad"),
+    )
+
+
+def batch_df(spark, epoch: int, state_rows: int):
+    # keys spread across the whole state so merges do real upserts;
+    # deterministic per epoch
+    return spark.range(BATCH_ROWS).select(
+        (F.lit(1000 + epoch) * 1000 + F.col("id")).alias("seq"),
+        F.when(F.col("id") % 10 == 0, F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE")).alias("op"),
+        ((F.col("id") * 7919 + epoch * 104729) % state_rows).alias("id"),
+        F.concat(F.lit(f"e{epoch}_"), F.col("id")).alias("name"),
+        ((F.col("id") + epoch) % 997).cast("double").alias("balance"),
+        F.lit("q").alias("pad"),
+        F.lit(None).cast("long").alias("old_id"),
+    )
+
+
+def main() -> None:
+    import tempfile
+
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("epoch-smoke")
+    for factor in factors:
+        rows = BASE_ROWS * factor
+        for kind in ("full", "pruned"):
+            base = tempfile.mkdtemp(prefix=f"epoch_smoke_{kind}_")
+            if kind == "pruned":
+                store = PrunedParquetStateStore(
+                    spark, os.path.join(base, "s"), ["id"],
+                    n_buckets=max(32, rows // ROWS_PER_BUCKET),
+                )
+            else:
+                store = ParquetStateStore(spark, os.path.join(base, "s"))
+            # bootstrap OUTSIDE the timed loop: epoch cost, not backfill
+            store.write(state_df(spark, rows), version=-1)
+            times: dict[str, float] = {}
+            instrument(store, times)
+            t0 = time.perf_counter()
+            for e in range(EPOCHS):
+                assert apply_cdc_epoch(store, batch_df(spark, e, rows), e, ["id"])
+                store.prune(keep_last=2)
+            wall = time.perf_counter() - t0
+            split = {k: round(v / EPOCHS, 3) for k, v in sorted(times.items())}
+            split["other"] = round(
+                wall / EPOCHS - sum(times.values()) / EPOCHS, 3
+            )
+            print(json.dumps({
+                "epoch_smoke": kind,
+                "factor": factor,
+                "state_rows": rows,
+                "batch_rows": BATCH_ROWS,
+                "epoch_wall_mean": round(wall / EPOCHS, 3),
+                "split": split,
+            }), flush=True)
+            import shutil
+            shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
