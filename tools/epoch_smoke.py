@@ -1,22 +1,16 @@
 """Per-epoch cost model for the streaming state stores (SCALE.md).
 
-Drives apply_cdc_epoch directly (the batch path — no Structured
-Streaming machinery, so the split is clean) against a bootstrap state
-of S rows, then applies K fixed-size change batches and reports the
-mean per-epoch wall SPLIT into its phases:
+Drives apply_cdc_epoch directly (batch path — no Structured Streaming
+machinery, so the split is clean) against a bootstrap state of S rows,
+then applies K fixed-size change batches; reports mean per-epoch wall
+split into phases: touched (the pruned store's batch-scan job), write
+(the snapshot write job — the lazy merge materializes here), manifest,
+repoint, other (basis/bookkeeping, lock, inline retention GC).
 
-  * touched  — the pruned store's touched-bucket collect (a job over
-               the change batch only; absent on the full store)
-  * write    — the snapshot write job; the merge compute materializes
-               here (Spark is lazy), so this is merge+write together
-  * manifest — writing the new version's bucket->owner manifest
-  * repoint  — the atomic pointer swap
-  * other    — basis read/plan build, lock, watermark bookkeeping
-
-The question this answers (VERDICT r4 tasks 1/5): does per-epoch wall
-stay ~flat as STATE grows with the batch size fixed? The full-rewrite
-store is O(state) per epoch by construction; the pruned store should
-be ~O(batch). Output: one JSON line per (store, factor).
+The question (VERDICT r4 tasks 1/5): does per-epoch wall stay ~flat as
+STATE grows with batch size fixed? Full-rewrite is O(state) per epoch
+by construction; pruned should be ~O(batch). One JSON line per
+(store, factor); findings recorded in SCALE.md.
 
 Usage: python tools/epoch_smoke.py [factor ...]   (default: 1 4 16)
 """
@@ -74,11 +68,11 @@ def instrument(store, times: dict):
 
 
 def state_df(spark, n: int):
+    # pad: realistic row width — state rows carry payload, not just keys
     return spark.range(n).select(
         F.col("id"),
         F.concat(F.lit("name_"), F.col("id")).alias("name"),
         (F.col("id") % 997).cast("double").alias("balance"),
-        # realistic row width: state rows carry payload, not just keys
         F.repeat(F.concat(F.lit("p"), (F.col("id") % 10).cast("string")), 32
                  ).alias("pad"),
     )
