@@ -380,3 +380,71 @@ def test_asof_join_mixed_temporal_matches_pandas(spark, tables):
     else:
         expect = {int(lid): (None, None) for _, _, lid in lrows}
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(evts=events(), data=st.data())
+def test_pruned_store_epochs_equal_full_store(spark, evts, data, tmp_path_factory):
+    """Store-equivalence under RANDOM epoch sequences (r5): any event
+    log (insert/update/PK-change/delete/truncate), split at any epoch
+    boundaries, must land the identical final state whether committed
+    through the full-rewrite ParquetStateStore or the manifest/bucket
+    PrunedParquetStateStore — including each store's replay of its
+    last epoch (crash-after-commit) and a pointer-rollback replay
+    (crash-before-commit). The fixed-scenario twins live in
+    test_streaming.py; this closes the input-shape gap."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        ParquetStateStore,
+        PrunedParquetStateStore,
+        apply_cdc_epoch,
+    )
+
+    cuts = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=max(1, len(evts) - 1)),
+            max_size=2, unique=True,
+        ).map(sorted)
+    )
+    bounds = [0, *cuts, len(evts)]
+    epochs = [evts[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    schema = "seq long, op string, id long, val long, old_id long"
+
+    base = tmp_path_factory.mktemp("prop_store")
+    pruned = PrunedParquetStateStore(spark, str(base / "p"), ["id"], n_buckets=4)
+    full = ParquetStateStore(spark, str(base / "f"))
+    for store in (pruned, full):
+        committed = []
+        for i, ep in enumerate(epochs):
+            batch = spark.createDataFrame(ep, schema)
+            committed.append(apply_cdc_epoch(store, batch, i, ["id"]))
+        # crash-after-commit: replaying the last committed epoch no-ops
+        if committed and committed[-1]:
+            last = len(epochs) - 1
+            assert apply_cdc_epoch(
+                store, spark.createDataFrame(epochs[last], schema), last, ["id"]
+            ) is False
+
+    def state(store):
+        df = store.read()
+        return (None if df is None
+                else sorted((r["id"], r["val"]) for r in df.collect()))
+
+    assert state(pruned) == state(full)
+
+    # crash-before-commit on the pruned side: roll the pointer back and
+    # replay the final epoch over its own orphan dir
+    if len(epochs) >= 2 and pruned.current_version() == len(epochs) - 1:
+        prev = len(epochs) - 2
+        pruned._repoint(prev, prev)
+        pruned._manifest_cache.clear()
+        assert apply_cdc_epoch(
+            pruned,
+            spark.createDataFrame(epochs[-1], schema),
+            len(epochs) - 1,
+            ["id"],
+        )
+        assert state(pruned) == state(full)
