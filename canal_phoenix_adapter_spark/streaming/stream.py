@@ -496,13 +496,28 @@ class PrunedParquetStateStore(ParquetStateStore):
 
     # -- retention -----------------------------------------------------------
 
+    def versions(self) -> list[int]:
+        """SNAPSHOT versions = dirs carrying a manifest. A pruned
+        version's data dirs can outlive its manifest while newer
+        manifests still reference them — those dirs are storage, not
+        readable snapshots, and listing them as versions once made a
+        later prune() read a deleted manifest (crash) and retain
+        half-pruned versions."""
+        return [
+            v for v in super().versions()
+            if os.path.isfile(self._manifest_path(v))
+        ]
+
     def prune(self, keep_last: int = 2) -> list[int]:
         """Retention GC at bucket-dir granularity: keep every bucket
         dir some RETAINED version's manifest references (versions
         share dirs across epochs), plus everything belonging to
-        orphans above _CURRENT (a mid-crash replay target). A version
-        is fully pruned — and reported — when its manifest is dropped
-        and it owns no referenced dirs."""
+        orphans above _CURRENT (a mid-crash replay target). A pruned
+        version loses its manifest immediately (reported in the
+        return, like the base store) and its data dirs as soon as the
+        last referencing manifest is itself pruned — possibly on a
+        LATER call, which is why GC candidates come from the disk
+        listing, not from versions()."""
         import shutil
 
         cur = self.current_version()
@@ -516,24 +531,21 @@ class PrunedParquetStateStore(ParquetStateStore):
             for b, o in self._manifest(v)["buckets"].items():
                 referenced.add((o, b))
         doomed = []
-        for v in committed:
+        for v in (x for x in super().versions() if x <= cur):
             if v in retained:
                 continue
             vdir = os.path.join(self.path, f"v{v}")
             for b in self._owned_buckets(v):
                 if (v, b) not in referenced:
                     shutil.rmtree(self._bucket_dir(v, b), ignore_errors=True)
-            if not self._owned_buckets(v):
-                shutil.rmtree(vdir, ignore_errors=True)
-                doomed.append(v)
-            else:
-                # still owns referenced dirs: drop only the manifest so
-                # the version stops being directly readable/retained
+            if v in committed:
                 try:
                     os.remove(self._manifest_path(v))
                 except FileNotFoundError:
                     pass
                 doomed.append(v)
+            if not self._owned_buckets(v):
+                shutil.rmtree(vdir, ignore_errors=True)
         self._manifest_cache.clear()
         return doomed
 

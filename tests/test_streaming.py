@@ -1430,6 +1430,23 @@ def test_pruned_store_prune_keeps_shared_buckets_readable(spark, tmp_path):
     # also touched it; either way the CURRENT state is intact
     assert _state_dict(pruned) == before
     assert pruned.read().count() == 200
+    # pruned versions stop being snapshots immediately...
+    assert pruned.versions() == [2]
+    # ...and a REPEATED prune neither re-reports them nor trips over
+    # their deleted manifests while their data dirs remain referenced
+    assert pruned.prune(keep_last=1) == []
+    assert _state_dict(pruned) == before
+    # delayed dereference: once later epochs rewrite every bucket the
+    # old versions' leftover data dirs are collected on the next prune
+    e = 3
+    for ids in (range(1, 101), range(101, 201)):
+        rows = [(1000 + e * 500 + i, "UPDATE", i, f"r{i}", float(i), None)
+                for i in ids]
+        assert apply_cdc_epoch(pruned, _batch(spark, rows), e, ["id"])
+        e += 1
+    pruned.prune(keep_last=1)
+    assert not os.path.isdir(os.path.join(pruned.path, "v0"))
+    assert pruned.read().count() == 200
 
 
 def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
