@@ -1190,17 +1190,45 @@ def erase_keys(
     a later epoch can never overwrite the erasure snapshot's
     directory either.
 
+    On a PrunedParquetStateStore the erasure itself is bucket-pruned:
+    only buckets holding an erased key are anti-joined and rewritten,
+    the rest carry over through the manifest — a full-state rewrite
+    for a handful of subjects' keys is exactly the O(state) cost that
+    store exists to avoid.
+
     NOTE: erasure of rows the CDC stream may re-deliver needs the
     upstream retention/tombstone handled too — this erases the
     engine's materialized state, which is the part this engine owns."""
     with store.commit_lock():
-        state = store.read()
-        if state is None:
-            raise ValueError("no committed state to erase from")
         cur = store.current_version()
-        new_state = state.join(
-            keys.select(*pk).dropDuplicates(pk), on=pk, how="left_anti"
-        )
+        if cur is None:
+            raise ValueError("no committed state to erase from")
         new_version = cur + 1
-        store._write_unlocked(new_state, new_version, epoch_id=None)
+        keyset = keys.select(*pk).dropDuplicates(pk)
+        if isinstance(store, PrunedParquetStateStore):
+            manifest = store._manifest(cur)
+            touched = {
+                r["b"] for r in keyset.select(
+                    store._bucket_of([F.col(k) for k in pk]).alias("b")
+                ).distinct().collect()
+            }
+            new_t = store._read_buckets(manifest, touched).join(
+                F.broadcast(keyset), on=pk, how="left_anti"
+            )
+            store._write_bucket_dirs(
+                new_t, new_version,
+                n_parts=min(store.n_buckets, max(32, 2 * len(touched))),
+            )
+            buckets = {
+                b: o for b, o in manifest["buckets"].items()
+                if b not in touched
+            }
+            buckets.update(store._owned_buckets(new_version))
+            store._write_manifest(
+                new_version, store._schema_of(manifest), buckets
+            )
+            store._repoint(new_version, store.last_epoch())
+        else:
+            new_state = store.read().join(keyset, on=pk, how="left_anti")
+            store._write_unlocked(new_state, new_version, epoch_id=None)
     return new_version

@@ -1447,6 +1447,14 @@ def test_pruned_store_prune_keeps_shared_buckets_readable(spark, tmp_path):
     pruned.prune(keep_last=1)
     assert not os.path.isdir(os.path.join(pruned.path, "v0"))
     assert pruned.read().count() == 200
+    # bucket-pruned erasure: the erasure version rewrites ONLY the
+    # buckets holding erased keys; everything else rides the manifest
+    from canal_phoenix_adapter_spark.streaming.stream import erase_keys
+
+    v = erase_keys(pruned, spark.createDataFrame([(7,)], "id long"), ["id"])
+    assert _owned(pruned, v) == _bucket_of_ids(spark, [7], 8)
+    assert pruned.read().count() == 199
+    assert 7 not in _state_dict(pruned)
 
 
 def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
