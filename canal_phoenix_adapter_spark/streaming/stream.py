@@ -655,6 +655,7 @@ def run_cdc_stream(
     retain_versions: int | None = None,
     max_files_per_trigger: int | None = None,
     state_buckets: int | None = None,
+    prune_every: int = 1,
 ):
     """Wire the full pipeline: file stream -> typed changes ->
     foreachBatch(merge into versioned parquet state). Returns the
@@ -672,8 +673,11 @@ def run_cdc_stream(
     PhoenixEtlService.java:174-215), else no-op.
 
     ``retain_versions``: when set, prune committed snapshots older
-    than the newest N after every committing epoch (the long-running
-    deployment needs this or state size x epochs accumulates).
+    than the newest N (the long-running deployment needs this or
+    state size x epochs accumulates). ``prune_every`` sets the GC
+    cadence: prune after every Nth committing epoch (default every
+    epoch; a deployment with large n_buckets moves GC — an
+    O(metadata) scan — off the per-epoch path by raising it).
 
     ``state_buckets``: when set, back the stream with the
     PrunedParquetStateStore (N PK-hash buckets) so each epoch's commit
@@ -697,7 +701,8 @@ def run_cdc_stream(
             store, batch_df, epoch_id, pk, on_schema_change=on_change
         )
         if committed and retain_versions is not None:
-            store.prune(keep_last=retain_versions)
+            if epoch_id % max(1, prune_every) == 0:
+                store.prune(keep_last=retain_versions)
 
     stream = read_canal_stream(spark, source_path, max_files_per_trigger)
     changes = typed_changes(stream, cfg, value_schema)

@@ -2,10 +2,11 @@
 
 Drives apply_cdc_epoch directly (batch path — no Structured Streaming
 machinery, so the split is clean) against a bootstrap state of S rows,
-then applies K fixed-size change batches; reports mean per-epoch wall
-split into phases: touched (the pruned store's batch-scan job), write
+then applies K fixed-size change batches; reports MEDIAN per-epoch
+wall (robust to the multi-second host-steal craters that wreck means)
+plus the mean phase split: touched (the pruned store's batch-scan job), write
 (the snapshot write job — the lazy merge materializes here), manifest,
-repoint, other (basis/bookkeeping, lock, inline retention GC).
+repoint, gc (inline retention prune), other (basis/bookkeeping, lock).
 
 The question (VERDICT r4 tasks 1/5): does per-epoch wall stay ~flat as
 STATE grows with batch size fixed? Full-rewrite is O(state) per epoch
@@ -58,8 +59,9 @@ def _timed(times: dict, key: str):
 def instrument(store, times: dict):
     """Wrap the store's phase methods with wall-clock accumulators."""
     store._repoint = _timed(times, "repoint")(store._repoint)
+    store.prune = _timed(times, "gc")(store.prune)
     if isinstance(store, PrunedParquetStateStore):
-        store._touched_buckets = _timed(times, "touched")(store._touched_buckets)
+        store._scan_batch = _timed(times, "touched")(store._scan_batch)
         store._write_bucket_dirs = _timed(times, "write")(store._write_bucket_dirs)
         store._write_manifest = _timed(times, "manifest")(store._write_manifest)
     else:
@@ -113,21 +115,25 @@ def main() -> None:
             store.write(state_df(spark, rows), version=-1)
             times: dict[str, float] = {}
             instrument(store, times)
-            t0 = time.perf_counter()
+            walls = []
             for e in range(EPOCHS):
+                t0 = time.perf_counter()
                 assert apply_cdc_epoch(store, batch_df(spark, e, rows), e, ["id"])
                 store.prune(keep_last=2)
-            wall = time.perf_counter() - t0
+                walls.append(time.perf_counter() - t0)
+            walls.sort()
+            median = walls[len(walls) // 2]
             split = {k: round(v / EPOCHS, 3) for k, v in sorted(times.items())}
             split["other"] = round(
-                wall / EPOCHS - sum(times.values()) / EPOCHS, 3
+                sum(walls) / EPOCHS - sum(times.values()) / EPOCHS, 3
             )
             print(json.dumps({
                 "epoch_smoke": kind,
                 "factor": factor,
                 "state_rows": rows,
                 "batch_rows": BATCH_ROWS,
-                "epoch_wall_mean": round(wall / EPOCHS, 3),
+                "epoch_wall_median": round(median, 3),
+                "epoch_wall_mean": round(sum(walls) / EPOCHS, 3),
                 "split": split,
             }), flush=True)
             import shutil
