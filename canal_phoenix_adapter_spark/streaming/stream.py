@@ -283,6 +283,12 @@ class PrunedParquetStateStore(ParquetStateStore):
         # bucket is identical across epochs and versions by construction
         return F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
 
+    def _repoint(self, version: int, epoch_id: int | None) -> None:
+        # a replayed orphan overwrite rewrites THIS version's manifest
+        # in place — drop any cached copy before publishing
+        self._manifest_cache.pop(version, None)
+        super()._repoint(version, epoch_id)
+
     # -- manifest bookkeeping ------------------------------------------------
 
     def _manifest_path(self, version: int) -> str:

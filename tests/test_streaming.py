@@ -957,18 +957,28 @@ def test_state_changes_diff_between_versions(spark, tmp_path):
     }
 
 
-def test_bootstrap_then_stream(spark, tmp_path):
+@pytest.mark.parametrize("buckets", [None, 4])
+def test_bootstrap_then_stream(spark, tmp_path, buckets):
     """The reference's real deployment pattern (etl THEN sync,
     PhoenixAdapter.etl -> sync): seed the state store with a batch
     backfill as epoch -1, then let the CDC stream apply increments on
     top — the stream's first epoch merges INTO the bootstrapped state,
-    not an empty table."""
+    not an empty table. Parametrized over the plain and the pruned
+    (manifest/bucket) store: the negative-version bootstrap must work
+    on both."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        PrunedParquetStateStore,
+    )
+
     seed = spark.createDataFrame(
         [(1, "alice", 10.5), (2, "bob", 3.0), (50, "seed-only", 9.0)],
         "id long, name string, balance double",
     )
     state_path = str(tmp_path / "state")
-    store = ParquetStateStore(spark, state_path)
+    if buckets:
+        store = PrunedParquetStateStore(spark, state_path, ["id"], buckets)
+    else:
+        store = ParquetStateStore(spark, state_path)
     # bootstrap: backfill snapshot committed as a version BELOW any
     # streaming epoch id (epochs start at 0)
     store.write(seed, -1)
@@ -977,12 +987,13 @@ def test_bootstrap_then_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     write_events(src, EVENTS)  # updates id1, pk-change 2->9, etc.
     q = run_cdc_stream(
-        spark, src, state_path, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA
+        spark, src, state_path, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA,
+        state_buckets=buckets,
     )
     q.awaitTermination(120)
     got = {
         r["id"]: (r["name"], r["balance"])
-        for r in ParquetStateStore(spark, state_path).read().collect()
+        for r in store.read().collect()
     }
     # streamed expectations PLUS the untouched bootstrap row
     assert got == {**EXPECTED, 50: ("seed-only", 9.0)}
