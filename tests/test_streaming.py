@@ -1479,9 +1479,11 @@ def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
     write_events(src, EVENTS)
     q = run_cdc_stream(
         spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
-        CFG, VALUE_SCHEMA, state_buckets=8,
+        CFG, VALUE_SCHEMA, state_buckets=8, retain_versions=1,
     )
     q.awaitTermination(120)
     store = PrunedParquetStateStore(spark, str(tmp_path / "state"), ["id"], 8)
     got = {r["id"]: (r["name"], r["balance"]) for r in store.read().collect()}
     assert got == EXPECTED
+    # retention ran through the stream path: one readable snapshot left
+    assert store.versions() == [store.current_version()]
