@@ -1312,11 +1312,23 @@ def test_pruned_store_matches_full_and_rewrites_only_touched(spark, tmp_path):
     assert got[5] == (5.5, "five") and 9 not in got
     assert got[901] == (17.0, "moved") and 17 not in got
 
-    # O(touched) evidence: v1 holds exactly the touched buckets; the
-    # manifest serves every other bucket from v0
+    # O(touched) evidence, write side: v1 holds exactly the touched
+    # buckets; the manifest serves every other bucket from v0
     touched = _bucket_of_ids(spark, [5, 9, 901, 17], n_buckets)
     assert len(touched) < n_buckets  # the test must exercise both kinds
     assert _owned(pruned, 1) == touched
+    # ...and read side: a bucket-local epoch must never issue a
+    # full-state read (buckets=None) — only the touched subset
+    reads = []
+    orig_read = pruned._read_buckets
+    pruned._read_buckets = lambda m, b=None: (reads.append(b), orig_read(m, b))[1]
+    try:
+        b2 = _batch(spark, [(400, "UPDATE", 5, "five2", 5.6, None)])
+        assert apply_cdc_epoch(pruned, b2, 2, ["id"])
+    finally:
+        pruned._read_buckets = orig_read
+    assert reads == [_bucket_of_ids(spark, [5], n_buckets)]
+    assert _state_dict(pruned)[5] == (5.6, "five2")
     m1 = pruned._manifest(1)["buckets"]
     assert set(m1) == set(range(n_buckets))  # 200 keys cover all 8
     for b, owner in m1.items():
