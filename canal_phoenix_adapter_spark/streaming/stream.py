@@ -305,12 +305,30 @@ class PrunedParquetStateStore(ParquetStateStore):
                 raw = json.load(f)
             m = {
                 "schema": raw["schema"],
+                "n_buckets": int(raw.get("n_buckets", self.n_buckets)),
                 "buckets": {int(k): int(v) for k, v in raw["buckets"].items()},
             }
             if len(self._manifest_cache) > 8:
                 self._manifest_cache.clear()
             self._manifest_cache[version] = m
         return m
+
+    def _check_modulus(self, manifest: dict) -> None:
+        """Guard for BUCKET-LOCAL operations (pruned merge, pruned
+        erasure): a handle whose n_buckets differs from the manifest's
+        would compute touched-bucket ids that miss the on-disk dirs
+        entirely — keys would read as absent and epochs would
+        silently duplicate them. Reads and full-rewrite fallbacks are
+        modulus-agnostic (dirs come from the manifest; a full rewrite
+        re-buckets consistently and records its own modulus), so the
+        check lives only on the dangerous paths. ``rebucket``
+        migrates deliberately."""
+        if manifest["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"store was written with n_buckets={manifest['n_buckets']} "
+                f"but this handle uses {self.n_buckets}; open it with the "
+                "stored bucket count or migrate via rebucket()"
+            )
 
     def _write_manifest(
         self, version: int, schema: T.StructType, buckets: dict[int, int]
@@ -320,10 +338,26 @@ class PrunedParquetStateStore(ParquetStateStore):
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(
                 {"schema": schema.jsonValue(),
+                 "n_buckets": self.n_buckets,
                  "buckets": {str(k): v for k, v in buckets.items()}},
                 f,
             )
         os.replace(tmp, self._manifest_path(version))
+
+    def rebucket(self, n_buckets: int) -> int:
+        """Migrate the store to a new bucket count (state grew past
+        the sizing rule's target bucket size): one full rewrite
+        committed as a new version under the commit lock, watermark
+        carried. Readers of prior versions keep the old modulus (each
+        manifest records its own). Returns the new version id."""
+        with self.commit_lock():
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError("no committed state to rebucket")
+            state = self.read()
+            self.n_buckets = n_buckets
+            self._write_unlocked(state, cur + 1, epoch_id=None)
+        return cur + 1
 
     def _schema_of(self, manifest: dict) -> T.StructType:
         return T.StructType.fromJson(manifest["schema"])
@@ -470,6 +504,7 @@ class PrunedParquetStateStore(ParquetStateStore):
                 batch_df, pk, version, epoch_id
             )
         manifest = self._manifest(cur)
+        self._check_modulus(manifest)
         prev_schema = self._schema_of(manifest)
         prev_cols = {f.name.lower() for f in prev_schema.fields}
         touched_state = self._read_buckets(manifest, set(touched))
@@ -1218,6 +1253,7 @@ def erase_keys(
         keyset = keys.select(*pk).dropDuplicates(pk)
         if isinstance(store, PrunedParquetStateStore):
             manifest = store._manifest(cur)
+            store._check_modulus(manifest)
             touched = {
                 r["b"] for r in keyset.select(
                     store._bucket_of([F.col(k) for k in pk]).alias("b")

@@ -1499,3 +1499,39 @@ def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
     assert got == EXPECTED
     # retention ran through the stream path: one readable snapshot left
     assert store.versions() == [store.current_version()]
+
+
+def test_pruned_store_modulus_guard_and_rebucket(spark, tmp_path):
+    """A handle opened with the wrong n_buckets must fail loudly on
+    bucket-local paths (a silent mismatch reads keys as absent and
+    duplicates them), while plain reads — modulus-agnostic — still
+    work; rebucket() migrates deliberately and epochs resume."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        PrunedParquetStateStore,
+        apply_cdc_epoch,
+        erase_keys,
+    )
+
+    path = str(tmp_path / "state")
+    s8 = PrunedParquetStateStore(spark, path, ["id"], n_buckets=8)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 51)])
+    assert apply_cdc_epoch(s8, b0, 0, ["id"])
+
+    s4 = PrunedParquetStateStore(spark, path, ["id"], n_buckets=4)
+    assert s4.read().count() == 50  # reads don't care about modulus
+    b1 = _batch(spark, [(100, "UPDATE", 3, "x", 0.0, None)])
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        apply_cdc_epoch(s4, b1, 1, ["id"])
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        erase_keys(s4, spark.createDataFrame([(3,)], "id long"), ["id"])
+    assert s8.last_epoch() == 0  # nothing committed by the failures
+
+    v = s8.rebucket(4)
+    assert s8.n_buckets == 4 and s8.current_version() == v
+    assert s8._manifest(v)["n_buckets"] == 4
+    assert s8.last_epoch() == 0  # watermark carried, not bumped
+    # the previously-wrong handle now matches and epochs resume
+    assert apply_cdc_epoch(s4, b1, 1, ["id"])
+    assert _state_dict(s4)[3] == (0.0, "x")
+    assert s4.read().count() == 50
