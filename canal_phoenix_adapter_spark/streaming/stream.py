@@ -156,10 +156,27 @@ class ParquetStateStore(_CommitPointer):
         self._meta_dir = path
         os.makedirs(path, exist_ok=True)
 
+    def _refuse_pruned_layout(self, version: int) -> None:
+        """A plain handle over a pruned-store path would read ONLY the
+        latest version's touched-bucket dirs (plus a __bucket partition
+        column) as if they were full state, then commit that truncated
+        state forward — silent data loss. The manifest file is the
+        layout marker; refuse loudly instead."""
+        if os.path.isfile(
+            os.path.join(self.path, f"v{version}", "_manifest.json")
+        ):
+            raise ValueError(
+                f"{self.path} v{version} carries _manifest.json: this is a "
+                "PrunedParquetStateStore layout; open it with "
+                "PrunedParquetStateStore (matching pk and n_buckets), not "
+                "the plain ParquetStateStore"
+            )
+
     def read(self) -> DataFrame | None:
         v = self.current_version()
         if v is None:
             return None
+        self._refuse_pruned_layout(v)
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
     def read_version(self, version: int) -> DataFrame:
@@ -176,6 +193,7 @@ class ParquetStateStore(_CommitPointer):
                 f"state version {version} not committed+retained "
                 f"(current={cur}); retained committed versions: {committed}"
             )
+        self._refuse_pruned_layout(version)
         return self.spark.read.parquet(p)
 
     def write(self, df: DataFrame, version: int, epoch_id: int | None = None) -> None:
@@ -301,8 +319,22 @@ class PrunedParquetStateStore(ParquetStateStore):
         versions above _CURRENT)."""
         m = self._manifest_cache.get(version)
         if m is None:
-            with open(self._manifest_path(version), encoding="utf-8") as f:
-                raw = json.load(f)
+            try:
+                with open(self._manifest_path(version), encoding="utf-8") as f:
+                    raw = json.load(f)
+            except FileNotFoundError:
+                # the layout-mismatch twin of _refuse_pruned_layout: a
+                # pruned handle opened over a plain ParquetStateStore
+                # path (e.g. state_buckets flipped on on an existing
+                # deployment) must fail with a migration message, not a
+                # raw FileNotFoundError mid-epoch
+                raise ValueError(
+                    f"{self.path} v{version} has no _manifest.json: this "
+                    "is a plain ParquetStateStore layout; open it with "
+                    "ParquetStateStore, or migrate by reading the plain "
+                    "store and bootstrap-writing a fresh "
+                    "PrunedParquetStateStore path"
+                ) from None
             m = {
                 "schema": raw["schema"],
                 "n_buckets": int(raw.get("n_buckets", self.n_buckets)),
@@ -355,8 +387,17 @@ class PrunedParquetStateStore(ParquetStateStore):
             if cur is None:
                 raise ValueError("no committed state to rebucket")
             state = self.read()
+            old_n = self.n_buckets
+            # restore the old modulus if the rewrite fails mid-flight:
+            # the store still holds the old layout, and a handle left
+            # on the new modulus would fail every subsequent
+            # bucket-local epoch's modulus guard until restart
             self.n_buckets = n_buckets
-            self._write_unlocked(state, cur + 1, epoch_id=None)
+            try:
+                self._write_unlocked(state, cur + 1, epoch_id=None)
+            except BaseException:
+                self.n_buckets = old_n
+                raise
         return cur + 1
 
     def _schema_of(self, manifest: dict) -> T.StructType:
@@ -564,6 +605,12 @@ class PrunedParquetStateStore(ParquetStateStore):
         cur = self.current_version()
         if cur is None:
             return []
+        # over a plain-layout path (no manifest on the CURRENT version —
+        # exactly the state left by flipping state_buckets on an
+        # existing deployment) the retained set would compute EMPTY and
+        # the sweep below would delete every version dir including the
+        # _CURRENT snapshot; _manifest raises the migration error
+        self._manifest(cur)
         keep_last = max(1, keep_last)
         committed = [v for v in self.versions() if v <= cur]
         retained = set(committed[-keep_last:])
@@ -1252,8 +1299,28 @@ def erase_keys(
         new_version = cur + 1
         keyset = keys.select(*pk).dropDuplicates(pk)
         if isinstance(store, PrunedParquetStateStore):
+            if [k.lower() for k in pk] != [k.lower() for k in store.pk]:
+                raise ValueError(
+                    f"erasure pk {pk} != store bucketing pk {store.pk}: "
+                    "a mismatched key would bucket-hash wrong and the "
+                    "erasure would silently miss its rows"
+                )
             manifest = store._manifest(cur)
             store._check_modulus(manifest)
+            # hash() is TYPE-sensitive: a caller keyset whose pk dtype
+            # differs from the state's (int keys vs long state) would
+            # compute buckets the state never uses and the erasure
+            # would no-op while reporting success — cast to the
+            # manifest schema's pk types BEFORE bucketing (try_cast:
+            # a key the state type cannot represent matches no state
+            # row by construction, so a NULL key is a correct miss)
+            pk_types = {
+                f.name.lower(): f.dataType
+                for f in store._schema_of(manifest).fields
+            }
+            keyset = keyset.select(
+                *[F.col(k).try_cast(pk_types[k.lower()]).alias(k) for k in pk]
+            )
             touched = {
                 r["b"] for r in keyset.select(
                     store._bucket_of([F.col(k) for k in pk]).alias("b")

@@ -1535,3 +1535,123 @@ def test_pruned_store_modulus_guard_and_rebucket(spark, tmp_path):
     assert apply_cdc_epoch(s4, b1, 1, ["id"])
     assert _state_dict(s4)[3] == (0.0, "x")
     assert s4.read().count() == 50
+
+
+def test_pruned_erase_casts_keyset_types_and_guards_pk(spark, tmp_path):
+    """r6 ADVICE (high): hash() is type-sensitive, so an erasure keyset
+    whose pk dtype differs from the state's (int keys vs long state)
+    once bucket-hashed to dirs the state never uses — the key SURVIVED
+    while a new 'erased' version committed and success returned. The
+    keyset must be cast to the manifest's pk types before bucketing,
+    and a wrong pk must fail loudly like the merge path does."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        apply_cdc_epoch,
+        erase_keys,
+    )
+
+    pruned, _ = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 51)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+
+    # int-typed keyset over long-typed state: must still erase
+    keys = spark.createDataFrame([(7,), (9,)], "id int")
+    v = erase_keys(pruned, keys, ["id"])
+    got = _state_dict(pruned)
+    assert 7 not in got and 9 not in got and len(got) == 48
+    # the erasure version rewrote only the buckets of the erased keys
+    assert _owned(pruned, v) <= _bucket_of_ids(spark, [7, 9], 8)
+
+    # a key the state type cannot represent is a correct miss, not an error
+    wide = spark.createDataFrame([("not-a-number",), ("11",)], "id string")
+    erase_keys(pruned, wide, ["id"])
+    got = _state_dict(pruned)
+    assert 11 not in got and len(got) == 47
+
+    # wrong pk fails loudly instead of silently missing rows
+    with pytest.raises(ValueError, match="bucketing pk"):
+        erase_keys(
+            pruned, spark.createDataFrame([("n3",)], "name string"), ["name"]
+        )
+
+
+def test_pruned_store_refuses_plain_layout(spark, tmp_path):
+    """r6 ADVICE (medium + low): a pruned handle over a plain-layout
+    path (exactly what flipping state_buckets on an existing deployment
+    produces) must raise a migration error — prune() once computed an
+    empty retained set and rmtree'd every version INCLUDING _CURRENT,
+    and the first epoch died with a raw FileNotFoundError."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        PrunedParquetStateStore,
+        apply_cdc_epoch,
+    )
+
+    path = str(tmp_path / "state")
+    plain = ParquetStateStore(spark, path)
+    init = spark.createDataFrame([(i, f"n{i}") for i in range(5)],
+                                 "id long, name string")
+    plain.write(init, 0)
+
+    pruned = PrunedParquetStateStore(spark, path, ["id"], n_buckets=4)
+    with pytest.raises(ValueError, match="plain ParquetStateStore layout"):
+        pruned.prune(keep_last=1)
+    # nothing was deleted by the refused prune
+    assert plain.read().count() == 5
+    b1 = _batch(spark, [(10, "UPDATE", 3, "x", 0.0, None)])
+    with pytest.raises(ValueError, match="plain ParquetStateStore layout"):
+        apply_cdc_epoch(pruned, b1, 1, ["id"])
+    assert plain.read().count() == 5 and plain.current_version() == 0
+
+
+def test_plain_store_refuses_pruned_layout(spark, tmp_path):
+    """r6 ADVICE (low), the mismatch's other direction: a plain handle
+    over a pruned layout once read only the latest version's
+    touched-bucket dirs as if they were full state (then committed that
+    truncated state forward). read()/read_version() must refuse."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    pruned, _ = _pruned_and_full(spark, tmp_path, n_buckets=4)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 51)])
+    b1 = _batch(spark, [(100, "UPDATE", 3, "x", 0.0, None)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+    assert apply_cdc_epoch(pruned, b1, 1, ["id"])
+
+    plain = ParquetStateStore(spark, pruned.path)
+    with pytest.raises(ValueError, match="PrunedParquetStateStore"):
+        plain.read()
+    with pytest.raises(ValueError, match="PrunedParquetStateStore"):
+        plain.read_version(1)
+    with pytest.raises(ValueError, match="PrunedParquetStateStore"):
+        apply_cdc_epoch(plain, b1, 2, ["id"])
+    # the refusals committed nothing over the pruned store
+    assert pruned.last_epoch() == 1 and pruned.read().count() == 50
+
+
+def test_rebucket_failure_restores_modulus(spark, tmp_path):
+    """r6 ADVICE (low): rebucket() once mutated the handle's n_buckets
+    BEFORE the rewrite committed — a failed rewrite left the handle on
+    the new modulus while the store kept the old, so every later
+    bucket-local epoch failed the modulus guard until restart."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    pruned, _ = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 51)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+
+    orig = pruned._write_unlocked
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    pruned._write_unlocked = boom
+    try:
+        with pytest.raises(RuntimeError, match="disk full"):
+            pruned.rebucket(4)
+    finally:
+        pruned._write_unlocked = orig
+    assert pruned.n_buckets == 8  # handle matches the store again
+    b1 = _batch(spark, [(100, "UPDATE", 3, "x", 0.0, None)])
+    assert apply_cdc_epoch(pruned, b1, 1, ["id"])
+    assert _state_dict(pruned)[3] == (0.0, "x")
