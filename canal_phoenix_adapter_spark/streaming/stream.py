@@ -110,7 +110,14 @@ class _CommitPointer:
         well as the write (the pruned store must never pay a
         full-state read for a bucket-local epoch). Default:
         full-snapshot read-merge-rewrite. Returns (new state, prior
-        lowercase column set or None) for the schema-change hook."""
+        lowercase column set or None) for the schema-change hook —
+        or (None, None) for an empty batch: nothing to commit, and
+        the store owns the emptiness check because the pruned store
+        learns it for FREE from its batch pre-scan (a separate
+        isEmpty() in apply_cdc_epoch was one redundant job per
+        epoch — a fixed floor the r5 verdict priced)."""
+        if batch_df.isEmpty():
+            return None, None
         state = self.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
         new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
@@ -290,10 +297,22 @@ class PrunedParquetStateStore(ParquetStateStore):
     MANIFEST = "_manifest.json"
 
     def __init__(self, spark: SparkSession, path: str, pk: list[str],
-                 n_buckets: int = 64):
+                 n_buckets: int = 64,
+                 broadcast_threshold_rows: int = 2_000_000):
         super().__init__(spark, path)
         self.pk = list(pk)
         self.n_buckets = n_buckets
+        # Batch-size cutover for the merge join strategy (the
+        # huge-batch regime): at or below the threshold the collapsed
+        # touched-key set is broadcast (state never shuffles — the
+        # normal CDC case); above it the merge runs broadcast-free, a
+        # sort-merge anti join that shuffles ONLY the touched-bucket
+        # state + the batch — a backfill-sized epoch must not pin the
+        # whole key set in every executor (the reference's apply cost
+        # never depends on batch size beyond the rows written,
+        # support/BatchExecutor.java:60-75). Rows, not distinct keys:
+        # an upper bound the batch pre-scan yields for free.
+        self.broadcast_threshold_rows = broadcast_threshold_rows
         self._manifest_cache: dict[int, dict] = {}
 
     def _bucket_of(self, key_cols: list) -> F.Column:
@@ -479,8 +498,9 @@ class PrunedParquetStateStore(ParquetStateStore):
         without it every write task emits a file into every bucket dir
         it holds rows for — O(tasks x buckets) tiny files per version,
         measured 4-5x the whole epoch wall. ``n_parts`` sizes that
-        shuffle (the pruned merge passes ~2x |touched|: n_buckets
-        tasks for a 200-bucket epoch is pure scheduler overhead)."""
+        shuffle (the pruned merge passes |touched|: n_buckets tasks
+        for a 200-bucket epoch is pure scheduler overhead, and the
+        earlier 2x slack measurably bought nothing — SCALE.md r6)."""
         target = os.path.join(self.path, f"v{version}")
         (
             df.withColumn(self.BUCKET, self._bucket_of([F.col(k) for k in self.pk]))
@@ -494,13 +514,15 @@ class PrunedParquetStateStore(ParquetStateStore):
 
     def _scan_batch(
         self, batch_df: DataFrame, pk: list[str]
-    ) -> tuple[list[int], int | None]:
+    ) -> tuple[list[int], int | None, int]:
         """ONE aggregation job over the change batch returning
-        (touched buckets, last TRUNCATE seq or None). Touched = every
-        row's NEW key bucket plus PK-change rows' OLD key bucket (the
-        death row lands there — same coalesce(old, new) key as
-        collapse_changes). Folding the TRUNCATE pre-scan into the same
-        pass saves one job/epoch; assumes apply_cdc_epoch's seq/op
+        (touched buckets, last TRUNCATE seq or None, batch row
+        count). Touched = every row's NEW key bucket plus PK-change
+        rows' OLD key bucket (the death row lands there — same
+        coalesce(old, new) key as collapse_changes). Folding the
+        TRUNCATE pre-scan, the emptiness check (count == 0) and the
+        broadcast-heuristic row count into the same pass keeps the
+        pre-scan at one job/epoch; assumes apply_cdc_epoch's seq/op
         column contract."""
         aggs = [
             F.collect_set(
@@ -509,6 +531,7 @@ class PrunedParquetStateStore(ParquetStateStore):
             F.max(
                 F.when(F.upper(F.col("op")) == "TRUNCATE", F.col("seq"))
             ).alias("tr"),
+            F.count(F.lit(1)).alias("n"),
         ]
         if any(f"old_{k}" in batch_df.columns for k in pk):
             old_key = [
@@ -519,7 +542,7 @@ class PrunedParquetStateStore(ParquetStateStore):
             aggs.append(F.collect_set(self._bucket_of(old_key)).alias("ob"))
         row = batch_df.agg(*aggs).first()
         touched = set(row["nb"]) | set(row["ob"] if "ob" in row.__fields__ else [])
-        return sorted(touched), row["tr"]
+        return sorted(touched), row["tr"], row["n"]
 
     def _merge_commit_unlocked(
         self,
@@ -538,7 +561,9 @@ class PrunedParquetStateStore(ParquetStateStore):
             return super()._merge_commit_unlocked(
                 batch_df, pk, version, epoch_id
             )
-        touched, trunc_seq = self._scan_batch(batch_df, pk)
+        touched, trunc_seq, n_rows = self._scan_batch(batch_df, pk)
+        if n_rows == 0:  # empty epoch: nothing to commit
+            return None, None
         if trunc_seq is not None:
             # TRUNCATE: every bucket changes anyway
             return super()._merge_commit_unlocked(
@@ -553,7 +578,9 @@ class PrunedParquetStateStore(ParquetStateStore):
         # (it routed to the full-rewrite fallback) — re-scanning inside
         # merge_cdc would cost one more job per epoch for nothing
         merged = merge_cdc(
-            touched_state, batch_df, pk, old_prefix="old_", check_truncate=False
+            touched_state, batch_df, pk, old_prefix="old_",
+            check_truncate=False,
+            broadcast_changes=n_rows <= self.broadcast_threshold_rows,
         )
         prev_fields = {(f.name.lower(), f.dataType) for f in prev_schema.fields}
         new_fields = {(f.name.lower(), f.dataType) for f in merged.schema.fields}
@@ -563,7 +590,7 @@ class PrunedParquetStateStore(ParquetStateStore):
                 batch_df, pk, version, epoch_id
             )
         self._write_bucket_dirs(
-            merged, version, n_parts=min(self.n_buckets, max(32, 2 * len(touched)))
+            merged, version, n_parts=min(self.n_buckets, max(1, len(touched)))
         )
         # new manifest: touched buckets that survived -> this version;
         # touched buckets with no survivors drop out; untouched keep
@@ -693,9 +720,12 @@ def apply_cdc_epoch(
     ``on_schema_change`` (S9 injection point): zero-arg callable fired
     after commit when this epoch created the state table or changed
     its column set — the engine's version of the reference's notify
-    after syncSchema DDL (PhoenixEtlService.java:162,174-215)."""
-    if batch_df.isEmpty():
-        return False
+    after syncSchema DDL (PhoenixEtlService.java:162,174-215).
+
+    Empty batches commit nothing and return False — the check lives
+    in the store's merge-commit strategy (the pruned store reads it
+    off its single pre-scan aggregation instead of paying a separate
+    isEmpty() job per epoch)."""
     # The whole read-merge-commit body runs under the store's commit
     # lock: the merge's basis (the state version read here) is then
     # still current at pointer-swap time, so an interleaved non-CDC
@@ -724,6 +754,8 @@ def apply_cdc_epoch(
         new_state, prev_cols = store._merge_commit_unlocked(
             batch_df, pk, version, epoch_id
         )
+    if new_state is None:  # empty batch — no version committed
+        return False
     if on_schema_change is not None:
         new_cols = {c.lower() for c in new_state.columns}
         if prev_cols is None or prev_cols != new_cols:
@@ -969,13 +1001,19 @@ def run_cdc_stream_to_sink(
 
 
 class BucketedStateStore(_CommitPointer):
-    """Keyed state as a PK-bucketed, PK-sorted managed table — the
-    100 TB state layout. A hash-bucketed table's on-disk layout IS the
-    join partitioning, so a non-broadcast merge (broadcast_changes=
-    False, the huge-batch regime) sort-merge-anti-joins the state
-    WITHOUT an Exchange on the state side: only the change set
-    shuffles, however big the state is (test_plans-style comparative
-    assertion in test_streaming.py proves the exchange disappears).
+    """Keyed state as a PK-bucketed, PK-sorted managed table — an
+    exchange-free-merge demonstration, SUPERSEDED as the 100 TB state
+    layout by PrunedParquetStateStore (which bounds the epoch WRITE
+    at O(touched buckets) and routes huge batches to the no-broadcast
+    merge; this store still rewrites the full table every epoch via
+    saveAsTable, so its exchange saving is dominated by the write).
+    What it demonstrates: a hash-bucketed table's on-disk layout IS
+    the join partitioning, so a non-broadcast merge (broadcast_
+    changes=False) sort-merge-anti-joins the state WITHOUT an
+    Exchange on the state side — only the change set shuffles
+    (test_plans-style comparative assertion in test_streaming.py
+    proves the exchange disappears). Keep it for deployments whose
+    sink is a catalog table consumed by bucket-join-aware readers.
 
     Same versioned-commit contract as ParquetStateStore (the pointer
     file is the commit marker; replay skips committed epochs); the
@@ -1331,7 +1369,7 @@ def erase_keys(
             )
             store._write_bucket_dirs(
                 new_t, new_version,
-                n_parts=min(store.n_buckets, max(32, 2 * len(touched))),
+                n_parts=min(store.n_buckets, max(1, len(touched))),
             )
             buckets = {
                 b: o for b, o in manifest["buckets"].items()

@@ -395,8 +395,12 @@ def test_pruned_store_epochs_equal_full_store(spark, evts, data, tmp_path_factor
     through the full-rewrite ParquetStateStore or the manifest/bucket
     PrunedParquetStateStore — including each store's replay of its
     last epoch (crash-after-commit) and a pointer-rollback replay
-    (crash-before-commit). The fixed-scenario twins live in
-    test_streaming.py; this closes the input-shape gap."""
+    (crash-before-commit). The drawn broadcast threshold forces the
+    pruned store onto either merge route — key-set broadcast or the
+    broadcast-free huge-batch path (r6 task 5): both must land the
+    same state as the full store, replays included. The
+    fixed-scenario twins live in test_streaming.py; this closes the
+    input-shape gap."""
     from canal_phoenix_adapter_spark.streaming.stream import (
         ParquetStateStore,
         PrunedParquetStateStore,
@@ -414,7 +418,13 @@ def test_pruned_store_epochs_equal_full_store(spark, evts, data, tmp_path_factor
     schema = "seq long, op string, id long, val long, old_id long"
 
     base = tmp_path_factory.mktemp("prop_store")
-    pruned = PrunedParquetStateStore(spark, str(base / "p"), ["id"], n_buckets=4)
+    # 0 routes EVERY epoch through the no-broadcast merge; the huge
+    # value keeps every epoch on the broadcast route
+    thr = data.draw(st.sampled_from([0, 1 << 30]))
+    pruned = PrunedParquetStateStore(
+        spark, str(base / "p"), ["id"], n_buckets=4,
+        broadcast_threshold_rows=thr,
+    )
     full = ParquetStateStore(spark, str(base / "f"))
     for store in (pruned, full):
         committed = []

@@ -1655,3 +1655,115 @@ def test_rebucket_failure_restores_modulus(spark, tmp_path):
     b1 = _batch(spark, [(100, "UPDATE", 3, "x", 0.0, None)])
     assert apply_cdc_epoch(pruned, b1, 1, ["id"])
     assert _state_dict(pruned)[3] == (0.0, "x")
+
+
+def test_pruned_store_huge_batch_routes_no_broadcast(spark, tmp_path, monkeypatch):
+    """r6 task 1: the pruned store's merge strategy must route on the
+    batch-size heuristic — at or below broadcast_threshold_rows the
+    collapsed key set is broadcast (state never shuffles, the normal
+    CDC regime); above it merge_cdc runs broadcast-free (a backfill-
+    sized epoch must not pin the whole key set in every executor's
+    memory). Both routes must land the identical state."""
+    from canal_phoenix_adapter_spark.streaming import stream as stream_mod
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        PrunedParquetStateStore,
+        apply_cdc_epoch,
+    )
+
+    flags = []
+    orig = stream_mod.merge_cdc
+
+    def recording(*a, **kw):
+        flags.append(kw.get("broadcast_changes", True))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(stream_mod, "merge_cdc", recording)
+
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 101)])
+    b1 = _batch(spark, [(200, "UPDATE", 7, "seven", 0.7, None),
+                        (201, "DELETE", 8, None, None, None),
+                        (202, "UPDATE", 901, "moved", 17.0, 17)])
+    states = {}
+    for name, thr in (("bcast", 10_000), ("nobcast", 0)):
+        store = PrunedParquetStateStore(
+            spark, str(tmp_path / name), ["id"], n_buckets=8,
+            broadcast_threshold_rows=thr,
+        )
+        assert apply_cdc_epoch(store, b0, 0, ["id"])  # bootstrap: full path
+        flags.clear()
+        assert apply_cdc_epoch(store, b1, 1, ["id"])
+        assert flags == [thr > 0], (name, flags)
+        states[name] = _state_dict(store)
+    assert states["bcast"] == states["nobcast"]
+    assert states["bcast"][901] == (17.0, "moved") and 17 not in states["bcast"]
+
+
+def test_pruned_nobroadcast_merge_plan_reads_only_touched(spark, tmp_path):
+    """r6 task 1 plan gate, comparative: above the threshold the merge
+    plan has NO BroadcastExchange of the key set (below it, it does),
+    and the state side of that broadcast-free anti join reads ONLY the
+    touched bucket dirs — so what shuffles is O(touched-bucket state +
+    batch), never O(state), even in the huge-batch regime."""
+    from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    n_buckets = 8
+    pruned, _ = _pruned_and_full(spark, tmp_path, n_buckets)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 201)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+
+    b1 = _batch(spark, [(300, "UPDATE", 5, "five", 5.5, None)])
+    touched, trunc, n = pruned._scan_batch(b1, ["id"])
+    assert trunc is None and n == 1
+    want_buckets = _bucket_of_ids(spark, [5], n_buckets)
+    assert set(touched) == want_buckets
+    touched_state = pruned._read_buckets(pruned._manifest(0), set(touched))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # no auto rescue
+    try:
+        m_no = merge_cdc(touched_state, b1, ["id"], check_truncate=False,
+                         broadcast_changes=False)
+        m_b = merge_cdc(touched_state, b1, ["id"], check_truncate=False,
+                        broadcast_changes=True)
+        assert "BroadcastExchange" not in explain_str(m_no)
+        assert "BroadcastExchange" in explain_str(m_b)
+        got = sorted((r["id"], r["name"]) for r in m_no.collect())
+        assert got == sorted((r["id"], r["name"]) for r in m_b.collect())
+        assert (5, "five") in got
+        # every file the broadcast-free plan scans is a touched-bucket dir
+        dirs = {seg for f in m_no.inputFiles()
+                for seg in f.split("/") if seg.startswith("__bucket=")}
+        assert dirs == {f"__bucket={b}" for b in want_buckets}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_empty_epoch_commits_nothing(spark, tmp_path):
+    """An empty micro-batch commits no version and returns False on
+    both stores — with the check folded into the store's merge-commit
+    strategy (the pruned store reads it off its single pre-scan job;
+    r6 task 3 removed apply_cdc_epoch's separate isEmpty() job). An
+    empty epoch must not advance the replay watermark either: the
+    skipped epoch id stays replayable."""
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    empty = _batch(spark, [])
+    pruned, full = _pruned_and_full(spark, tmp_path)
+    for store in (pruned, full):
+        # empty FIRST epoch: no bootstrap snapshot either
+        assert apply_cdc_epoch(store, empty, 0, ["id"]) is False
+        assert store.current_version() is None
+        b0 = _batch(spark, [(1, "INSERT", 1, "a", 1.0, None)])
+        assert apply_cdc_epoch(store, b0, 1, ["id"])
+        assert apply_cdc_epoch(store, empty, 2, ["id"]) is False
+        assert store.current_version() == 1 and store.last_epoch() == 1
+        assert _state_dict(store) == {1: (1.0, "a")}
+        # the empty epoch's id is still applicable later (watermark
+        # unmoved): a real batch replayed under id 2 applies
+        b2 = _batch(spark, [(5, "UPDATE", 1, "a2", 1.5, None)])
+        assert apply_cdc_epoch(store, b2, 2, ["id"])
+        assert _state_dict(store) == {1: (1.5, "a2")}
