@@ -561,7 +561,9 @@ def test_run_cdc_stream_with_retention(spark, tmp_path):
 
 
 def test_bucketed_state_store_avoids_state_exchange(spark, tmp_path):
-    """The 100 TB state layout: with a PK-bucketed state table, the
+    """Exchange-free-merge demonstration (superseded as the scale
+    layout by PrunedParquetStateStore, whose no-broadcast route is
+    plan-gated separately): with a PK-bucketed state table, the
     non-broadcast merge's anti join reads state WITHOUT an Exchange —
     the plan has strictly fewer exchanges than the same merge over a
     plain parquet snapshot, and results are identical."""
@@ -623,8 +625,8 @@ def test_bucketed_state_store_versioning_and_prune(spark, tmp_path):
 
 
 def test_bucketed_state_store_drives_cdc_epochs(spark, tmp_path):
-    """apply_cdc_epoch against the BUCKETED store — the documented
-    100 TB state layout must work through the same epoch protocol as
+    """apply_cdc_epoch against the BUCKETED store — the exchange-free
+    merge demo store must work through the same epoch protocol as
     the parquet store (commit lock, epoch watermark, replay no-op,
     prune), not just direct write/read."""
     from canal_phoenix_adapter_spark.streaming.stream import (
