@@ -35,7 +35,11 @@ from canal_phoenix_adapter_spark.streaming.stream import (  # noqa: E402
 )
 
 BASE_ROWS = 500_000
-BATCH_ROWS = 200
+# overridable for the huge-batch regime experiment (SCALE.md r6):
+# batch rows past EPOCH_SMOKE_BCAST_THRESHOLD route the pruned merge
+# off the key-set broadcast onto the sort-merge path
+BATCH_ROWS = int(os.environ.get("EPOCH_SMOKE_BATCH_ROWS", "200"))
+BCAST_THRESHOLD = int(os.environ.get("EPOCH_SMOKE_BCAST_THRESHOLD", "2000000"))
 EPOCHS = 10
 # Fixed bucket SIZE, scaled bucket COUNT: the sizing rule a real
 # deployment uses (~128 MB/bucket at 100 TB). Holding rows/bucket
@@ -108,6 +112,7 @@ def main() -> None:
                 store = PrunedParquetStateStore(
                     spark, os.path.join(base, "s"), ["id"],
                     n_buckets=max(32, rows // ROWS_PER_BUCKET),
+                    broadcast_threshold_rows=BCAST_THRESHOLD,
                 )
             else:
                 store = ParquetStateStore(spark, os.path.join(base, "s"))
