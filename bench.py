@@ -207,9 +207,7 @@ def main() -> None:
               file=sys.stderr)
     names = [n for n in HEADLINE if n in qs or n in SPECIAL] or list(qs)
     # Diagnostic subset (comma-separated names): isolates queries from
-    # the full 50-query session's composition effects — the r6 bisect
-    # measured the shingle family ~25% faster in a 4-query session
-    # than inside the full bench, on byte-identical code (SCALE.md r6).
+    # the 50-query session's composition effects (SCALE.md r6 bisect).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}

@@ -35,9 +35,8 @@ from canal_phoenix_adapter_spark.streaming.stream import (  # noqa: E402
 )
 
 BASE_ROWS = 500_000
-# overridable for the huge-batch regime experiment (SCALE.md r6):
-# batch rows past EPOCH_SMOKE_BCAST_THRESHOLD route the pruned merge
-# off the key-set broadcast onto the sort-merge path
+# overridable for the huge-batch regime experiment (SCALE.md r6): batch
+# rows past the threshold route the pruned merge off the broadcast path
 BATCH_ROWS = int(os.environ.get("EPOCH_SMOKE_BATCH_ROWS", "200"))
 BCAST_THRESHOLD = int(os.environ.get("EPOCH_SMOKE_BCAST_THRESHOLD", "2000000"))
 EPOCHS = 10
