@@ -458,3 +458,106 @@ def test_pruned_store_epochs_equal_full_store(spark, evts, data, tmp_path_factor
             ["id"],
         )
         assert state(pruned) == state(full)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(evts=events(), data=st.data())
+def test_pruned_store_interleaved_lifecycle_equals_full_store(
+    spark, evts, data, tmp_path_factory
+):
+    """Store-equivalence under a random interleaving of the FULL store
+    lifecycle (r6): CDC epochs, GDPR erasures (erase_keys — including
+    absent keys and an int-typed keyset over long state, the silent
+    no-op the r5 advice caught), retention prune, and a mid-sequence
+    rebucket() migration on the pruned side. The fixed-scenario tests
+    pin each operation alone; this pins their COMPOSITION — every
+    interleaving must land the plain full-rewrite store and the
+    manifest/bucket pruned store on identical state, with the epoch
+    watermark still replay-correct afterwards."""
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        ParquetStateStore,
+        PrunedParquetStateStore,
+        apply_cdc_epoch,
+        erase_keys,
+    )
+
+    cuts = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=max(1, len(evts) - 1)),
+            max_size=2, unique=True,
+        ).map(sorted)
+    )
+    bounds = [0, *cuts, len(evts)]
+    epochs = [evts[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    schema = "seq long, op string, id long, val long, old_id long"
+
+    # one action drawn per epoch boundary: applied to BOTH stores
+    # (erase/prune) or to the pruned store only (rebucket — a layout
+    # migration the plain store doesn't have; equality must hold
+    # regardless of when it runs)
+    actions = [
+        data.draw(
+            st.sampled_from(["none", "erase", "prune", "rebucket"]),
+            label=f"after_epoch_{i}",
+        )
+        for i in range(len(epochs))
+    ]
+    erase_ids = data.draw(
+        st.lists(st.integers(min_value=1, max_value=5), min_size=1,
+                 max_size=3, unique=True),
+        label="erase_ids",
+    )
+    keyset_type = data.draw(st.sampled_from(["long", "int"]),
+                            label="keyset_type")
+
+    base = tmp_path_factory.mktemp("prop_lifecycle")
+    pruned = PrunedParquetStateStore(spark, str(base / "p"), ["id"],
+                                     n_buckets=3)
+    full = ParquetStateStore(spark, str(base / "f"))
+
+    for i, ep in enumerate(epochs):
+        for store in (pruned, full):
+            apply_cdc_epoch(
+                store, spark.createDataFrame(ep, schema), i, ["id"]
+            )
+        act = actions[i]
+        if act == "erase":
+            keys = spark.createDataFrame(
+                [(k,) for k in erase_ids], f"id {keyset_type}"
+            )
+            for store in (pruned, full):
+                if store.current_version() is not None:
+                    erase_keys(store, keys, ["id"])
+        elif act == "prune":
+            for store in (pruned, full):
+                store.prune(keep_last=1)
+        elif act == "rebucket":
+            if pruned.current_version() is not None:
+                pruned.rebucket(5 if pruned.n_buckets == 3 else 3)
+
+    def state(store):
+        df = store.read()
+        return (None if df is None
+                else sorted((r["id"], r["val"]) for r in df.collect()))
+
+    assert state(pruned) == state(full)
+
+    # the watermark survived every non-epoch commit: replaying the last
+    # epoch still no-ops, and the NEXT epoch still applies
+    if epochs and full.last_epoch() == len(epochs) - 1:
+        last = len(epochs) - 1
+        nxt = [(10_000, "UPDATE", 1, 7, None)]
+        for store in (pruned, full):
+            assert apply_cdc_epoch(
+                store, spark.createDataFrame(epochs[last], schema),
+                last, ["id"],
+            ) is False
+            assert apply_cdc_epoch(
+                store, spark.createDataFrame(nxt, schema), last + 1, ["id"]
+            )
+        assert state(pruned) == state(full)
+        assert state(full) is not None and (1, 7) in state(full)
