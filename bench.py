@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -272,7 +273,7 @@ def main() -> None:
     fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUTOFF", "3.0"))
     for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "2"))):
         for name in normal:
-            if min(samples[name]) >= fast_cut:
+            if not samples[name] or min(samples[name]) >= fast_cut:
                 continue
             samples[name].append(run_once(name))
 
@@ -284,7 +285,7 @@ def main() -> None:
     dist = {
         n: {
             "min": min(s),
-            "median": round(sorted(s)[len(s) // 2], 3),
+            "median": round(statistics.median(s), 3),
             "max": max(s),
             "n": len(s),
         }

@@ -110,12 +110,10 @@ class _CommitPointer:
         well as the write (the pruned store must never pay a
         full-state read for a bucket-local epoch). Default:
         full-snapshot read-merge-rewrite. Returns (new state, prior
-        lowercase column set or None) for the schema-change hook —
-        or (None, None) for an empty batch: nothing to commit, and
-        the store owns the emptiness check because the pruned store
-        learns it for FREE from its batch pre-scan (a separate
-        isEmpty() in apply_cdc_epoch was one redundant job per
-        epoch — a fixed floor the r5 verdict priced)."""
+        lowercase column set or None) for the schema-change hook — or
+        (None, None) for an empty batch: the store owns the emptiness
+        check because the pruned store learns it for free from its
+        pre-scan (a separate isEmpty() was one redundant job/epoch)."""
         if batch_df.isEmpty():
             return None, None
         state = self.read()
@@ -255,6 +253,9 @@ class ParquetStateStore(_CommitPointer):
         cur = self.current_version()
         if cur is None:
             return []
+        # a pruned manifest maps buckets to OLDER versions' dirs;
+        # rmtree'ing those would destroy live state — refuse like read()
+        self._refuse_pruned_layout(cur)
         keep_last = max(1, keep_last)
         committed = [v for v in self.versions() if v <= cur]
         doomed = committed[:-keep_last] if len(committed) > keep_last else []
@@ -302,16 +303,13 @@ class PrunedParquetStateStore(ParquetStateStore):
         super().__init__(spark, path)
         self.pk = list(pk)
         self.n_buckets = n_buckets
-        # Batch-size cutover for the merge join strategy (the
-        # huge-batch regime): at or below the threshold the collapsed
+        # Merge-route cutover: at or below the threshold the collapsed
         # touched-key set is broadcast (state never shuffles — the
-        # normal CDC case); above it the merge runs broadcast-free, a
-        # sort-merge anti join that shuffles ONLY the touched-bucket
-        # state + the batch — a backfill-sized epoch must not pin the
-        # whole key set in every executor (the reference's apply cost
-        # never depends on batch size beyond the rows written,
-        # support/BatchExecutor.java:60-75). Rows, not distinct keys:
-        # an upper bound the batch pre-scan yields for free.
+        # normal CDC case); above it the merge runs broadcast-free —
+        # a backfill-sized epoch must not pin the key set in every
+        # executor (the reference's apply cost never depends on batch
+        # size beyond rows written, support/BatchExecutor.java:60-75).
+        # Rows, not distinct keys: the pre-scan yields it for free.
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self._manifest_cache: dict[int, dict] = {}
 
@@ -723,9 +721,7 @@ def apply_cdc_epoch(
     after syncSchema DDL (PhoenixEtlService.java:162,174-215).
 
     Empty batches commit nothing and return False — the check lives
-    in the store's merge-commit strategy (the pruned store reads it
-    off its single pre-scan aggregation instead of paying a separate
-    isEmpty() job per epoch)."""
+    in the store's merge-commit strategy (see _merge_commit_unlocked)."""
     # The whole read-merge-commit body runs under the store's commit
     # lock: the merge's basis (the state version read here) is then
     # still current at pointer-swap time, so an interleaved non-CDC
@@ -776,6 +772,7 @@ def run_cdc_stream(
     max_files_per_trigger: int | None = None,
     state_buckets: int | None = None,
     prune_every: int = 1,
+    state_broadcast_threshold_rows: int = 2_000_000,
 ):
     """Wire the full pipeline: file stream -> typed changes ->
     foreachBatch(merge into versioned parquet state). Returns the
@@ -808,8 +805,11 @@ def run_cdc_stream(
 
     pk = cfg.db_mapping.pk_source_columns()
     if state_buckets:
+        # state_broadcast_threshold_rows: batches above it merge
+        # broadcast-free (SCALE.md "Store selection rule")
         store: ParquetStateStore = PrunedParquetStateStore(
-            spark, state_path, pk, n_buckets=state_buckets
+            spark, state_path, pk, n_buckets=state_buckets,
+            broadcast_threshold_rows=state_broadcast_threshold_rows,
         )
     else:
         store = ParquetStateStore(spark, state_path)
@@ -1356,9 +1356,12 @@ def erase_keys(
                 f.name.lower(): f.dataType
                 for f in store._schema_of(manifest).fields
             }
+            # na.drop: a null-cast key matches no state row, but
+            # hash(NULL) is constant — kept, it would mark (and
+            # rewrite) one spurious touched bucket
             keyset = keyset.select(
                 *[F.col(k).try_cast(pk_types[k.lower()]).alias(k) for k in pk]
-            )
+            ).na.drop()
             touched = {
                 r["b"] for r in keyset.select(
                     store._bucket_of([F.col(k) for k in pk]).alias("b")

@@ -1482,9 +1482,10 @@ def test_pruned_store_prune_keeps_shared_buckets_readable(spark, tmp_path):
     assert 7 not in _state_dict(pruned)
 
 
-def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
+def test_run_cdc_stream_with_pruned_store(spark, tmp_path, monkeypatch):
     """The golden scenario through run_cdc_stream(state_buckets=...)
     must land the exact same final state as the default store."""
+    from canal_phoenix_adapter_spark.streaming import stream as stream_mod
     from canal_phoenix_adapter_spark.streaming.stream import (
         PrunedParquetStateStore,
     )
@@ -1501,6 +1502,28 @@ def test_run_cdc_stream_with_pruned_store(spark, tmp_path):
     assert got == EXPECTED
     # retention ran through the stream path: one readable snapshot left
     assert store.versions() == [store.current_version()]
+
+    # the broadcast threshold is reachable from the production
+    # entrypoint (SCALE.md store-selection rule): 0 routes every epoch
+    # through the no-broadcast merge, same final state
+    built = []
+
+    class Recording(PrunedParquetStateStore):
+        def __init__(self, *a, **kw):
+            built.append(kw)
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(stream_mod, "PrunedParquetStateStore", Recording)
+    q2 = run_cdc_stream(
+        spark, src, str(tmp_path / "state2"), str(tmp_path / "ckpt2"),
+        CFG, VALUE_SCHEMA, state_buckets=8,
+        state_broadcast_threshold_rows=0,
+    )
+    q2.awaitTermination(120)
+    assert built and built[0]["broadcast_threshold_rows"] == 0
+    s2 = PrunedParquetStateStore(spark, str(tmp_path / "state2"), ["id"], 8)
+    got2 = {r["id"]: (r["name"], r["balance"]) for r in s2.read().collect()}
+    assert got2 == EXPECTED
 
 
 def test_pruned_store_modulus_guard_and_rebucket(spark, tmp_path):
@@ -1564,11 +1587,16 @@ def test_pruned_erase_casts_keyset_types_and_guards_pk(spark, tmp_path):
     # the erasure version rewrote only the buckets of the erased keys
     assert _owned(pruned, v) <= _bucket_of_ids(spark, [7, 9], 8)
 
-    # a key the state type cannot represent is a correct miss, not an error
+    # a key the state type cannot represent is a correct miss, not an
+    # error — and the null it casts to is DROPPED before bucketing
+    # (hash(NULL) is a constant, so keeping it would mark and rewrite
+    # one spurious touched bucket per erasure): the erasure version
+    # owns only the representable key's bucket
     wide = spark.createDataFrame([("not-a-number",), ("11",)], "id string")
-    erase_keys(pruned, wide, ["id"])
+    v2 = erase_keys(pruned, wide, ["id"])
     got = _state_dict(pruned)
     assert 11 not in got and len(got) == 47
+    assert _owned(pruned, v2) <= _bucket_of_ids(spark, [11], 8)
 
     # wrong pk fails loudly instead of silently missing rows
     with pytest.raises(ValueError, match="bucketing pk"):
@@ -1626,8 +1654,14 @@ def test_plain_store_refuses_pruned_layout(spark, tmp_path):
         plain.read_version(1)
     with pytest.raises(ValueError, match="PrunedParquetStateStore"):
         apply_cdc_epoch(plain, b1, 2, ["id"])
+    # prune() is the DESTRUCTIVE direction: the v1 manifest maps
+    # untouched buckets to v0's dirs, so a plain-handle prune rmtree'ing
+    # v0 would delete live state the current manifest references
+    with pytest.raises(ValueError, match="PrunedParquetStateStore"):
+        plain.prune(keep_last=1)
     # the refusals committed nothing over the pruned store
     assert pruned.last_epoch() == 1 and pruned.read().count() == 50
+    assert pruned.read_version(0).count() == 50  # v0 survived
 
 
 def test_rebucket_failure_restores_modulus(spark, tmp_path):

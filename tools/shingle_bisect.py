@@ -1,20 +1,11 @@
 """Two-worktree A/B bench for the shingle/chunk-hash query family
-(r5 verdict task 2): the four queries sharing that pipeline read a
-systematic ~13-18% above their r3 plateau across two de-noised
-rounds. This tool removes every cross-session variable the per-round
-bench cannot: ONE Spark session (same JVM, same conf — session.py is
-byte-identical between the trees), strictly INTERLEAVED samples
-(A,B,A,B per round so host drift hits both arms equally), and the
-same harness code timing both arms.
+(r5 verdict task 2, resolved as code-parity — SCALE.md r6). Removes
+every cross-session variable the per-round bench cannot: ONE Spark
+session, strictly interleaved samples (A,B,A,B per round so host
+drift hits both arms equally), the same harness timing both arms.
 
-Usage:
-  python tools/shingle_bisect.py [R3_TREE] [HEAD_TREE] [N_ROUNDS]
-defaults: /tmp/r3tree /root/repo 7
-
-Each tree's package is imported once under its own sys.path root and
-its module set snapshotted; before every sample the owning tree's
-modules are re-installed into sys.modules so lazy imports inside
-query bodies resolve within the right tree. Prints one JSON line:
+Usage: python tools/shingle_bisect.py [R3_TREE] [HEAD_TREE] [N_ROUNDS]
+(defaults /tmp/r3tree /root/repo 7). Prints one JSON line:
 {"queries": {name: {"r3": {...}, "head": {...}, "delta_pct": x}}}.
 """
 
@@ -22,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -32,40 +24,45 @@ QUERIES = [
     "text_boilerplate_strip",
 ]
 
-_PREFIXES = ("canal_phoenix_adapter_spark", "__spark_entry__", "tests")
+def _is_tree_module(name: str) -> bool:
+    return name.split(".")[0] in ("__spark_entry__", "tests") or name.startswith(
+        "canal_phoenix_adapter_spark"
+    )
 
 
 def _purge() -> None:
     for k in list(sys.modules):
-        if k.split(".")[0] in ("__spark_entry__", "tests") or k.startswith(
-            "canal_phoenix_adapter_spark"
-        ):
+        if _is_tree_module(k):
             del sys.modules[k]
+
+
+_ROOTS: list[str] = []  # both tree roots, for _activate's path swap
 
 
 def _load_tree(root: str):
     """Import the tree's __spark_entry__ under its own path root and
     snapshot the module set it pulled in."""
     _purge()
+    _ROOTS.append(root)
     sys.path.insert(0, root)
     try:
         import __spark_entry__ as E  # noqa: PLC0415
 
         qs = E.queries()
-        mods = {
-            k: v
-            for k, v in sys.modules.items()
-            if k.split(".")[0] in ("__spark_entry__", "tests")
-            or k.startswith("canal_phoenix_adapter_spark")
-        }
+        mods = {k: v for k, v in sys.modules.items() if _is_tree_module(k)}
     finally:
         sys.path.remove(root)
     return qs, mods
 
 
-def _activate(mods) -> None:
+def _activate(mods, root: str) -> None:
+    """Install the tree's snapshotted modules AND its path root — a
+    lazy first import inside a timed query body must resolve within
+    the OWNING tree, not whichever tree loaded last (or the cwd)."""
     _purge()
     sys.modules.update(mods)
+    sys.path[:] = [p for p in sys.path if p not in _ROOTS]
+    sys.path.insert(0, root)
 
 
 def main() -> None:
@@ -80,17 +77,17 @@ def main() -> None:
         missing = [q for q in QUERIES if q not in qs]
         if missing:
             raise SystemExit(f"{name} tree at {root} lacks {missing}")
-        trees[name] = ({q: qs[q] for q in QUERIES}, mods)
+        trees[name] = ({q: qs[q] for q in QUERIES}, mods, root)
 
     # session.py is identical in both trees; use head's factory
-    _activate(trees["head"][1])
+    _activate(trees["head"][1], trees["head"][2])
     from canal_phoenix_adapter_spark.session import get_spark  # noqa: PLC0415
 
     spark = get_spark("shingle-bisect")
 
     def run_once(name: str, qname: str) -> float:
-        qs, mods = trees[name]
-        _activate(mods)
+        qs, mods, root = trees[name]
+        _activate(mods, root)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[qname](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -111,7 +108,7 @@ def main() -> None:
     def stats(s: list[float]) -> dict:
         return {
             "min": min(s),
-            "median": round(sorted(s)[len(s) // 2], 3),
+            "median": round(statistics.median(s), 3),
             "max": max(s),
             "n": len(s),
         }
