@@ -1803,3 +1803,65 @@ def test_empty_epoch_commits_nothing(spark, tmp_path):
         b2 = _batch(spark, [(5, "UPDATE", 1, "a2", 1.5, None)])
         assert apply_cdc_epoch(store, b2, 2, ["id"])
         assert _state_dict(store) == {1: (1.5, "a2")}
+
+
+def test_concurrent_erase_and_epochs_on_pruned_store(spark, tmp_path):
+    """erase_keys documents two mechanisms for running concurrent with
+    the CDC stream: the shared commit lock serializes it with
+    apply_cdc_epoch, and the erasure commit carries the epoch
+    watermark forward so every future epoch still applies. Drive both
+    from two threads with an erase keyset DISJOINT from the epochs'
+    keys — then the final state is interleaving-independent (epoch
+    effects for untouched keys, bootstrap rows minus erased keys) and
+    any violation of either mechanism (lost epoch, lost erasure,
+    watermark regression) breaks the assertion."""
+    import threading
+
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        apply_cdc_epoch,
+        erase_keys,
+    )
+
+    pruned, _ = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 41)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+
+    errors: list[BaseException] = []
+
+    def epochs():
+        try:
+            for e in range(1, 6):
+                b = _batch(spark, [(100 * e + k, "UPDATE", k,
+                                    f"e{e}_{k}", float(e), None)
+                                   for k in range(1, 21)])
+                assert apply_cdc_epoch(pruned, b, e, ["id"])
+        except BaseException as exc:  # noqa: BLE001 - surface in main thread
+            errors.append(exc)
+
+    def erasures():
+        try:
+            for lo, hi in ((21, 26), (26, 31)):
+                keys = spark.createDataFrame(
+                    [(k,) for k in range(lo, hi)], "id long"
+                )
+                erase_keys(pruned, keys, ["id"])
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=epochs), threading.Thread(target=erasures)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    got = _state_dict(pruned)
+    expect = {k: (5.0, f"e5_{k}") for k in range(1, 21)}
+    expect.update({k: (float(k), f"n{k}") for k in range(31, 41)})
+    assert got == expect  # epochs all applied; 21..30 erased; rest intact
+    assert pruned.last_epoch() == 5
+    # replay of the last epoch still no-ops (watermark never regressed)
+    b5 = _batch(spark, [(500 + k, "UPDATE", k, f"e5_{k}", 5.0, None)
+                        for k in range(1, 21)])
+    assert apply_cdc_epoch(pruned, b5, 5, ["id"]) is False
