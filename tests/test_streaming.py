@@ -1865,3 +1865,63 @@ def test_concurrent_erase_and_epochs_on_pruned_store(spark, tmp_path):
     b5 = _batch(spark, [(500 + k, "UPDATE", k, f"e5_{k}", 5.0, None)
                         for k in range(1, 21)])
     assert apply_cdc_epoch(pruned, b5, 5, ["id"]) is False
+
+
+def test_concurrent_janitor_prune_and_epochs_on_pruned_store(spark, tmp_path):
+    """SCALE.md tells deployments to move retention GC to a janitor
+    cadence — i.e. prune() runs CONCURRENT with the epoch thread, and
+    deliberately without the commit lock. That is safe by construction
+    (a committing version only references bucket dirs reachable from
+    the retained current manifest, and prune never sweeps versions
+    above the _CURRENT it read), but nothing pinned it: race a
+    prune(keep_last=2) loop against 6 epochs and require the final
+    state to be the exact serial fold with every epoch committed."""
+    import threading
+
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        apply_cdc_epoch,
+    )
+
+    pruned, _ = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 41)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def epochs():
+        try:
+            for e in range(1, 7):
+                b = _batch(spark, [(100 * e + k, "UPDATE", k,
+                                    f"e{e}_{k}", float(e), None)
+                                   for k in range(1, 11)])
+                assert apply_cdc_epoch(pruned, b, e, ["id"])
+        except BaseException as exc:  # noqa: BLE001 - surface in main thread
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def janitor():
+        try:
+            while not done.is_set():
+                pruned.prune(keep_last=2)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=epochs), threading.Thread(target=janitor)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    got = _state_dict(pruned)
+    expect = {k: (6.0, f"e6_{k}") for k in range(1, 11)}
+    expect.update({k: (float(k), f"n{k}") for k in range(11, 41)})
+    assert got == expect
+    assert pruned.last_epoch() == 6
+    # retention converged: one final prune leaves exactly 2 manifests
+    pruned.prune(keep_last=2)
+    assert pruned.versions() == [5, 6]
+    assert pruned.read_version(5).count() == 40
