@@ -372,8 +372,6 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> '')
 """
 
 
-
-
 @register(
     "dedup_exact_groups",
     """
@@ -432,8 +430,6 @@ def _minhash_sql(num_perm: int = 16) -> str:
     """
 
 
-
-
 def _band_bucket_sql(num_perm: int, bands: int) -> str:
     """Shared banding-oracle fragment: (id, band, bh) selects over the
     `sig` CTE — ONE definition so the self-join and incremental oracles
@@ -466,8 +462,6 @@ def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, max_bucket: int | None 
     FROM {src} x JOIN {src} y USING (band, bh)
     WHERE x.id < y.id
     """
-
-
 
 
 @register("dedup_minhash_lsh_capped", _minhash_lsh_sql(16, 4, max_bucket=2))
@@ -519,10 +513,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-
-
 def _simhash_sql() -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -544,16 +534,6 @@ def _simhash_sql() -> str:
     )
     SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash FROM bits
     """
-
-
-
-
-
-
-
-
-
-
 
 
 def _embedding_lsh_sql(
@@ -702,14 +682,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-
-
-
-
-
-
 @register(
     "mm_extract_features",
     """
@@ -730,12 +702,6 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
-
-
-
-
-
-
 @register(
     "analytics_topk_per_group",
     """
@@ -750,14 +716,6 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 3 largest orders per customer."""
     return analytics.topk_orders_per_customer(spark, sf_dir, k=3)
-
-
-
-
-
-
-
-
 
 
 @register(
@@ -779,18 +737,12 @@ def analytics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
 # ---------------------------------------------------------------------------
 # Dataset assembly (operators/sampling.py): deterministic splits,
 # exact group quantiles, vocabulary, contamination
 # ---------------------------------------------------------------------------
 
 _SPLIT_BUCKET = _H.format(x="concat('split:', CAST(doc_id AS VARCHAR))") + " % 10000"
-
-
-
-
 
 
 @register(
@@ -814,18 +766,6 @@ _SPLIT_BUCKET = _H.format(x="concat('split:', CAST(doc_id AS VARCHAR))") + " % 1
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-20 tokens by document frequency."""
     return sampling.vocab_topk(load_table(spark, sf_dir, "documents"), "text", k=20)
-
-
-
-
-
-
-
-
-
-
-
-
 
 
 # ---------------------------------------------------------------------------
@@ -1039,10 +979,6 @@ def dedup_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         max_dist=3, bands=4, max_bucket=16,
     )
-
-
-
-
 
 
 def _ivf_trained_replica_codebook(
@@ -1417,10 +1353,6 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-
-
 @register(
     "pipeline_corpus_clean",
     f"""
@@ -1470,21 +1402,19 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     already oracle-gated in isolation; this query proves they compose
     (the real pipeline a 100 TB corpus runs nightly)."""
     docs = load_table(spark, sf_dir, "documents")
-    # clean feeds both the scrub->quality branch and the n_kept_chunks
-    # join-back; column pruning gives the branches different aggregate
-    # outputs so ReuseExchange cannot dedupe them — persist, or the
-    # whole chunk pipeline (the most expensive stage) runs twice.
+    # `carry` threads lang/n_kept_chunks through the stages instead of
+    # join-backing them from `clean` and `docs` — two data-scale
+    # shuffles a 100 TB nightly run would pay for columns the pipeline
+    # already held (r6; plan-pinned single-join in test_plans.py).
     clean = text_ops.boilerplate_strip(
-        docs, "doc_id", "text", size=8, max_df=2
-    ).persist()
-    scrub = text_ops.pii_scrub(clean, "doc_id", "text_clean")
-    qual = text_ops.quality_features(scrub, "doc_id", "text_scrubbed")
-    keep = qual.where(F.col("quality") >= 0.55)
-    out = (
-        keep.join(clean.select("doc_id", "n_kept_chunks"), on="doc_id")
-        .join(docs.select("doc_id", "lang"), on="doc_id")
+        docs, "doc_id", "text", size=8, max_df=2, carry=("lang",)
     )
-    out = sampling.stratified_sample(out, "doc_id", "lang", _STRAT_RATES,
+    scrub = text_ops.pii_scrub(clean, "doc_id", "text_clean",
+                               carry=("lang", "n_kept_chunks"))
+    qual = text_ops.quality_features(scrub, "doc_id", "text_scrubbed",
+                                     carry=("lang", "n_kept_chunks"))
+    keep = qual.where(F.col("quality") >= 0.55)
+    out = sampling.stratified_sample(keep, "doc_id", "lang", _STRAT_RATES,
                                      default_rate=0.05)
     return out.select("doc_id", "lang", "n_kept_chunks", "n_tokens", "quality")
 
@@ -1619,8 +1549,6 @@ def analytics_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_window_rollup(spark, sf_dir, gap="60 minutes")
 
 
-
-
 @register(
     "analytics_salted_join",
     """
@@ -1652,16 +1580,6 @@ def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_price").cast("decimal(18,2)").cast("string").alias("sum_price"),
         )
     )
-
-
-
-
-
-
-
-
-
-
 
 
 # ---------------------------------------------------------------------------
@@ -1901,14 +1819,12 @@ def analytics_asof_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's t2 gate records at most the first ~50 queries()
-# entries into CORRECTNESS_r{N}.json. Since round 4 the registry holds
-# EXACTLY 50 queries (the r2/r3 surplus was folded into stronger twins
-# or into tests/parity_registry.py, still oracle-verified every pytest
-# run), so a single round's artifact witnesses every registered gate.
-# Ordering still matters defensively: the four round-4 additions (no
-# driver row yet) go first, and sim_ann_ivf_trained stays last (its
-# k-means training is the slowest gate — if the driver's cutoff were
-# time-based it must not starve anything).
+# entries; since round 4 the registry holds EXACTLY 50 (surplus folded
+# into stronger twins or tests/parity_registry.py, still
+# oracle-verified every pytest run), so one round's artifact witnesses
+# every gate. Ordering stays defensive: newest-first,
+# sim_ann_ivf_trained last (slowest — a time-based cutoff must not
+# starve anything).
 _DRIVER_ARTIFACT_PRIORITY = [
     "text_features",
     "mm_geometry",

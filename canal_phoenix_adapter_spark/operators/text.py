@@ -79,7 +79,8 @@ def lang_id(text: Column, default: str = "und") -> Column:
     return best_lang
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc quality features + composite score.
 
     Features (all engine-portable): char length, whitespace tokens,
@@ -96,19 +97,17 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Ratios and quality are 0.0 for such docs (no content = lowest
     quality); NULL text stays NULL throughout.
 
-    STAGED projections on purpose: the raw counts (two tokenizations,
-    two regex scans, a stopword filter) are expensive higher-order /
-    regex expressions that whole-stage codegen does NOT subexpression-
-    eliminate across output columns, so a single flat select that
-    mentions stop_ratio in both its own column and quality re-runs
-    the tokenize+filter per mention (~1.3x the whole operator's cost,
-    measured at sf0.1). Computing counts -> ratios -> quality in three
-    nested selects makes each appear exactly once; CollapseProject
-    deliberately refuses to inline non-cheap duplicated expressions,
-    so the staging survives optimization."""
+    STAGED projections on purpose: codegen does NOT subexpression-
+    eliminate the expensive tokenize/regex counts across output
+    columns, so a flat select mentioning stop_ratio twice re-runs the
+    tokenize+filter per mention (~1.3x the operator, measured at
+    sf0.1). counts -> ratios -> quality nesting makes each appear
+    once; CollapseProject refuses to inline non-cheap duplicated
+    expressions, so the staging survives optimization."""
     text = F.col(text_col)
     counts = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.length(text).alias("n_chars"),
         F.size(F.array_remove(_tokens(text), "")).alias("n_tokens"),
         F.size(
@@ -133,6 +132,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nt, nc = F.col("n_tokens"), F.col("n_chars")
     ratios = counts.select(
         id_col,
+        *carry,
         "n_chars",
         "n_tokens",
         _guard(nt, F.col("_stop_hits").cast("double") / nt).alias("stopword_ratio"),
@@ -141,6 +141,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return ratios.select(
         id_col,
+        *carry,
         "n_chars",
         "n_tokens",
         "stopword_ratio",
@@ -266,7 +267,8 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"[0-9]{1,3}(\.[0-9]{1,3}){3}"
 
 
-def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def pii_scrub(df: DataFrame, id_col: str, text_col: str,
+              carry: tuple[str, ...] = ()) -> DataFrame:
     """Redact emails and IPv4 literals: per-doc match counts + the
     scrubbed text. Pure Column expressions (JVM regex inside
     whole-stage codegen, zero shuffles) — the canonical shape for a
@@ -285,6 +287,7 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],  # narrow pass-through, still zero-shuffle
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(no_email, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
         F.regexp_replace(no_email, IPV4_RE, "<IP>").alias("text_scrubbed"),
@@ -292,17 +295,22 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def doc_chunks(
-    df: DataFrame, id_col: str, text_col: str, size: int = 8
+    df: DataFrame, id_col: str, text_col: str, size: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode documents into fixed-size token chunks: (id, pos,
     chunk). The segmentation unit for cross-document "paragraph"
     dedup / boilerplate removal on corpora without reliable newline
     structure (chunk = ``size`` consecutive whitespace tokens).
+    ``carry`` keeps narrow per-doc columns on every chunk row so
+    downstream per-doc aggregates first()-reassemble them instead of
+    paying a data-scale join-back (the repetition_features idiom).
 
     The token array is materialized in a projection below the
     generator (one regex split per row, not per chunk — see
     raw_shingles in dedup.py for the O(tokens^2) trap this avoids)."""
-    toks_df = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    toks_df = df.select(F.col(id_col), *[F.col(c) for c in carry],
+                        _tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     # chunk count = floor((len-1)/size)+1 — int-free-of-float on both
     # engines via floor of an exact small-int division.
@@ -314,7 +322,8 @@ def doc_chunks(
         lambda i: F.concat_ws(" ", F.slice(toks, i * size + 1, size)),
     )
     return toks_df.select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.posexplode(chunks).alias("pos", "chunk"),
     ).where(F.col("chunk") != "")
 
 
@@ -324,6 +333,7 @@ def boilerplate_strip(
     text_col: str,
     size: int = 8,
     max_df: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """CCNet-style boilerplate removal: drop every chunk that appears
     in more than ``max_df`` distinct documents (nav bars, license
@@ -339,16 +349,18 @@ def boilerplate_strip(
 
     Documents whose every chunk is boilerplate vanish from the output
     (that is the correct pipeline behavior: nothing left to train on).
-    Returns (id, n_kept_chunks, text_clean)."""
+    Returns (id, *carry, n_kept_chunks, text_clean) — ``carry`` rides
+    the chunk rows through the one reassembly shuffle (narrow per-doc
+    scalars, first()-reassembled): no join-back needed downstream."""
     from canal_phoenix_adapter_spark.functions.hashing import md5_long
 
-    # persist: ch feeds BOTH the hot-chunk doc-frequency aggregate and
-    # the anti-join probe — uncached, the chunk explode + hash over the
-    # whole corpus would execute twice (the dedup module persists its
-    # multi-consumer shingle/bucket tables for exactly this reason;
-    # callers own cache release, same contract).
-    ch = doc_chunks(df, id_col, text_col, size).select(
-        F.col(id_col), F.col("pos"), F.col("chunk"),
+    # persist: ch feeds BOTH the hot-chunk doc-freq aggregate and the
+    # anti-join probe — uncached, the corpus-wide chunk explode + hash
+    # runs twice (dedup's multi-consumer persist contract; callers own
+    # cache release).
+    ch = doc_chunks(df, id_col, text_col, size, carry=carry).select(
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.col("pos"), F.col("chunk"),
         md5_long(F.col("chunk")).alias("__h"),
     ).persist()
     hot = (
@@ -363,6 +375,7 @@ def boilerplate_strip(
     return (
         kept.groupBy(id_col)
         .agg(
+            *[F.first(c).alias(c) for c in carry],
             F.count(F.lit(1)).alias("n_kept_chunks"),
             F.array_join(
                 F.transform(

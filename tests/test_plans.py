@@ -351,3 +351,24 @@ def test_ivf_train_iteration_plan_one_scan_one_aggregate(spark):
         assert shuffle_count(it) <= 1
     finally:
         spark.catalog.dropTempView("__ivf_plan_pin")
+
+
+def test_pipeline_corpus_clean_single_join(q):
+    """The composed pipeline (r6 shape) threads lang/n_kept_chunks
+    through the stages as carry columns, so its ONLY join is the
+    boilerplate hot-chunk anti/broadcast join — the earlier version
+    paid two extra data-scale doc_id join-backs (clean.n_kept_chunks
+    and docs.lang) for columns the pipeline already held."""
+    import re
+
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+
+    # simple mode: one line per physical operator (formatted mode lists
+    # every operator twice — tree + details — and names logical nodes)
+    text = explain_str(q("pipeline_corpus_clean"), mode="simple")
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct",
+        text,
+    )
+    assert len(joins) == 1, joins
