@@ -88,14 +88,32 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real image decode requires PIL/libjpeg, absent from this
-    container. STUB: raises. The call-site contract (binary in,
-    array<float> feature vector out via mapInPandas) is what
-    extract_features exercises with fake features."""
-    raise NotImplementedError(
-        "image decode needs an image codec library (not in container); "
-        "use extract_features() for the tested Arrow plumbing"
+def decode_image(media: DataFrame, decoder=None) -> DataFrame:
+    """Image decode with an INJECTED codec: ``decoder`` is a plain
+    ``bytes -> list[float]`` callable (a deployment wraps PIL/libjpeg
+    here; this container has none, so tests inject a deterministic
+    fake). The Spark side is real either way: images routed by
+    metadata before any byte moves, payloads crossing to Python only
+    as Arrow batches inside mapInPandas, NULL payloads carried through
+    as NULL vectors. Without a decoder it raises — a silent fake
+    default could be mistaken for real pixels."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decode needs a codec (not in container): pass "
+            "decoder=bytes->list[float], or use extract_features() "
+            "for codec-free payload features"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["features"] = pdf["payload"].map(
+                lambda b: None if b is None else [float(x) for x in decoder(b)]
+            )
+            yield out
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        batches, schema="doc_id bigint, features array<float>"
     )
 
 

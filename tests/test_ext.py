@@ -282,6 +282,34 @@ def test_multimodal_stubs_raise(spark):
         multimodal.decode_image(media)
 
 
+def test_decode_image_with_injected_decoder(spark):
+    """decode_image's Arrow plumbing end-to-end with a deterministic
+    fake codec: only image rows decode, the bytes->vector callable
+    runs inside mapInPandas, NULL payloads come back as NULL
+    vectors."""
+    from pyspark.sql import types as T
+
+    media = spark.createDataFrame(
+        [(0, "image", b"ab"), (1, "audio", b"zz"), (2, "image", None),
+         (3, "image", b"")],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+
+    def fake_decoder(b: bytes) -> list[float]:
+        return [float(len(b))] + [float(x) for x in b[:2]]
+
+    out = {r["doc_id"]: r["features"]
+           for r in multimodal.decode_image(media, decoder=fake_decoder).collect()}
+    assert set(out) == {0, 2, 3}  # audio row routed away before decode
+    assert out[0] == [2.0, float(ord("a")), float(ord("b"))]
+    assert out[2] is None  # NULL payload -> NULL vector, job survives
+    assert out[3] == [0.0]
+
+
 def test_simhash_hamming_pairs_finds_identical_docs(spark):
     from canal_phoenix_adapter_spark.operators.dedup import simhash_hamming_pairs
 

@@ -1598,6 +1598,15 @@ def test_pruned_erase_casts_keyset_types_and_guards_pk(spark, tmp_path):
     assert 11 not in got and len(got) == 47
     assert _owned(pruned, v2) <= _bucket_of_ids(spark, [11], 8)
 
+    # a keyset that is ENTIRELY unrepresentable (every key null after
+    # the cast) touches zero buckets: the commit is a no-op version
+    # whose manifest carries every bucket forward and owns none itself
+    none_rep = spark.createDataFrame([("nope",), ("also-no",)], "id string")
+    v3 = erase_keys(pruned, none_rep, ["id"])
+    assert len(_state_dict(pruned)) == 47
+    assert _owned(pruned, v3) == set()
+    assert pruned.current_version() == v3
+
     # wrong pk fails loudly instead of silently missing rows
     with pytest.raises(ValueError, match="bucketing pk"):
         erase_keys(
