@@ -1787,6 +1787,44 @@ def test_pruned_nobroadcast_merge_plan_reads_only_touched(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_commit_lock_excludes_other_processes(tmp_path):
+    """The _COMMITLOCK contract promises exclusion across PROCESSES,
+    not just threads (two drivers pointed at one state path must
+    serialize, else the second pointer swap silently undoes the
+    first's commit). Pin it with a real second process: a child takes
+    the flock and holds it; the parent's commit_lock() must block
+    until the child releases. No Spark needed on either side — the
+    lock is plain fcntl over the store's meta dir."""
+    import subprocess
+    import sys
+    import time
+
+    from canal_phoenix_adapter_spark.streaming.stream import _CommitPointer
+
+    holder = _CommitPointer()
+    holder._meta_dir = str(tmp_path)
+    child = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, sys, time\n"
+            "f = open(sys.argv[1], 'a')\n"
+            "fcntl.flock(f, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(2.0)\n"  # auto-released on process exit
+        ), str(tmp_path / "_COMMITLOCK")],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "locked"
+        t0 = time.monotonic()
+        with holder.commit_lock():
+            waited = time.monotonic() - t0
+        # the parent must have blocked on the child's flock (generous
+        # floor: the child holds it 2 s from the handshake)
+        assert waited > 0.5, waited
+    finally:
+        child.wait(timeout=10)
+
+
 def test_empty_epoch_commits_nothing(spark, tmp_path):
     """An empty micro-batch commits no version and returns False on
     both stores — with the check folded into the store's merge-commit
