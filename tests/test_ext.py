@@ -194,6 +194,45 @@ def test_quality_features_degenerate_docs_not_nan(spark):
     )
 
 
+def test_carry_columns_are_pure_plumbing(spark):
+    """The r6 ``carry`` parameter on boilerplate_strip / pii_scrub /
+    quality_features must be PURE plumbing: for every op, the carried
+    output equals the carry-free output joined back to the source's
+    carry columns — same rows, same values, nothing dropped or
+    duplicated by the first()-reassembly or the pass-through
+    projections."""
+    docs = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma delta epsilon zeta eta theta "
+                    "iota kappa " * 3),
+         (2, "de", "alpha beta gamma delta epsilon zeta eta theta "
+                    "unique words here"),
+         (3, None, "totally different content with e@x.com inside"),
+         (4, "fr", None)],
+        "doc_id long, lang string, text string",
+    )
+
+    def canon(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, str(v)) for v in t),
+        )
+
+    for op, kw in [
+        (text_ops.boilerplate_strip, {"size": 4, "max_df": 1}),
+        (text_ops.pii_scrub, {}),
+        (text_ops.quality_features, {}),
+    ]:
+        carried = op(docs, "doc_id", "text", carry=("lang",), **kw)
+        joined = op(docs, "doc_id", "text", **kw).join(
+            docs.select("doc_id", "lang"), on="doc_id"
+        )
+        cols = sorted(carried.columns)
+        assert sorted(joined.columns) == cols, op.__name__
+        assert canon(carried.select(*cols)) == canon(joined.select(*cols)), (
+            op.__name__
+        )
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
     r = df.select(
