@@ -1,9 +1,18 @@
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line as its
+FINAL stdout line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: min_sec, ...},
-   "samples": {name: {min, median, max, n}, ...}, "sf": ...}
+   "queries": {name: min_sec, ...}, "sf": ...}
+
+The per-query sample distributions {min, median, max, n} go to the
+BENCH_SAMPLES.json sidecar next to this file instead of stdout: the
+driver captures only a bounded tail of stdout, and r6's inline
+samples dict pushed the one line past that capture, clipping 11 of
+36 queries from the round's canonical perf artifact (BENCH_r06.json
+"parsed": null). The compact line must stay under that capture —
+tests/test_ext.py pins the budget against the full 50-query
+registry.
 
 Each query is executed with a count()-style action so the full plan
 runs but no result set is shipped to the driver (collect would
@@ -296,18 +305,27 @@ def main() -> None:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "samples": dist,
-                "sf": sf_val,
-            }
-        )
+    # Distribution sidecar first, so a crash between the two writes
+    # can only lose the sidecar, never the driver-parsed line.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
     )
+    with open(sidecar, "w", encoding="utf-8") as f:
+        json.dump({"samples": dist, "sf": sf_val, "passes": n_passes}, f)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:  # driver tail capture is ~2000 chars
+        print(f"WARNING bench: final line {len(line)} chars may exceed "
+              "the driver's stdout tail capture", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
