@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 from contextlib import contextmanager
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +117,19 @@ class _CommitPointer:
         pre-scan (a separate isEmpty() was one redundant job/epoch)."""
         if batch_df.isEmpty():
             return None, None
+        return self._merge_commit_nonempty(batch_df, pk, version, epoch_id)
+
+    def _merge_commit_nonempty(
+        self,
+        batch_df: DataFrame,
+        pk: list[str],
+        version: int,
+        epoch_id: int,
+    ) -> tuple[DataFrame, set[str] | None]:
+        """Full-snapshot read-merge-rewrite for a batch the caller has
+        PROVEN non-empty — the pruned store's TRUNCATE and heal/DDL
+        fallbacks enter here so the pre-scan's count is not re-checked
+        with a second isEmpty() job per fallback epoch."""
         state = self.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
         new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
@@ -214,6 +228,15 @@ class ParquetStateStore(_CommitPointer):
     def _write_unlocked(
         self, df: DataFrame, version: int, epoch_id: int | None = None
     ) -> None:
+        cur = self.current_version()
+        if cur is not None:
+            # a plain handle publishing over a pruned layout would
+            # repoint to a manifest-less snapshot — every pruned handle
+            # then fails with the migration error and the bucket dirs
+            # are stranded; refuse like read()/prune() do (the pruned
+            # subclass overrides this method, so the check never fires
+            # on its own legitimate writes)
+            self._refuse_pruned_layout(cur)
         if epoch_id is None:
             epoch_id = self.last_epoch()
         target = os.path.join(self.path, f"v{version}")
@@ -563,8 +586,10 @@ class PrunedParquetStateStore(ParquetStateStore):
         if n_rows == 0:  # empty epoch: nothing to commit
             return None, None
         if trunc_seq is not None:
-            # TRUNCATE: every bucket changes anyway
-            return super()._merge_commit_unlocked(
+            # TRUNCATE: every bucket changes anyway; the pre-scan
+            # already proved the batch non-empty, so skip the base
+            # path's isEmpty() job
+            return super()._merge_commit_nonempty(
                 batch_df, pk, version, epoch_id
             )
         manifest = self._manifest(cur)
@@ -584,7 +609,8 @@ class PrunedParquetStateStore(ParquetStateStore):
         new_fields = {(f.name.lower(), f.dataType) for f in merged.schema.fields}
         if prev_fields != new_fields:
             # heal/DDL epoch: rewrite all buckets onto the new schema
-            return super()._merge_commit_unlocked(
+            # (non-empty already proven by the pre-scan)
+            return super()._merge_commit_nonempty(
                 batch_df, pk, version, epoch_id
             )
         self._write_bucket_dirs(
@@ -1000,107 +1026,6 @@ def run_cdc_stream_to_sink(
     return writer.start()
 
 
-class BucketedStateStore(_CommitPointer):
-    """Keyed state as a PK-bucketed, PK-sorted managed table — an
-    exchange-free-merge demonstration, SUPERSEDED as the 100 TB state
-    layout by PrunedParquetStateStore (which bounds the epoch WRITE
-    at O(touched buckets) and routes huge batches to the no-broadcast
-    merge; this store still rewrites the full table every epoch via
-    saveAsTable, so its exchange saving is dominated by the write).
-    What it demonstrates: a hash-bucketed table's on-disk layout IS
-    the join partitioning, so a non-broadcast merge (broadcast_
-    changes=False) sort-merge-anti-joins the state WITHOUT an
-    Exchange on the state side — only the change set shuffles
-    (test_plans-style comparative assertion in test_streaming.py
-    proves the exchange disappears). Keep it for deployments whose
-    sink is a catalog table consumed by bucket-join-aware readers.
-
-    Same versioned-commit contract as ParquetStateStore (the pointer
-    file is the commit marker; replay skips committed epochs); the
-    snapshot is a managed table ``<db>.<name>_v<epoch>`` instead of a
-    directory. ``prune`` drops old tables via the catalog."""
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        pointer_dir: str,
-        name: str,
-        pk: list[str],
-        buckets: int = 32,
-        database: str = "default",
-    ):
-        self.spark = spark
-        self.pointer_dir = pointer_dir
-        self._meta_dir = pointer_dir
-        self.name = name
-        self.pk = pk
-        self.buckets = buckets
-        self.database = database
-        os.makedirs(pointer_dir, exist_ok=True)
-
-    def _table(self, version: int) -> str:
-        # negative versions (the etl-then-sync bootstrap commits the
-        # backfill below any epoch id, e.g. -1) spell as `vm<abs>`:
-        # a literal '-' in a table identifier is a parse error.
-        tag = f"m{-version}" if version < 0 else str(version)
-        return f"{self.database}.{self.name}_v{tag}"
-
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
-        if v is None:
-            return None
-        return self.spark.table(self._table(v))
-
-    def write(self, df: DataFrame, version: int, epoch_id: int | None = None) -> None:
-        with self.commit_lock():
-            self._write_unlocked(df, version, epoch_id)
-
-    def _write_unlocked(
-        self, df: DataFrame, version: int, epoch_id: int | None = None
-    ) -> None:
-        if epoch_id is None:
-            epoch_id = self.last_epoch()
-        (
-            df.write.bucketBy(self.buckets, *self.pk)
-            .sortBy(*self.pk)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(self._table(version))
-        )
-        self._repoint(version, epoch_id)
-
-    def versions(self) -> list[int]:
-        """Snapshot versions in the catalog, ascending — including
-        negative bootstrap versions (spelled `vm<abs>`), which must be
-        visible or prune() would retain the full-backfill snapshot
-        (the largest in the store) forever."""
-        # the catalog lowercases identifiers on write, so the prefix
-        # match must be case-insensitive or an uppercase store name
-        # would hide every snapshot from prune (unbounded growth)
-        prefix = f"{self.name.lower()}_v"
-        out = []
-        for t in self.spark.catalog.listTables(self.database):
-            if not t.name.startswith(prefix):
-                continue
-            tag = t.name[len(prefix):]
-            if tag.isdigit():
-                out.append(int(tag))
-            elif tag.startswith("m") and tag[1:].isdigit():
-                out.append(-int(tag[1:]))
-        return sorted(out)
-
-    def prune(self, keep_last: int = 2) -> list[int]:
-        cur = self.current_version()
-        if cur is None:
-            return []
-        keep_last = max(1, keep_last)
-        committed = [v for v in self.versions() if v <= cur]
-        doomed = committed[:-keep_last] if len(committed) > keep_last else []
-        for v in doomed:
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._table(v)}")
-        return doomed
-
-
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
@@ -1291,11 +1216,19 @@ def state_changes(
     )
 
 
+class EraseResult(NamedTuple):
+    """erase_keys receipt: the committed snapshot version plus the
+    audited number of state rows the erasure actually removed."""
+
+    version: int
+    erased: int
+
+
 def erase_keys(
-    store: ParquetStateStore | BucketedStateStore,
+    store: ParquetStateStore,
     keys: DataFrame,
     pk: list[str],
-) -> int:
+) -> EraseResult:
     """Compliance deletion (GDPR/CCPA erasure): remove every state row
     whose PK appears in ``keys`` and commit the result as a NEW
     snapshot version — auditable (the pre-erasure snapshot remains
@@ -1305,7 +1238,14 @@ def erase_keys(
     Plan: one LEFT ANTI join of the state table against the key set —
     at 100 TB the key set is tiny relative to state, so AQE broadcasts
     it and the state table is filtered in place, never shuffled.
-    Returns the new version id.
+    Returns EraseResult(version, erased): the committed version id and
+    the AUDITED number of state rows the erasure actually removed — a
+    compliance deletion whose report says "done" while a dtype or key
+    mismatch silently erased nothing is the worst failure mode here,
+    so the count comes from a LEFT SEMI join of the same basis against
+    the same cast keyset (on the pruned store that agg is bounded to
+    the touched buckets, like the erasure itself; erase-of-absent-key
+    commits a version and reports erased=0).
 
     Safe concurrent with the CDC stream, on two mechanisms. (1) The
     whole basis-read -> anti-join -> commit runs under the store's
@@ -1367,9 +1307,12 @@ def erase_keys(
                     store._bucket_of([F.col(k) for k in pk]).alias("b")
                 ).distinct().collect()
             }
-            new_t = store._read_buckets(manifest, touched).join(
-                F.broadcast(keyset), on=pk, how="left_anti"
-            )
+            basis = store._read_buckets(manifest, touched)
+            # audited post-condition, bounded to the touched buckets
+            erased = basis.join(
+                F.broadcast(keyset), on=pk, how="left_semi"
+            ).count()
+            new_t = basis.join(F.broadcast(keyset), on=pk, how="left_anti")
             store._write_bucket_dirs(
                 new_t, new_version,
                 n_parts=min(store.n_buckets, max(1, len(touched))),
@@ -1384,6 +1327,8 @@ def erase_keys(
             )
             store._repoint(new_version, store.last_epoch())
         else:
-            new_state = store.read().join(keyset, on=pk, how="left_anti")
+            state = store.read()
+            erased = state.join(keyset, on=pk, how="left_semi").count()
+            new_state = state.join(keyset, on=pk, how="left_anti")
             store._write_unlocked(new_state, new_version, epoch_id=None)
-    return new_version
+    return EraseResult(new_version, erased)

@@ -6,6 +6,7 @@ the hand-computed final state."""
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 
@@ -560,167 +561,6 @@ def test_run_cdc_stream_with_retention(spark, tmp_path):
     assert got == EXPECTED
 
 
-def test_bucketed_state_store_avoids_state_exchange(spark, tmp_path):
-    """Exchange-free-merge demonstration (superseded as the scale
-    layout by PrunedParquetStateStore, whose no-broadcast route is
-    plan-gated separately): with a PK-bucketed state table, the
-    non-broadcast merge's anti join reads state WITHOUT an Exchange —
-    the plan has strictly fewer exchanges than the same merge over a
-    plain parquet snapshot, and results are identical."""
-    from canal_phoenix_adapter_spark.operators.merge import merge_cdc
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
-    from canal_phoenix_adapter_spark.streaming.stream import BucketedStateStore
-
-    base = "seq long, op string, id long, name string, old_id long"
-    state_rows = [(0, "INSERT", i, f"n{i}", None) for i in range(1, 501)]
-    init = spark.createDataFrame(state_rows, base).drop("seq", "op", "old_id")
-    batch = spark.createDataFrame(
-        [(10, "UPDATE", 3, "x", None), (11, "DELETE", 4, None, None)], base
-    )
-
-    bucketed = BucketedStateStore(
-        spark, str(tmp_path / "ptr"), "t_state_bkt", ["id"], buckets=4
-    )
-    bucketed.write(init, 0)
-    plain = ParquetStateStore(spark, str(tmp_path / "plain"))
-    plain.write(init, 0)
-
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
-    try:
-        m_bkt = merge_cdc(bucketed.read(), batch, ["id"], broadcast_changes=False)
-        m_plain = merge_cdc(plain.read(), batch, ["id"], broadcast_changes=False)
-        plan_bkt = explain_str(m_bkt)
-        plan_plain = explain_str(m_plain)
-        ex_bkt = plan_bkt.count(") Exchange")
-        ex_plain = plan_plain.count(") Exchange")
-        assert ex_bkt < ex_plain, (ex_bkt, ex_plain)
-        got = sorted((r["id"], r["name"]) for r in m_bkt.collect())
-        want = sorted((r["id"], r["name"]) for r in m_plain.collect())
-        assert got == want
-        assert (3, "x") in got and all(i != 4 for i, _ in got)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS default.t_state_bkt_v0")
-
-
-def test_bucketed_state_store_versioning_and_prune(spark, tmp_path):
-    from canal_phoenix_adapter_spark.streaming.stream import BucketedStateStore
-
-    store = BucketedStateStore(
-        spark, str(tmp_path / "ptr"), "t_state_ver", ["id"], buckets=2
-    )
-    try:
-        for v in range(3):
-            df = spark.createDataFrame([(i, v) for i in range(5)], "id long, ver long")
-            store.write(df, v)
-        assert store.current_version() == 2
-        assert store.versions() == [0, 1, 2]
-        assert store.read().where("ver = 2").count() == 5
-        assert store.prune(keep_last=1) == [0, 1]
-        assert store.versions() == [2]
-    finally:
-        for v in range(3):
-            spark.sql(f"DROP TABLE IF EXISTS default.t_state_ver_v{v}")
-
-
-def test_bucketed_state_store_drives_cdc_epochs(spark, tmp_path):
-    """apply_cdc_epoch against the BUCKETED store — the exchange-free
-    merge demo store must work through the same epoch protocol as
-    the parquet store (commit lock, epoch watermark, replay no-op,
-    prune), not just direct write/read."""
-    from canal_phoenix_adapter_spark.streaming.stream import (
-        BucketedStateStore,
-        apply_cdc_epoch,
-    )
-
-    store = BucketedStateStore(
-        spark, str(tmp_path / "ptr"), "t_state_epoch", ["id"], buckets=2
-    )
-    base = "seq long, op string, id long, name string, old_id long"
-    b0 = spark.createDataFrame(
-        [(1, "INSERT", 1, "a", None), (2, "INSERT", 2, "b", None)], base
-    )
-    b1 = spark.createDataFrame(
-        [(3, "UPDATE", 1, "a2", None), (4, "DELETE", 2, "b", None)], base
-    )
-    try:
-        assert apply_cdc_epoch(store, b0, 0, ["id"])
-        assert apply_cdc_epoch(store, b1, 1, ["id"])
-        got = {r["id"]: r["name"] for r in store.read().collect()}
-        assert got == {1: "a2"}
-        # replay of a committed epoch must no-op
-        assert apply_cdc_epoch(store, b1, 1, ["id"]) is False
-        assert store.last_epoch() == 1 and store.current_version() == 1
-        assert store.prune(keep_last=1) == [0]
-    finally:
-        for v in (0, 1):
-            spark.sql(f"DROP TABLE IF EXISTS default.t_state_epoch_v{v}")
-
-
-def test_erase_keys_on_bucketed_store(spark, tmp_path):
-    """Compliance erasure must work on the bucketed (100 TB-layout)
-    store through the same commit-lock/watermark protocol: a new
-    version without the erased keys, epoch watermark carried, and a
-    later CDC epoch still applies (the erasure version can neither
-    shadow it nor collide with its snapshot)."""
-    from canal_phoenix_adapter_spark.streaming.stream import (
-        BucketedStateStore,
-        apply_cdc_epoch,
-        erase_keys,
-    )
-
-    store = BucketedStateStore(
-        spark, str(tmp_path / "ptr"), "t_state_erase", ["id"], buckets=2
-    )
-    base = "seq long, op string, id long, name string, old_id long"
-    b0 = spark.createDataFrame(
-        [(1, "INSERT", 1, "a", None), (2, "INSERT", 2, "b", None),
-         (3, "INSERT", 3, "c", None)], base
-    )
-    versions = []
-    try:
-        assert apply_cdc_epoch(store, b0, 0, ["id"])
-        keys = spark.createDataFrame([(2,)], "id long")
-        v = erase_keys(store, keys, ["id"])
-        versions = [0, v]
-        assert {r["id"] for r in store.read().collect()} == {1, 3}
-        assert store.last_epoch() == 0  # watermark carried, not bumped
-        # a later epoch still applies on top of the erasure snapshot
-        b1 = spark.createDataFrame([(4, "UPDATE", 1, "a2", None)], base)
-        assert apply_cdc_epoch(store, b1, 1, ["id"])
-        versions = sorted({0, v, store.current_version()})
-        got = {r["id"]: r["name"] for r in store.read().collect()}
-        assert got == {1: "a2", 3: "c"}
-    finally:
-        for ver in versions:
-            spark.sql(f"DROP TABLE IF EXISTS default.t_state_erase_v{ver}")
-
-
-def test_bucketed_state_store_negative_bootstrap_version(spark, tmp_path):
-    """The etl-then-sync bootstrap commits the backfill as version -1
-    (below any epoch id). A '-' is illegal in a table identifier, so
-    negative versions spell as vm<abs> — and versions()/prune() must
-    see them, or the full-backfill snapshot (the largest in the
-    store) is retained forever."""
-    from canal_phoenix_adapter_spark.streaming.stream import BucketedStateStore
-
-    store = BucketedStateStore(
-        spark, str(tmp_path / "ptr"), "t_state_boot", ["id"], buckets=2
-    )
-    try:
-        store.write(spark.createDataFrame([(1, 0)], "id long, v long"), -1)
-        assert store.current_version() == -1
-        assert store.read().count() == 1
-        store.write(spark.createDataFrame([(1, 1), (2, 1)], "id long, v long"), 5)
-        assert store.versions() == [-1, 5]
-        assert store.prune(keep_last=1) == [-1]
-        assert store.versions() == [5]
-    finally:
-        spark.sql("DROP TABLE IF EXISTS default.t_state_boot_vm1")
-        spark.sql("DROP TABLE IF EXISTS default.t_state_boot_v5")
-
-
 def test_malformed_canal_json_is_dropped_not_fatal(spark):
     """Garbage lines in the Canal feed must not kill the pipeline:
     from_json yields a null envelope, routing drops it, well-formed
@@ -886,6 +726,45 @@ def test_kafka_source_options_builder():
     }
 
 
+def test_kafka_value_projection_contract(spark, tmp_path):
+    """r6 VERDICT task 6: read_canal_kafka's downstream contract,
+    exercised without a broker. A static DataFrame shaped exactly like
+    Spark's Kafka source output (binary key/value + topic/partition/
+    offset/timestamp/timestampType) goes through the SAME composition
+    read_canal_kafka builds — parse_dml_json(json_col="value") ->
+    typed_changes — and must land the identical typed rows and schema
+    as the file-source path over the same envelopes; both projections
+    stay exchange-free (pure scan-side pipelines)."""
+    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from canal_phoenix_adapter_spark.sources.events import DML_ENVELOPE
+    from canal_phoenix_adapter_spark.streaming.stream import typed_changes
+
+    kafka_like = spark.createDataFrame(
+        [(None, json.dumps(e).encode("utf-8"), "canal.mytest", 0, i,
+          datetime.datetime(2024, 3, 1, 0, 0, i), 0)
+         for i, e in enumerate(EVENTS)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    via_kafka = typed_changes(
+        parse_dml_json(kafka_like, json_col="value"), CFG, VALUE_SCHEMA
+    )
+
+    src = str(tmp_path / "src")
+    write_events(src, EVENTS)
+    via_file = typed_changes(
+        spark.read.schema(DML_ENVELOPE).json(src), CFG, VALUE_SCHEMA
+    )
+
+    assert via_kafka.schema == via_file.schema
+    assert sorted(map(tuple, via_kafka.collect())) == sorted(
+        map(tuple, via_file.collect())
+    )
+    # the routed+exploded projection is scan-side on both sources
+    for plan in (explain_str(via_kafka), explain_str(via_file)):
+        assert ") Exchange" not in plan
+
+
 def test_session_window_streaming_with_watermark(spark, tmp_path):
     """The session_window expression from the batch rollup runs
     unchanged as a streaming aggregation: finalized sessions (behind
@@ -1042,8 +921,9 @@ def test_erase_keys_commits_new_version(spark, tmp_path):
     )
     store.write(state, 0)
     keys = spark.createDataFrame([(2,), (99,)], "id long")  # 99 absent: no-op
-    v = erase_keys(store, keys, ["id"])
+    v, erased = erase_keys(store, keys, ["id"])
     assert v == 1 and store.current_version() == 1
+    assert erased == 1  # audited: key 2 removed, absent key 99 not counted
     assert {r["id"] for r in store.read().collect()} == {1, 3}
     # audit trail: pre-erasure snapshot still readable until pruned
     assert {r["id"] for r in store.read_version(0).collect()} == {1, 2, 3}
@@ -1072,8 +952,8 @@ def test_erasure_does_not_shadow_future_epoch(spark, tmp_path):
     assert store.current_version() == 0 and store.last_epoch() == 0
 
     keys = spark.createDataFrame([(2,)], "id long")
-    v = erase_keys(store, keys, ["id"])
-    assert v == 1 and store.current_version() == 1
+    v, erased = erase_keys(store, keys, ["id"])
+    assert v == 1 and erased == 1 and store.current_version() == 1
     assert store.last_epoch() == 0  # watermark carried, not advanced
 
     # epoch 1 arrives AFTER the erasure: must apply, not no-op
@@ -1390,6 +1270,49 @@ def test_pruned_store_schema_heal_rewrites_all_buckets(spark, tmp_path):
     assert "tier" in {f.name for f in pruned._schema_of(pruned._manifest(1)).fields}
 
 
+def test_pruned_fallback_epochs_skip_isempty_recheck(spark, tmp_path,
+                                                     monkeypatch):
+    """r6 ADVICE (low): the pruned store's TRUNCATE and heal/DDL
+    fallbacks delegate to the base full-rewrite path, whose entry once
+    re-ran batch_df.isEmpty() — one redundant Spark job on a batch the
+    pre-scan already counted as non-empty. The fallbacks must enter
+    via _merge_commit_nonempty (zero isEmpty calls); results are
+    unchanged."""
+    from pyspark.sql import DataFrame
+
+    from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
+
+    pruned, _ = _pruned_and_full(spark, tmp_path)
+    b0 = _batch(spark, [(i, "INSERT", i, f"n{i}", float(i), None)
+                        for i in range(1, 21)])
+    assert apply_cdc_epoch(pruned, b0, 0, ["id"])
+
+    calls = []
+    orig = DataFrame.isEmpty
+    monkeypatch.setattr(
+        DataFrame, "isEmpty",
+        lambda self: (calls.append(1), orig(self))[1],
+    )
+    # TRUNCATE fallback: full rewrite, no emptiness recheck
+    bt = _batch(spark, [(100, "TRUNCATE", None, None, None, None),
+                        (101, "INSERT", 1, "one", 1.0, None)])
+    assert apply_cdc_epoch(pruned, bt, 1, ["id"])
+    assert calls == [] and _state_dict(pruned) == {1: (1.0, "one")}
+    # heal/DDL fallback: the batch carries a NEW column -> schema
+    # change -> full rewrite, still no emptiness recheck
+    bh = spark.createDataFrame(
+        [(200, "UPDATE", 1, "uno", 1.5, None, "gold")],
+        BASE_SCHEMA + ", tier string",
+    )
+    assert apply_cdc_epoch(pruned, bh, 2, ["id"])
+    assert calls == []
+    got = {r["id"]: (r["name"], r["tier"]) for r in pruned.read().collect()}
+    assert got == {1: ("uno", "gold")}
+    # the plain store's normal path still owns the emptiness check
+    empty = _batch(spark, [])
+    assert apply_cdc_epoch(pruned, empty, 3, ["id"]) is False
+
+
 def test_pruned_store_truncate_erase_prune_timetravel(spark, tmp_path):
     """TRUNCATE falls back to full rewrite; erase_keys commits a new
     manifest version; prune() GCs shared bucket dirs by reference
@@ -1418,8 +1341,9 @@ def test_pruned_store_truncate_erase_prune_timetravel(spark, tmp_path):
         assert apply_cdc_epoch(store, b2, 2, ["id"])
     assert _state_dict(pruned) == _state_dict(full) == {5: (5.0, "reborn")}
 
-    v = erase_keys(pruned, spark.createDataFrame([(5,)], "id long"), ["id"])
-    assert v == 3
+    v, erased = erase_keys(pruned, spark.createDataFrame([(5,)], "id long"),
+                           ["id"])
+    assert v == 3 and erased == 1
     assert pruned.read().count() == 0  # empty state stays readable
     doomed = pruned.prune(keep_last=1)
     assert doomed == [0, 1, 2]
@@ -1476,7 +1400,9 @@ def test_pruned_store_prune_keeps_shared_buckets_readable(spark, tmp_path):
     # buckets holding erased keys; everything else rides the manifest
     from canal_phoenix_adapter_spark.streaming.stream import erase_keys
 
-    v = erase_keys(pruned, spark.createDataFrame([(7,)], "id long"), ["id"])
+    v, erased = erase_keys(pruned, spark.createDataFrame([(7,)], "id long"),
+                           ["id"])
+    assert erased == 1
     assert _owned(pruned, v) == _bucket_of_ids(spark, [7], 8)
     assert pruned.read().count() == 199
     assert 7 not in _state_dict(pruned)
@@ -1581,7 +1507,8 @@ def test_pruned_erase_casts_keyset_types_and_guards_pk(spark, tmp_path):
 
     # int-typed keyset over long-typed state: must still erase
     keys = spark.createDataFrame([(7,), (9,)], "id int")
-    v = erase_keys(pruned, keys, ["id"])
+    v, erased = erase_keys(pruned, keys, ["id"])
+    assert erased == 2  # audited count computed on the CAST keyset
     got = _state_dict(pruned)
     assert 7 not in got and 9 not in got and len(got) == 48
     # the erasure version rewrote only the buckets of the erased keys
@@ -1593,7 +1520,8 @@ def test_pruned_erase_casts_keyset_types_and_guards_pk(spark, tmp_path):
     # one spurious touched bucket per erasure): the erasure version
     # owns only the representable key's bucket
     wide = spark.createDataFrame([("not-a-number",), ("11",)], "id string")
-    v2 = erase_keys(pruned, wide, ["id"])
+    v2, erased2 = erase_keys(pruned, wide, ["id"])
+    assert erased2 == 1  # the unrepresentable key is a correct 0
     got = _state_dict(pruned)
     assert 11 not in got and len(got) == 47
     assert _owned(pruned, v2) <= _bucket_of_ids(spark, [11], 8)
@@ -1602,7 +1530,8 @@ def test_pruned_erase_casts_keyset_types_and_guards_pk(spark, tmp_path):
     # the cast) touches zero buckets: the commit is a no-op version
     # whose manifest carries every bucket forward and owns none itself
     none_rep = spark.createDataFrame([("nope",), ("also-no",)], "id string")
-    v3 = erase_keys(pruned, none_rep, ["id"])
+    v3, erased3 = erase_keys(pruned, none_rep, ["id"])
+    assert erased3 == 0  # erase-of-absent-keys: committed, audited 0
     assert len(_state_dict(pruned)) == 47
     assert _owned(pruned, v3) == set()
     assert pruned.current_version() == v3
@@ -1668,6 +1597,12 @@ def test_plain_store_refuses_pruned_layout(spark, tmp_path):
     # v0 would delete live state the current manifest references
     with pytest.raises(ValueError, match="PrunedParquetStateStore"):
         plain.prune(keep_last=1)
+    # write() is the PUBLISH direction (ADVICE r7): a plain-handle
+    # write()+repoint over the pruned layout would publish a
+    # manifest-less _CURRENT that fails every pruned handle with the
+    # migration error and strands the bucket dirs
+    with pytest.raises(ValueError, match="PrunedParquetStateStore"):
+        plain.write(spark.createDataFrame([(1, "x")], "id long, name string"), 5)
     # the refusals committed nothing over the pruned store
     assert pruned.last_epoch() == 1 and pruned.read().count() == 50
     assert pruned.read_version(0).count() == 50  # v0 survived
