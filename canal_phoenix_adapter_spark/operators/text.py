@@ -79,6 +79,20 @@ def lang_id(text: Column, default: str = "und") -> Column:
     return best_lang
 
 
+def _check_carry(carry: tuple[str, ...], produced: set[str], op: str,
+                 id_col: str) -> None:
+    """Carry columns are pure pass-through plumbing — a carry name that
+    collides with a column the operator generates (or the id itself)
+    would silently produce duplicate/ambiguous output columns; fail
+    loudly at plan-build time instead."""
+    clash = sorted(set(carry) & (produced | {id_col}))
+    if clash:
+        raise ValueError(
+            f"{op}: carry columns {clash} collide with columns the "
+            "operator produces (or the id column); rename them upstream"
+        )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str,
                      carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc quality features + composite score.
@@ -104,6 +118,10 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     sf0.1). counts -> ratios -> quality nesting makes each appear
     once; CollapseProject refuses to inline non-cheap duplicated
     expressions, so the staging survives optimization."""
+    _check_carry(carry, {"n_chars", "n_tokens", "_stop_hits", "_n_punct",
+                         "_n_digit", "stopword_ratio", "punct_ratio",
+                         "digit_ratio", "quality"},
+                 "quality_features", id_col)
     text = F.col(text_col)
     counts = df.select(
         F.col(id_col),
@@ -283,6 +301,8 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str,
     DuckDB RE2-subset compatible): inside a longer dotted run like
     1.2.3.4.5 it matches the first four octets — over-redaction, the
     conservative direction for a scrubber."""
+    _check_carry(carry, {"n_emails", "n_ips", "text_scrubbed"},
+                 "pii_scrub", id_col)
     t = F.col(text_col)
     no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return df.select(
@@ -309,6 +329,7 @@ def doc_chunks(
     The token array is materialized in a projection below the
     generator (one regex split per row, not per chunk — see
     raw_shingles in dedup.py for the O(tokens^2) trap this avoids)."""
+    _check_carry(carry, {"pos", "chunk", "__toks"}, "doc_chunks", id_col)
     toks_df = df.select(F.col(id_col), *[F.col(c) for c in carry],
                         _tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
@@ -353,6 +374,9 @@ def boilerplate_strip(
     the chunk rows through the one reassembly shuffle (narrow per-doc
     scalars, first()-reassembled): no join-back needed downstream."""
     from canal_phoenix_adapter_spark.functions.hashing import md5_long
+
+    _check_carry(carry, {"pos", "chunk", "__toks", "__h", "n_kept_chunks",
+                         "text_clean"}, "boilerplate_strip", id_col)
 
     # persist: ch feeds BOTH the hot-chunk doc-freq aggregate and the
     # anti-join probe — uncached, the corpus-wide chunk explode + hash

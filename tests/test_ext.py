@@ -233,6 +233,27 @@ def test_carry_columns_are_pure_plumbing(spark):
         )
 
 
+def test_carry_collision_raises(spark):
+    """A carry name matching a generated column (or the id) must fail
+    loudly at plan-build time, not produce duplicate/ambiguous output
+    columns (ADVICE r6)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 7)], "doc_id long, text string, pos long"
+    )
+    for op, bad in [
+        (text_ops.quality_features, "quality"),
+        (text_ops.pii_scrub, "n_ips"),
+        (text_ops.doc_chunks, "pos"),
+        (text_ops.boilerplate_strip, "text_clean"),
+    ]:
+        with pytest.raises(ValueError, match=f"carry columns \\['{bad}'\\]"):
+            op(docs, "doc_id", "text", carry=(bad,))
+        with pytest.raises(ValueError, match="doc_id"):
+            op(docs, "doc_id", "text", carry=("doc_id",))
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
     r = df.select(
