@@ -14,6 +14,15 @@ by construction; pruned should be ~O(batch). One JSON line per
 (store, factor); findings recorded in SCALE.md.
 
 Usage: python tools/epoch_smoke.py [factor ...]   (default: 1 4 16)
+       python tools/epoch_smoke.py crossover [factor]   (default: 64)
+
+The crossover mode (VERDICT r6 task 3) locates where the pruned
+store's no-broadcast merge overtakes the broadcast one: ONE store at a
+large fixed state, batch size swept across the 2M-row default
+threshold, the two routes INTERLEAVED per batch size in the same
+session (the shingle_bisect protocol — composition and host noise hit
+both routes equally). Reports median epoch wall per (batch_rows,
+route); findings + the measured crossover recorded in SCALE.md.
 """
 
 from __future__ import annotations
@@ -83,10 +92,10 @@ def state_df(spark, n: int):
     )
 
 
-def batch_df(spark, epoch: int, state_rows: int):
+def batch_df(spark, epoch: int, state_rows: int, n_rows: int = None):
     # keys spread across the whole state so merges do real upserts;
     # deterministic per epoch
-    return spark.range(BATCH_ROWS).select(
+    return spark.range(n_rows or BATCH_ROWS).select(
         (F.lit(1000 + epoch) * 1000 + F.col("id")).alias("seq"),
         F.when(F.col("id") % 10 == 0, F.lit("DELETE"))
         .otherwise(F.lit("UPDATE")).alias("op"),
@@ -98,9 +107,58 @@ def batch_df(spark, epoch: int, state_rows: int):
     )
 
 
+def crossover(factor: int = 64) -> None:
+    """Sweep batch size across the broadcast threshold at a fixed
+    large state, routes interleaved in one session. Keys spread across
+    the whole state, so big batches touch ~every bucket and the two
+    routes differ ONLY in the merge exchange strategy (the write is
+    identical) — exactly the term broadcast_threshold_rows gates."""
+    import statistics
+    import tempfile
+
+    spark = get_spark("epoch-smoke-crossover")
+    rows = BASE_ROWS * factor
+    reps = int(os.environ.get("EPOCH_SMOKE_CROSSOVER_REPS", "3"))
+    sweep = [int(b) for b in os.environ.get(
+        "EPOCH_SMOKE_CROSSOVER_BATCHES", "100000,500000,1000000,2000000,4000000"
+    ).split(",")]
+    base = tempfile.mkdtemp(prefix="epoch_smoke_xover_")
+    store = PrunedParquetStateStore(
+        spark, os.path.join(base, "s"), ["id"],
+        n_buckets=max(32, rows // ROWS_PER_BUCKET),
+    )
+    store.write(state_df(spark, rows), version=-1)
+    epoch = 0
+    for n_rows in sweep:
+        walls = {"broadcast": [], "shuffle": []}
+        for _rep in range(reps):
+            for route, thresh in (("broadcast", 1 << 40), ("shuffle", 0)):
+                store.broadcast_threshold_rows = thresh
+                b = batch_df(spark, epoch, rows, n_rows=n_rows)
+                t0 = time.perf_counter()
+                assert apply_cdc_epoch(store, b, epoch, ["id"])
+                walls[route].append(round(time.perf_counter() - t0, 3))
+                store.prune(keep_last=2)
+                epoch += 1
+        for route, ws in walls.items():
+            print(json.dumps({
+                "crossover_smoke": route,
+                "factor": factor,
+                "state_rows": rows,
+                "batch_rows": n_rows,
+                "epoch_wall_median": round(statistics.median(ws), 3),
+                "samples": ws,
+            }), flush=True)
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     import tempfile
 
+    if sys.argv[1:2] == ["crossover"]:
+        crossover(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+        return
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("epoch-smoke")
     for factor in factors:
