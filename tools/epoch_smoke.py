@@ -129,17 +129,43 @@ def crossover(factor: int = 64) -> None:
     )
     store.write(state_df(spark, rows), version=-1)
     epoch = 0
+    # Three routes, because crossing the threshold only REMOVES the
+    # forced-broadcast hint — it does not force a shuffle:
+    #   broadcast: batch <= threshold, F.broadcast hint on the keyset
+    #   auto:      batch >  threshold, default conf — AQE still
+    #              broadcasts any keyset under its own threshold
+    #   smj:       batch >  threshold AND the keyset too big for AQE
+    #              (emulated via autoBroadcastJoinThreshold=-1) — the
+    #              true shuffle worst case the threshold insures
+    # route = (name, store threshold, autoBroadcastJoinThreshold)
+    auto_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    routes = [("broadcast", 1 << 40, auto_bcast), ("auto", 0, auto_bcast),
+              ("smj", 0, "-1")]
+    keep = os.environ.get("EPOCH_SMOKE_CROSSOVER_ROUTES")
+    if keep:
+        routes = [r for r in routes if r[0] in keep.split(",")]
+    # untimed warmup: the first epoch of a session pays Janino/C2
+    # compilation per plan shape, which otherwise lands entirely on
+    # the sweep's first sample
+    for _name, thresh, conf in routes:
+        store.broadcast_threshold_rows = thresh
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+        assert apply_cdc_epoch(store, batch_df(spark, epoch, rows,
+                                               n_rows=sweep[0]), epoch, ["id"])
+        epoch += 1
     for n_rows in sweep:
-        walls = {"broadcast": [], "shuffle": []}
+        walls = {name: [] for name, _t, _c in routes}
         for _rep in range(reps):
-            for route, thresh in (("broadcast", 1 << 40), ("shuffle", 0)):
+            for route, thresh, conf in routes:
                 store.broadcast_threshold_rows = thresh
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
                 b = batch_df(spark, epoch, rows, n_rows=n_rows)
                 t0 = time.perf_counter()
                 assert apply_cdc_epoch(store, b, epoch, ["id"])
                 walls[route].append(round(time.perf_counter() - t0, 3))
                 store.prune(keep_last=2)
                 epoch += 1
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_bcast)
         for route, ws in walls.items():
             print(json.dumps({
                 "crossover_smoke": route,
