@@ -38,42 +38,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # streaming per-epoch drive (cdc_stream_20_epochs) the kernel bench
 # cannot see.
 HEADLINE = [
-    "cdc_merge_full",
-    "cdc_merge_into_state",
-    "etl_scan_condition",
-    "etl_idempotent_load",
-    "proj_type_coercion",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard_maxdf",
-    "dedup_simhash_pairs_capped",
-    "dedup_embedding_cosine_lsh",
-    "text_quality",
-    "text_features",
-    "text_vocab_topk",
-    "sampling_assembly",
-    "sampling_pack_sequences",
-    "mm_geometry",
-    "mm_extract_features",
-    "analytics_asof_join",
-    "analytics_asof_tiebreak",
-    "dedup_chunk_crossdoc",
-    "text_boilerplate_strip",
-    "text_pii_scrub",
-    "dedup_semantic_ivf",
-    "analytics_time_rollup",
-    "analytics_topk_per_group",
-    "analytics_rollup",
-    "analytics_session_window",
-    "analytics_salted_join",
-    "pipeline_corpus_clean",
+    "cdc_merge_full", "cdc_merge_into_state", "etl_scan_condition",
+    "etl_idempotent_load", "proj_type_coercion", "dedup_exact_groups",
+    "dedup_minhash_lsh_capped", "dedup_ngram_jaccard_maxdf",
+    "dedup_simhash_pairs_capped", "dedup_embedding_cosine_lsh",
+    "text_quality", "text_features", "text_vocab_topk",
+    "sampling_assembly", "sampling_pack_sequences", "mm_geometry",
+    "mm_extract_features", "analytics_asof_join",
+    "analytics_asof_tiebreak", "dedup_chunk_crossdoc",
+    "text_boilerplate_strip", "text_pii_scrub", "dedup_semantic_ivf",
+    "analytics_time_rollup", "analytics_topk_per_group",
+    "analytics_rollup", "analytics_session_window",
+    "analytics_salted_join", "pipeline_corpus_clean",
     # Iterative / incremental / train-serve paths: kept in the headline
     # so regressions in loops (Pregel components, Lloyd's k-means) and
     # batch-vs-index joins are visible round over round.
-    "dedup_clusters",
-    "text_decontaminate_ngram",
-    "dedup_minhash_lsh_incremental",
-    "sim_knn_join_ivf",
+    "dedup_clusters", "text_decontaminate_ngram",
+    "dedup_minhash_lsh_incremental", "sim_knn_join_ivf",
     "sim_ann_ivf_trained",
     # LAST, and timed in their own tail loop after every normal pass:
     # 20 streaming epochs leave shuffle/GC/checkpoint state behind
@@ -223,6 +204,12 @@ def main() -> None:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         names = [n for n in names if n in keep]
 
+    def run_query(name: str) -> None:
+        if name in SPECIAL:
+            SPECIAL[name](spark, sf_dir)
+        else:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Warm the JVM at the TARGET scale factor: AQE picks different
     # physical shapes at different sizes, so warming at a tiny SF
     # leaves the real plans' generated classes uncompiled and the
@@ -232,10 +219,7 @@ def main() -> None:
     # engine throughput, the number that scales to a real cluster).
     for name in names:
         try:
-            if name in SPECIAL:
-                SPECIAL[name](spark, sf_dir)
-            else:
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            run_query(name)
         except Exception:  # noqa: BLE001 - warmup is best-effort
             pass
 
@@ -251,10 +235,7 @@ def main() -> None:
         # blocks only add GC/eviction pressure).
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        if name in SPECIAL:
-            SPECIAL[name](spark, sf_dir)
-        else:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_query(name)
         return round(time.perf_counter() - t0, 3)
 
     # Normal queries run all their passes BEFORE any SPECIAL workload:

@@ -613,19 +613,27 @@ class PrunedParquetStateStore(ParquetStateStore):
             return super()._merge_commit_nonempty(
                 batch_df, pk, version, epoch_id
             )
+        self._commit_touched(merged, version, manifest, set(touched),
+                             merged.schema, epoch_id)
+        return merged, prev_cols
+
+    def _commit_touched(self, df: DataFrame, version: int, manifest: dict,
+                        touched: set, schema, epoch_id) -> None:
+        """Bucket-local commit shared by the pruned merge and the
+        pruned erasure: write only the touched buckets (write tasks
+        sized to |touched|), publish a manifest where touched buckets
+        that survived point at this version, touched buckets with no
+        survivors drop out, and untouched buckets keep their current
+        owner; then repoint."""
         self._write_bucket_dirs(
-            merged, version, n_parts=min(self.n_buckets, max(1, len(touched)))
+            df, version, n_parts=min(self.n_buckets, max(1, len(touched)))
         )
-        # new manifest: touched buckets that survived -> this version;
-        # touched buckets with no survivors drop out; untouched keep
-        # their current owner
         buckets = {
-            b: o for b, o in manifest["buckets"].items() if b not in set(touched)
+            b: o for b, o in manifest["buckets"].items() if b not in touched
         }
         buckets.update(self._owned_buckets(version))
-        self._write_manifest(version, merged.schema, buckets)
+        self._write_manifest(version, schema, buckets)
         self._repoint(version, epoch_id)
-        return merged, prev_cols
 
     # -- retention -----------------------------------------------------------
 
@@ -785,6 +793,21 @@ def apply_cdc_epoch(
     return True
 
 
+def _start_foreach(changes: DataFrame, apply_epoch, checkpoint_path: str,
+                   available_now: bool):
+    """Shared foreachBatch launch: update-mode writer with the epoch
+    body + checkpoint, availableNow-triggered for drain-the-backlog
+    runs."""
+    writer = (
+        changes.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_cdc_stream(
     spark: SparkSession,
     source_path: str,
@@ -852,14 +875,7 @@ def run_cdc_stream(
 
     stream = read_canal_stream(spark, source_path, max_files_per_trigger)
     changes = typed_changes(stream, cfg, value_schema)
-    writer = (
-        changes.writeStream.foreachBatch(apply_epoch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach(changes, apply_epoch, checkpoint_path, available_now)
 
 
 def windowed_rollup_stream(
@@ -1016,14 +1032,7 @@ def run_cdc_stream_to_sink(
 
     stream = read_canal_stream(spark, source_path)
     changes = typed_changes(stream, cfg, value_schema)
-    writer = (
-        changes.writeStream.foreachBatch(apply_epoch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach(changes, apply_epoch, checkpoint_path, available_now)
 
 
 def interval_join_streams(
@@ -1313,19 +1322,9 @@ def erase_keys(
                 F.broadcast(keyset), on=pk, how="left_semi"
             ).count()
             new_t = basis.join(F.broadcast(keyset), on=pk, how="left_anti")
-            store._write_bucket_dirs(
-                new_t, new_version,
-                n_parts=min(store.n_buckets, max(1, len(touched))),
-            )
-            buckets = {
-                b: o for b, o in manifest["buckets"].items()
-                if b not in touched
-            }
-            buckets.update(store._owned_buckets(new_version))
-            store._write_manifest(
-                new_version, store._schema_of(manifest), buckets
-            )
-            store._repoint(new_version, store.last_epoch())
+            store._commit_touched(new_t, new_version, manifest, touched,
+                                  store._schema_of(manifest),
+                                  store.last_epoch())
         else:
             state = store.read()
             erased = state.join(keyset, on=pk, how="left_semi").count()

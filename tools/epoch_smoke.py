@@ -113,6 +113,7 @@ def crossover(factor: int = 64) -> None:
     the whole state, so big batches touch ~every bucket and the two
     routes differ ONLY in the merge exchange strategy (the write is
     identical) — exactly the term broadcast_threshold_rows gates."""
+    import shutil
     import statistics
     import tempfile
 
@@ -144,38 +145,36 @@ def crossover(factor: int = 64) -> None:
     keep = os.environ.get("EPOCH_SMOKE_CROSSOVER_ROUTES")
     if keep:
         routes = [r for r in routes if r[0] in keep.split(",")]
+
+    def run_epoch(thresh, conf, n_rows):
+        nonlocal epoch
+        store.broadcast_threshold_rows = thresh
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+        b = batch_df(spark, epoch, rows, n_rows=n_rows)
+        t0 = time.perf_counter()
+        assert apply_cdc_epoch(store, b, epoch, ["id"])
+        wall = round(time.perf_counter() - t0, 3)
+        store.prune(keep_last=2)
+        epoch += 1
+        return wall
+
     # untimed warmup: the first epoch of a session pays Janino/C2
     # compilation per plan shape, which otherwise lands entirely on
     # the sweep's first sample
     for _name, thresh, conf in routes:
-        store.broadcast_threshold_rows = thresh
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
-        assert apply_cdc_epoch(store, batch_df(spark, epoch, rows,
-                                               n_rows=sweep[0]), epoch, ["id"])
-        epoch += 1
+        run_epoch(thresh, conf, sweep[0])
     for n_rows in sweep:
         walls = {name: [] for name, _t, _c in routes}
         for _rep in range(reps):
             for route, thresh, conf in routes:
-                store.broadcast_threshold_rows = thresh
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
-                b = batch_df(spark, epoch, rows, n_rows=n_rows)
-                t0 = time.perf_counter()
-                assert apply_cdc_epoch(store, b, epoch, ["id"])
-                walls[route].append(round(time.perf_counter() - t0, 3))
-                store.prune(keep_last=2)
-                epoch += 1
+                walls[route].append(run_epoch(thresh, conf, n_rows))
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_bcast)
         for route, ws in walls.items():
-            print(json.dumps({
-                "crossover_smoke": route,
-                "factor": factor,
-                "state_rows": rows,
-                "batch_rows": n_rows,
-                "epoch_wall_median": round(statistics.median(ws), 3),
-                "samples": ws,
-            }), flush=True)
-    import shutil
+            print(json.dumps(
+                {"crossover_smoke": route, "factor": factor,
+                 "state_rows": rows, "batch_rows": n_rows,
+                 "epoch_wall_median": round(statistics.median(ws), 3),
+                 "samples": ws}), flush=True)
     shutil.rmtree(base, ignore_errors=True)
 
 
