@@ -11,8 +11,9 @@ driver captures only a bounded tail of stdout, and r6's inline
 samples dict pushed the one line past that capture, clipping 11 of
 36 queries from the round's canonical perf artifact (BENCH_r06.json
 "parsed": null). The compact line must stay under that capture —
-tests/test_ext.py pins the budget against the full 50-query
-registry.
+tests/test_bench_contract.py pins the budget at worst-case float
+widths for every HEADLINE name (the full registry would NOT fit:
+growing HEADLINE must keep that test green).
 
 Each query is executed with a count()-style action so the full plan
 runs but no result set is shipped to the driver (collect would
@@ -286,13 +287,6 @@ def main() -> None:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
-    # Distribution sidecar first, so a crash between the two writes
-    # can only lose the sidecar, never the driver-parsed line.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
-    )
-    with open(sidecar, "w", encoding="utf-8") as f:
-        json.dump({"samples": dist, "sf": sf_val, "passes": n_passes}, f)
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -306,7 +300,18 @@ def main() -> None:
     if len(line) > 1800:  # driver tail capture is ~2000 chars
         print(f"WARNING bench: final line {len(line)} chars may exceed "
               "the driver's stdout tail capture", file=sys.stderr)
-    print(line)
+    # Line first (the driver-parsed artifact), sidecar second: a crash
+    # between the two loses only the sidecar update. Diagnostic runs
+    # (SPARK_GRAFT_BENCH_ONLY subsets) skip the sidecar so they never
+    # clobber the committed full-registry distributions.
+    print(line, flush=True)
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES")
+    if sidecar or not only:
+        sidecar = sidecar or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+        )
+        with open(sidecar, "w", encoding="utf-8") as f:
+            json.dump({"samples": dist, "sf": sf_val, "passes": n_passes}, f)
 
 
 if __name__ == "__main__":

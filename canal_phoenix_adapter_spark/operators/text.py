@@ -84,13 +84,15 @@ def _check_carry(carry: tuple[str, ...], produced: set[str], op: str,
     """Carry columns are pure pass-through plumbing — a carry name that
     collides with a column the operator generates (or the id itself)
     would silently produce duplicate/ambiguous output columns; fail
-    loudly at plan-build time instead."""
-    clash = sorted(set(carry) & (produced | {id_col}))
+    loudly at plan-build time instead. Lowercased comparison: Spark
+    resolves column names case-insensitively by default, so 'Quality'
+    collides with 'quality'."""
+    lowered = {p.lower() for p in produced} | {id_col.lower()}
+    clash = sorted(c for c in carry if c.lower() in lowered)
     if clash:
         raise ValueError(
             f"{op}: carry columns {clash} collide with columns the "
-            "operator produces (or the id column); rename them upstream"
-        )
+            "operator produces (or the id column); rename them upstream")
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str,

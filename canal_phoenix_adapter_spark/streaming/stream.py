@@ -120,11 +120,7 @@ class _CommitPointer:
         return self._merge_commit_nonempty(batch_df, pk, version, epoch_id)
 
     def _merge_commit_nonempty(
-        self,
-        batch_df: DataFrame,
-        pk: list[str],
-        version: int,
-        epoch_id: int,
+        self, batch_df: DataFrame, pk: list[str], version: int, epoch_id: int
     ) -> tuple[DataFrame, set[str] | None]:
         """Full-snapshot read-merge-rewrite for a batch the caller has
         PROVEN non-empty — the pruned store's TRUNCATE and heal/DDL
@@ -231,11 +227,9 @@ class ParquetStateStore(_CommitPointer):
         cur = self.current_version()
         if cur is not None:
             # a plain handle publishing over a pruned layout would
-            # repoint to a manifest-less snapshot — every pruned handle
-            # then fails with the migration error and the bucket dirs
-            # are stranded; refuse like read()/prune() do (the pruned
-            # subclass overrides this method, so the check never fires
-            # on its own legitimate writes)
+            # repoint to a manifest-less snapshot, stranding every
+            # pruned reader — refuse like read()/prune() do (the pruned
+            # subclass overrides this method, so its own writes pass)
             self._refuse_pruned_layout(cur)
         if epoch_id is None:
             epoch_id = self.last_epoch()
@@ -502,6 +496,13 @@ class PrunedParquetStateStore(ParquetStateStore):
         """Full rewrite — bootstrap, erasure, and the TRUNCATE/
         schema-change fallbacks land here: the new version owns every
         surviving bucket."""
+        cur = self.current_version()
+        if cur is not None:
+            # publish-direction twin of the plain store's guard: over a
+            # plain layout _manifest raises the migration error —
+            # silently publishing would make the next prune() sweep
+            # every manifest-less plain snapshot dir as unreferenced
+            self._manifest(cur)
         if epoch_id is None:
             epoch_id = self.last_epoch()
         if self.BUCKET in df.columns:
@@ -798,11 +799,9 @@ def _start_foreach(changes: DataFrame, apply_epoch, checkpoint_path: str,
     """Shared foreachBatch launch: update-mode writer with the epoch
     body + checkpoint, availableNow-triggered for drain-the-backlog
     runs."""
-    writer = (
-        changes.writeStream.foreachBatch(apply_epoch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
+    writer = (changes.writeStream.foreachBatch(apply_epoch)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("update"))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -1228,7 +1227,6 @@ def state_changes(
 class EraseResult(NamedTuple):
     """erase_keys receipt: the committed snapshot version plus the
     audited number of state rows the erasure actually removed."""
-
     version: int
     erased: int
 

@@ -78,22 +78,27 @@ def test_driver_tail_parse_roundtrip():
 
 def test_samples_go_to_sidecar_not_stdout(tmp_path, monkeypatch):
     # The samples dict must never ride the stdout line again; bench
-    # writes it to BENCH_SAMPLES.json next to bench.py. Exercise the
-    # exact emit path with SPARK_GRAFT_BENCH_ONLY narrowing to zero
-    # queries so no Spark work runs.
-    import importlib
+    # writes it to the sidecar. Exercise the exact emit path with
+    # SPARK_GRAFT_BENCH_ONLY narrowing to zero queries so no Spark
+    # work runs — which also exercises the clobber guard: a diagnostic
+    # subset run must NOT touch the repo's committed BENCH_SAMPLES.json
+    # (only the explicit SPARK_GRAFT_BENCH_SAMPLES target opts in).
+    import importlib.util
     import io
     import os
     import sys
 
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "no_such_query")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "1")
-    # Redirect the sidecar into tmp_path by running a copy of bench
-    # from there.
-    src = os.path.join(os.path.dirname(bench.__file__), "bench.py")
-    dst = tmp_path / "bench.py"
-    dst.write_text(open(src, encoding="utf-8").read())
-    spec = importlib.util.spec_from_file_location("bench_copy", dst)
+    target = tmp_path / "BENCH_SAMPLES.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SAMPLES", str(target))
+    repo_sidecar = os.path.join(os.path.dirname(bench.__file__),
+                                "BENCH_SAMPLES.json")
+    before = open(repo_sidecar, "rb").read() if os.path.exists(repo_sidecar) \
+        else None
+    spec = importlib.util.spec_from_file_location(
+        "bench_copy", os.path.join(os.path.dirname(bench.__file__), "bench.py")
+    )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     cap = io.StringIO()
@@ -107,5 +112,8 @@ def test_samples_go_to_sidecar_not_stdout(tmp_path, monkeypatch):
     parsed = json.loads(out_line)
     assert "samples" not in parsed
     assert parsed["queries"] == {}
-    side = json.load(open(tmp_path / "BENCH_SAMPLES.json", encoding="utf-8"))
+    side = json.load(open(target, encoding="utf-8"))
     assert "samples" in side
+    after = open(repo_sidecar, "rb").read() if os.path.exists(repo_sidecar) \
+        else None
+    assert after == before  # the committed artifact was not clobbered

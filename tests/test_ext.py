@@ -252,6 +252,10 @@ def test_carry_collision_raises(spark):
             op(docs, "doc_id", "text", carry=(bad,))
         with pytest.raises(ValueError, match="doc_id"):
             op(docs, "doc_id", "text", carry=("doc_id",))
+        # Spark resolves names case-insensitively: 'Quality' vs
+        # 'quality' is the same downstream ambiguity
+        with pytest.raises(ValueError, match="carry columns"):
+            op(docs, "doc_id", "text", carry=(bad.upper(),))
 
 
 def test_token_counts(spark):

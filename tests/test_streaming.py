@@ -1568,6 +1568,12 @@ def test_pruned_store_refuses_plain_layout(spark, tmp_path):
     b1 = _batch(spark, [(10, "UPDATE", 3, "x", 0.0, None)])
     with pytest.raises(ValueError, match="plain ParquetStateStore layout"):
         apply_cdc_epoch(pruned, b1, 1, ["id"])
+    # write() is the PUBLISH direction (r7 review): a pruned-handle
+    # bootstrap write over the plain layout would commit a manifested
+    # version on top, after which prune() sweeps every manifest-less
+    # plain snapshot dir as unreferenced storage — refuse instead
+    with pytest.raises(ValueError, match="plain ParquetStateStore layout"):
+        pruned.write(init, 1)
     assert plain.read().count() == 5 and plain.current_version() == 0
 
 

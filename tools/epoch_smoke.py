@@ -16,13 +16,13 @@ by construction; pruned should be ~O(batch). One JSON line per
 Usage: python tools/epoch_smoke.py [factor ...]   (default: 1 4 16)
        python tools/epoch_smoke.py crossover [factor]   (default: 64)
 
-The crossover mode (VERDICT r6 task 3) locates where the pruned
-store's no-broadcast merge overtakes the broadcast one: ONE store at a
-large fixed state, batch size swept across the 2M-row default
-threshold, the two routes INTERLEAVED per batch size in the same
-session (the shingle_bisect protocol — composition and host noise hit
-both routes equally). Reports median epoch wall per (batch_rows,
-route); findings + the measured crossover recorded in SCALE.md.
+The crossover mode (VERDICT r6 task 3) measures what crossing
+broadcast_threshold_rows costs: ONE store at a large fixed state,
+batch size swept across the 2M-row default, the three merge routes
+(broadcast / auto / smj — see crossover()) INTERLEAVED per batch size
+in the same session (the shingle_bisect protocol — composition and
+host noise hit all routes equally). Reports median epoch wall per
+(batch_rows, route); findings recorded in SCALE.md round 7.
 """
 
 from __future__ import annotations
@@ -92,10 +92,10 @@ def state_df(spark, n: int):
     )
 
 
-def batch_df(spark, epoch: int, state_rows: int, n_rows: int = None):
+def batch_df(spark, epoch: int, state_rows: int, n_rows: int | None = None):
     # keys spread across the whole state so merges do real upserts;
     # deterministic per epoch
-    return spark.range(n_rows or BATCH_ROWS).select(
+    return spark.range(BATCH_ROWS if n_rows is None else n_rows).select(
         (F.lit(1000 + epoch) * 1000 + F.col("id")).alias("seq"),
         F.when(F.col("id") % 10 == 0, F.lit("DELETE"))
         .otherwise(F.lit("UPDATE")).alias("op"),
@@ -113,9 +113,7 @@ def crossover(factor: int = 64) -> None:
     the whole state, so big batches touch ~every bucket and the two
     routes differ ONLY in the merge exchange strategy (the write is
     identical) — exactly the term broadcast_threshold_rows gates."""
-    import shutil
-    import statistics
-    import tempfile
+    import shutil, statistics, tempfile  # noqa: E401
 
     spark = get_spark("epoch-smoke-crossover")
     rows = BASE_ROWS * factor
@@ -123,13 +121,6 @@ def crossover(factor: int = 64) -> None:
     sweep = [int(b) for b in os.environ.get(
         "EPOCH_SMOKE_CROSSOVER_BATCHES", "100000,500000,1000000,2000000,4000000"
     ).split(",")]
-    base = tempfile.mkdtemp(prefix="epoch_smoke_xover_")
-    store = PrunedParquetStateStore(
-        spark, os.path.join(base, "s"), ["id"],
-        n_buckets=max(32, rows // ROWS_PER_BUCKET),
-    )
-    store.write(state_df(spark, rows), version=-1)
-    epoch = 0
     # Three routes, because crossing the threshold only REMOVES the
     # forced-broadcast hint — it does not force a shuffle:
     #   broadcast: batch <= threshold, F.broadcast hint on the keyset
@@ -144,7 +135,17 @@ def crossover(factor: int = 64) -> None:
               ("smj", 0, "-1")]
     keep = os.environ.get("EPOCH_SMOKE_CROSSOVER_ROUTES")
     if keep:
-        routes = [r for r in routes if r[0] in keep.split(",")]
+        names = {n.strip() for n in keep.split(",")}
+        routes = [r for r in routes if r[0] in names]
+        if not routes:  # fail BEFORE the minutes-long state bootstrap
+            raise SystemExit(f"no route matches {keep!r}: broadcast/auto/smj")
+    base = tempfile.mkdtemp(prefix="epoch_smoke_xover_")
+    store = PrunedParquetStateStore(
+        spark, os.path.join(base, "s"), ["id"],
+        n_buckets=max(32, rows // ROWS_PER_BUCKET),
+    )
+    store.write(state_df(spark, rows), version=-1)
+    epoch = 0
 
     def run_epoch(thresh, conf, n_rows):
         nonlocal epoch
@@ -209,20 +210,16 @@ def main() -> None:
                 store.prune(keep_last=2)
                 walls.append(time.perf_counter() - t0)
             walls.sort()
-            median = walls[len(walls) // 2]
             split = {k: round(v / EPOCHS, 3) for k, v in sorted(times.items())}
             split["other"] = round(
                 sum(walls) / EPOCHS - sum(times.values()) / EPOCHS, 3
             )
-            print(json.dumps({
-                "epoch_smoke": kind,
-                "factor": factor,
-                "state_rows": rows,
-                "batch_rows": BATCH_ROWS,
-                "epoch_wall_median": round(median, 3),
-                "epoch_wall_mean": round(sum(walls) / EPOCHS, 3),
-                "split": split,
-            }), flush=True)
+            print(json.dumps(
+                {"epoch_smoke": kind, "factor": factor, "state_rows": rows,
+                 "batch_rows": BATCH_ROWS,
+                 "epoch_wall_median": round(walls[len(walls) // 2], 3),
+                 "epoch_wall_mean": round(sum(walls) / EPOCHS, 3),
+                 "split": split}), flush=True)
             import shutil
             shutil.rmtree(base, ignore_errors=True)
 
