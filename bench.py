@@ -310,8 +310,9 @@ def main() -> None:
         sidecar = sidecar or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
         )
-        with open(sidecar, "w", encoding="utf-8") as f:
+        with open(sidecar + ".tmp", "w", encoding="utf-8") as f:
             json.dump({"samples": dist, "sf": sf_val, "passes": n_passes}, f)
+        os.replace(sidecar + ".tmp", sidecar)  # atomic: crash keeps the old one
 
 
 if __name__ == "__main__":

@@ -1318,8 +1318,9 @@ def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_ivf_sql(threshold: float = 0.4) -> str:
-    return f"""
+# Shared oracle CTE: normalized vectors + their IVF cell id (axis of the
+# max-|component|, sign-split) — the prefix of BOTH ivf oracle queries.
+_IVF_CELLS_CTE = """
     WITH v AS (
         SELECT vec_id AS id, embedding,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -1333,7 +1334,11 @@ def _semantic_ivf_sql(threshold: float = 0.4) -> str:
                                                         list_max(list_transform(embedding, x -> abs(x))))] < 0
                            THEN 1 ELSE 0 END AS BIGINT) AS cell
         FROM v
-    )
+    )"""
+
+
+def _semantic_ivf_sql(threshold: float = 0.4) -> str:
+    return f"""{_IVF_CELLS_CTE}
     SELECT a.id AS id_a, b.id AS id_b
     FROM cells a JOIN cells b USING (cell)
     WHERE a.id < b.id
@@ -1483,21 +1488,7 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _knn_join_ivf_sql(k: int = 5) -> str:
-    return f"""
-    WITH v AS (
-        SELECT vec_id AS id, embedding,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings WHERE list_dot_product(ve, ve) > 0
-    ),
-    cells AS (
-        SELECT id, ve,
-               CAST(list_position(list_transform(embedding, x -> abs(x)),
-                                  list_max(list_transform(embedding, x -> abs(x)))) * 2
-                    + CASE WHEN embedding[list_position(list_transform(embedding, x -> abs(x)),
-                                                        list_max(list_transform(embedding, x -> abs(x))))] < 0
-                           THEN 1 ELSE 0 END AS BIGINT) AS cell
-        FROM v
-    ),
+    return f"""{_IVF_CELLS_CTE},
     scored AS (
         SELECT a.id AS query_id, b.id AS neighbor_id,
                list_dot_product(a.ve, b.ve)

@@ -79,16 +79,21 @@ def lang_id(text: Column, default: str = "und") -> Column:
     return best_lang
 
 
-def _check_carry(carry: tuple[str, ...], produced: set[str], op: str,
-                 id_col: str) -> None:
+def _check_carry(df: DataFrame, carry: tuple[str, ...], produced: set[str],
+                 op: str, id_col: str) -> None:
     """Carry columns are pure pass-through plumbing — a carry name that
     collides with a column the operator generates (or the id itself)
     would silently produce duplicate/ambiguous output columns; fail
-    loudly at plan-build time instead. Lowercased comparison: Spark
-    resolves column names case-insensitively by default, so 'Quality'
-    collides with 'quality'."""
-    lowered = {p.lower() for p in produced} | {id_col.lower()}
-    clash = sorted(c for c in carry if c.lower() in lowered)
+    loudly at plan-build time instead. The comparison follows the
+    session's resolution rule: lowercased under the default
+    case-insensitive analyzer ('Quality' collides with 'quality'),
+    exact when spark.sql.caseSensitive=true (distinct names are legal
+    there, so the guard must not reject them)."""
+    cs = (df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+          or "false").lower() == "true"
+    norm = (lambda s: s) if cs else str.lower
+    lowered = {norm(p) for p in produced} | {norm(id_col)}
+    clash = sorted(c for c in carry if norm(c) in lowered)
     if clash:
         raise ValueError(
             f"{op}: carry columns {clash} collide with columns the "
@@ -120,7 +125,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     sf0.1). counts -> ratios -> quality nesting makes each appear
     once; CollapseProject refuses to inline non-cheap duplicated
     expressions, so the staging survives optimization."""
-    _check_carry(carry, {"n_chars", "n_tokens", "_stop_hits", "_n_punct",
+    _check_carry(df, carry, {"n_chars", "n_tokens", "_stop_hits", "_n_punct",
                          "_n_digit", "stopword_ratio", "punct_ratio",
                          "digit_ratio", "quality"},
                  "quality_features", id_col)
@@ -303,7 +308,7 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str,
     DuckDB RE2-subset compatible): inside a longer dotted run like
     1.2.3.4.5 it matches the first four octets — over-redaction, the
     conservative direction for a scrubber."""
-    _check_carry(carry, {"n_emails", "n_ips", "text_scrubbed"},
+    _check_carry(df, carry, {"n_emails", "n_ips", "text_scrubbed"},
                  "pii_scrub", id_col)
     t = F.col(text_col)
     no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
@@ -331,7 +336,7 @@ def doc_chunks(
     The token array is materialized in a projection below the
     generator (one regex split per row, not per chunk — see
     raw_shingles in dedup.py for the O(tokens^2) trap this avoids)."""
-    _check_carry(carry, {"pos", "chunk", "__toks"}, "doc_chunks", id_col)
+    _check_carry(df, carry, {"pos", "chunk", "__toks"}, "doc_chunks", id_col)
     toks_df = df.select(F.col(id_col), *[F.col(c) for c in carry],
                         _tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
@@ -377,7 +382,7 @@ def boilerplate_strip(
     scalars, first()-reassembled): no join-back needed downstream."""
     from canal_phoenix_adapter_spark.functions.hashing import md5_long
 
-    _check_carry(carry, {"pos", "chunk", "__toks", "__h", "n_kept_chunks",
+    _check_carry(df, carry, {"pos", "chunk", "__toks", "__h", "n_kept_chunks",
                          "text_clean"}, "boilerplate_strip", id_col)
 
     # persist: ch feeds BOTH the hot-chunk doc-freq aggregate and the

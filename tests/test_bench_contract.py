@@ -114,6 +114,10 @@ def test_samples_go_to_sidecar_not_stdout(tmp_path, monkeypatch):
     assert parsed["queries"] == {}
     side = json.load(open(target, encoding="utf-8"))
     assert "samples" in side
+    # atomic write (ADVICE r7): the temp file must not linger — the
+    # sidecar was os.replace'd into place, so a crash mid-dump would
+    # have left the previous artifact intact, never a truncated one
+    assert not os.path.exists(str(target) + ".tmp")
     after = open(repo_sidecar, "rb").read() if os.path.exists(repo_sidecar) \
         else None
     assert after == before  # the committed artifact was not clobbered

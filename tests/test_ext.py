@@ -258,6 +258,28 @@ def test_carry_collision_raises(spark):
             op(docs, "doc_id", "text", carry=(bad.upper(),))
 
 
+def test_carry_collision_respects_case_sensitive_session(spark):
+    """Under spark.sql.caseSensitive=true a case-differing carry name
+    is a legitimately distinct column — the guard must let it through
+    (and still reject an exact-name clash) (ADVICE r7)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 0.5)], "doc_id long, text string, QUALITY double"
+    )
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        out = text_ops.quality_features(docs, "doc_id", "text",
+                                        carry=("QUALITY",))
+        assert {"QUALITY", "quality"} <= set(out.columns)
+        assert out.count() == 1
+        with pytest.raises(ValueError, match="carry columns"):
+            text_ops.quality_features(docs, "doc_id", "text",
+                                      carry=("quality",))
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
     r = df.select(
