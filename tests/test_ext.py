@@ -267,6 +267,7 @@ def test_carry_collision_respects_case_sensitive_session(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta", 0.5)], "doc_id long, text string, QUALITY double"
     )
+    orig = spark.conf.get("spark.sql.caseSensitive", "false")
     spark.conf.set("spark.sql.caseSensitive", "true")
     try:
         out = text_ops.quality_features(docs, "doc_id", "text",
@@ -277,7 +278,7 @@ def test_carry_collision_respects_case_sensitive_session(spark):
             text_ops.quality_features(docs, "doc_id", "text",
                                       carry=("quality",))
     finally:
-        spark.conf.set("spark.sql.caseSensitive", "false")
+        spark.conf.set("spark.sql.caseSensitive", orig)
 
 
 def test_token_counts(spark):

@@ -22,7 +22,8 @@ batch size swept across the 2M-row default, the three merge routes
 (broadcast / auto / smj — see crossover()) INTERLEAVED per batch size
 in the same session (the shingle_bisect protocol — composition and
 host noise hit all routes equally). Reports median epoch wall per
-(batch_rows, route); findings recorded in SCALE.md round 7.
+(batch_rows, route); findings of record are the r8 single-session
+run in SCALE.md "Round 7/8" (run=crossover-64-insession).
 """
 
 from __future__ import annotations
