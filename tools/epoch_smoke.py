@@ -172,11 +172,13 @@ def crossover(factor: int = 64) -> None:
                 walls[route].append(run_epoch(thresh, conf, n_rows))
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_bcast)
         for route, ws in walls.items():
+            # session tag: cross-run row merges (the r7 slip) stay visible
             print(json.dumps(
                 {"crossover_smoke": route, "factor": factor,
                  "state_rows": rows, "batch_rows": n_rows,
                  "epoch_wall_median": round(statistics.median(ws), 3),
-                 "samples": ws}), flush=True)
+                 "samples": ws,
+                 "session": spark.sparkContext.applicationId}), flush=True)
     shutil.rmtree(base, ignore_errors=True)
 
 
