@@ -697,7 +697,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads (stub decoder; real batch plumbing)."""
+    payloads (stub decoder; real batch plumbing).
+
+    Oracle-parity caveat (mm_geometry too): the engine's byte math
+    (UTF-8 byte sums, first-32-BYTES md5) is right for binary payloads;
+    DuckDB's ascii()/substr are CODEPOINT math, equal only on ASCII —
+    which the fixtures are. Non-ASCII needs a bytes-true oracle."""
     media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
@@ -1118,6 +1123,18 @@ ch0 AS (
 ch AS (SELECT doc_id, pos, chunk FROM ch0 WHERE chunk <> '')
 """
 
+# chunk-hash + hot-chunk drop shared by text_boilerplate_strip and
+# pipeline_corpus_clean (chunks in > 2 distinct docs are boilerplate)
+_KEPT_CHUNKS_CTE = f"""{_CHUNK_CTE},
+    chh AS (SELECT doc_id, pos, chunk, {_H.format(x='chunk')} AS h FROM ch),
+    hot AS (
+        SELECT h FROM (
+            SELECT h, count(1) AS d
+            FROM (SELECT DISTINCT doc_id, h FROM chh) GROUP BY h
+        ) WHERE d > 2
+    ),
+    kept AS (SELECT * FROM chh WHERE h NOT IN (SELECT h FROM hot))"""
+
 
 @register(
     "analytics_asof_join",
@@ -1159,17 +1176,20 @@ def analytics_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PII_INJECT_SQL = """
 SELECT doc_id,
-       concat(text,
+       text ||
               CASE WHEN doc_id % 5 = 0
                    THEN concat(' contact u', CAST(doc_id AS VARCHAR), '@ex',
                                CAST(doc_id % 3 AS VARCHAR), '.com')
-                   ELSE '' END,
+                   ELSE '' END ||
               CASE WHEN doc_id % 7 = 0
                    THEN concat(' host 10.', CAST(doc_id % 250 AS VARCHAR), '.0.',
                                CAST(doc_id % 100 AS VARCHAR))
-                   ELSE '' END) AS text
+                   ELSE '' END AS text
 FROM documents
 """
+# `||`, not concat(...): DuckDB's concat SKIPS NULL arguments while
+# Spark's F.concat null-propagates — a NULL text must stay NULL on
+# both sides or the gate false-fails on any future NULL-text fixture.
 
 
 @register(
@@ -1241,15 +1261,7 @@ def dedup_chunk_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_boilerplate_strip",
     f"""
-    WITH {_CHUNK_CTE},
-    chh AS (SELECT doc_id, pos, chunk, {_H.format(x='chunk')} AS h FROM ch),
-    hot AS (
-        SELECT h FROM (
-            SELECT h, count(1) AS d
-            FROM (SELECT DISTINCT doc_id, h FROM chh) GROUP BY h
-        ) WHERE d > 2
-    ),
-    kept AS (SELECT * FROM chh WHERE h NOT IN (SELECT h FROM hot))
+    WITH {_KEPT_CHUNKS_CTE}
     SELECT doc_id, count(1) AS n_kept_chunks,
            string_agg(chunk, ' ' ORDER BY pos) AS text_clean
     FROM kept GROUP BY doc_id
@@ -1361,15 +1373,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_corpus_clean",
     f"""
-    WITH {_CHUNK_CTE},
-    chh AS (SELECT doc_id, pos, chunk, {_H.format(x='chunk')} AS h FROM ch),
-    hot AS (
-        SELECT h FROM (
-            SELECT h, count(1) AS d
-            FROM (SELECT DISTINCT doc_id, h FROM chh) GROUP BY h
-        ) WHERE d > 2
-    ),
-    kept AS (SELECT * FROM chh WHERE h NOT IN (SELECT h FROM hot)),
+    WITH {_KEPT_CHUNKS_CTE},
     clean AS (
         SELECT doc_id, count(1) AS n_kept_chunks,
                string_agg(chunk, ' ' ORDER BY pos) AS text_clean

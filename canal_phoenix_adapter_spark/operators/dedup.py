@@ -469,14 +469,9 @@ def embedding_near_dup_pairs(
     equi-joins on an LSH bucket and runs the identical exact cosine
     check within buckets.
     """
-    from canal_phoenix_adapter_spark.operators.similarity import _dot, _norm
+    from canal_phoenix_adapter_spark.operators.similarity import _dot, nonzero_vecs
 
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col("nrm") > 0)  # zero-norm: cosine would be NaN, which
-    # sorts GREATER than every double — see similarity._norm docstring
+    v = nonzero_vecs(df, id_col, vec_col)
     if max_id is not None:
         v = v.where(F.col("id") < max_id)
     return (
@@ -574,16 +569,11 @@ def embedding_near_dup_pairs_lsh(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    from canal_phoenix_adapter_spark.operators.similarity import _dot, _norm
+    from canal_phoenix_adapter_spark.operators.similarity import _dot, nonzero_vecs
 
     # norms once per VECTOR in the scan projection, not per candidate
     # pair — bit-identical value (same fold), ~1/3 of the pair math
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine passes every
-    # >= threshold (NaN sorts greater) — drop before the pair join
+    vecs = nonzero_vecs(df, id_col, vec_col)
     return (
         cand.join(vecs.alias("a"), F.col("id_a") == F.col("a.id"))
         .join(vecs.alias("b"), F.col("id_b") == F.col("b.id"))
@@ -822,16 +812,11 @@ def semantic_dup_pairs_ivf(
     the same plan runs with cell := nearest centroid."""
     from canal_phoenix_adapter_spark.operators.similarity import (
         _dot,
-        _norm,
         ivf_cell_expr,
+        nonzero_vecs,
     )
 
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        ivf_cell_expr(vec_col).alias("cell"),
-    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine (see above)
+    v = nonzero_vecs(df, id_col, vec_col, ivf_cell_expr(vec_col).alias("cell"))
     if max_bucket is not None:
         # broadcast_hot: the cell universe is bounded by the quantizer
         # (2*dim ids), so the hot-cell anti-join side is a genuinely

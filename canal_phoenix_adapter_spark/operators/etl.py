@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import DbMapping
+from canal_phoenix_adapter_spark.operators.merge import keep_last
 from canal_phoenix_adapter_spark.operators.transform import apply_mapping
 
 SYS_TIME_COLUMN = "SYS_TIME"  # PhoenixEtlService.java:313 (case-insensitive)
@@ -71,7 +72,10 @@ def etl_import(
     """Full backfill pipeline (importData, PhoenixEtlService.java:220-307):
     conditional scan -> mapping/enum/coercion transform -> idempotent
     dedup on PK (X3: the reference deletes-then-upserts every row so a
-    re-run converges; set semantics give us that via dropDuplicates).
+    re-run converges). The per-PK winner is the max-by-payload-value
+    row, NOT dropDuplicates(pk): that keeps whichever row a task saw
+    first — partitioning-dependent, so two runs of the same backfill
+    could land different rows and the load would not be idempotent.
 
     Row count / range-split bookkeeping (steps 5-6 of SURVEY §3.2) is
     subsumed by Spark's partitioned scan planning.
@@ -79,7 +83,11 @@ def etl_import(
     extracted = append_condition(source, cfg, params)
     mapped = apply_mapping(extracted, cfg, target_schema)
     pk_cols = resolve_pk_columns(cfg, mapped.columns)
-    return mapped.dropDuplicates(pk_cols or mapped.columns)
+    payload = [c for c in mapped.columns if c not in set(pk_cols)]
+    if not pk_cols or not payload:
+        return mapped.dropDuplicates()  # full-row set semantics: deterministic
+    ordered = mapped.withColumn("__ord", F.struct(*payload))
+    return keep_last(ordered, pk_cols, "__ord").drop("__ord")
 
 
 def resolve_pk_columns(cfg: DbMapping, columns: list[str]) -> list[str]:

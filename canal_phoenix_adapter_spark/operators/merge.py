@@ -35,6 +35,9 @@ OP_UPDATE = "UPDATE"
 OP_DELETE = "DELETE"
 OP_TRUNCATE = "TRUNCATE"
 
+# "caller did not pre-scan" sentinel — None is a real value (no TRUNCATE)
+_NO_PRESCAN = object()
+
 
 def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "op"):
     """Seq of the last TRUNCATE in the batch, or None. A TRUNCATE wipes
@@ -189,6 +192,7 @@ def merge_cdc(
     broadcast_changes: bool = True,
     check_truncate: bool = True,
     skip_missing: bool = False,
+    known_trunc_seq: object = _NO_PRESCAN,
 ) -> DataFrame:
     """Apply a CDC change batch to a keyed state table; returns the new
     state (C3-C9 + C7 truncate). Pure DataFrame algebra — the same
@@ -202,6 +206,9 @@ def merge_cdc(
     ``check_truncate=False`` skips the truncate-seq pre-scan (one full
     pass over the batch) when the caller knows the stream carries no
     TRUNCATE events — e.g. a source whose DDL channel is separate.
+    ``known_trunc_seq``: a caller that already scanned the batch (the
+    pruned store's single-pass _scan_batch) passes its result here so
+    the truncate SEMANTICS still apply without re-paying the scan job.
 
     ``skip_missing`` (config/MappingConfig.java:107, honored at
     PhoenixSyncService.java:399-411): batch columns the existing state
@@ -212,7 +219,8 @@ def merge_cdc(
     """
     op = F.upper(F.col(op_col))
     if check_truncate:
-        trunc_seq = last_truncate_seq(changes, seq_col, op_col)
+        trunc_seq = (last_truncate_seq(changes, seq_col, op_col)
+                     if known_trunc_seq is _NO_PRESCAN else known_trunc_seq)
         if trunc_seq is not None:
             changes = changes.where(F.col(seq_col) > F.lit(trunc_seq))
             state = None  # truncate wipes accumulated state (C7)

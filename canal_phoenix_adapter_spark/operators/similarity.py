@@ -43,6 +43,21 @@ def _norm(v) -> F.Column:
     )
 
 
+def nonzero_vecs(df: DataFrame, id_col: str, vec_col: str,
+                 *extra) -> DataFrame:
+    """(id, v, nrm, *extra) scan projection over vectors with POSITIVE
+    norm — the one definition of the vector base every pairing/top-k
+    variant (and dedup's embedding variants) builds on. Zero-norm rows
+    are dropped HERE because their cosine is NaN, which sorts GREATER
+    than every double and would take rank 1 of every top-k / pass
+    every >= threshold cut. The norm is computed once per vector in
+    the scan, never per pair."""
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"), *extra,
+    ).where(F.col("nrm") > 0)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """The rank contract shared by EVERY top-k variant (exact, LSH,
     IVF, trained-IVF, k-NN join): per-query window ordered by
@@ -73,13 +88,7 @@ def _keyed_ann_topk(
     query side broadcast, candidates restricted by an equi-join on
     the key, exact cosine ranking via _rank_topk. The norm is
     computed once per vector in the scan, never per pair."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        key_expr.alias("__key"),
-    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine sorts greater
-    # than every double and would take rank 1 of every query's top-k
+    base = nonzero_vecs(df, id_col, vec_col, key_expr.alias("__key"))
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("__key"),
@@ -110,18 +119,12 @@ def cosine_topk(
     (query, candidate) pair — at q queries that is a q-fold saving on
     the corpus-side fold, and the value is bit-identical (same
     expression, same summation order)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine would rank 1
+    base = nonzero_vecs(df, id_col, vec_col)
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    pairs = F.broadcast(queries).join(
-        base.where(F.col("id") >= 0), F.col("query_id") != F.col("id")
-    )
+    pairs = F.broadcast(queries).join(base, F.col("query_id") != F.col("id"))
     scored = pairs.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
@@ -458,12 +461,7 @@ def knn_join_ivf(
 
     Ties: equal cosine resolves by ascending neighbor id — total
     order, engine-portable."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        ivf_cell_expr(vec_col).alias("cell"),
-    ).where(F.col("nrm") > 0)  # zero-norm: NaN cosine would rank 1
+    base = nonzero_vecs(df, id_col, vec_col, ivf_cell_expr(vec_col).alias("cell"))
     if max_bucket is not None:
         from canal_phoenix_adapter_spark.operators.dedup import _cap_bucket_size
 

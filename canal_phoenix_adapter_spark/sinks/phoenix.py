@@ -39,6 +39,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from canal_phoenix_adapter_spark.config import MappingConfig
+from canal_phoenix_adapter_spark.operators.merge import _image_cols
 from canal_phoenix_adapter_spark.operators.transform import mapping_columns
 from canal_phoenix_adapter_spark.sources.jdbc import (
     delete_sql,
@@ -118,20 +119,6 @@ class BatchExecutor:
                 self._conn = None
 
 
-def _image_columns(
-    item: dict, pk_src: list[str], seq_col: str, op_col: str, old_prefix: str
-) -> list[str]:
-    """Image columns of one change row: excludes metadata and the
-    EXACT old_<pk-source> PK-change columns — never a bare prefix
-    match, which would silently drop a business column named
-    old_status from every UPSERT (mirrors merge._image_cols)."""
-    old_keys = {old_prefix + k for k in pk_src}
-    return [
-        c for c in item
-        if c not in (seq_col, op_col) and c not in old_keys
-    ]
-
-
 def _check_value(cfg: MappingConfig, tgt: str, src: str, value: Any) -> Any:
     """Write-time enum decode (DbMapping.checkColumnValue,
     config/MappingConfig.java:277-287): a 1-based index into the
@@ -190,8 +177,11 @@ def upsert_item(
     the row's PK, DELETE the old key first (:425-456) — order matters
     and is asserted by tests."""
     m = cfg.db_mapping
+    # merge._image_cols, not a local copy: a re-implementation here
+    # once drifted by the is_ddl exclusion (IS_DDL in every UPSERT)
     colmap = mapping_columns(
-        m, _image_columns(item, m.pk_source_columns(), seq_col, op_col, old_prefix)
+        m, _image_cols(list(item), m.pk_source_columns(), seq_col, op_col,
+                       old_prefix)
     )
     cols: list[str] = []
     vals: list[Any] = []

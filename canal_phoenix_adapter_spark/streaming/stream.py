@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import MappingConfig
-from canal_phoenix_adapter_spark.operators.merge import merge_cdc
+from canal_phoenix_adapter_spark.operators.merge import _NO_PRESCAN, merge_cdc
 from canal_phoenix_adapter_spark.sources.events import (
     DML_ENVELOPE,
     explode_dml,
@@ -120,15 +120,18 @@ class _CommitPointer:
         return self._merge_commit_nonempty(batch_df, pk, version, epoch_id)
 
     def _merge_commit_nonempty(
-        self, batch_df: DataFrame, pk: list[str], version: int, epoch_id: int
+        self, batch_df: DataFrame, pk: list[str], version: int, epoch_id: int,
+        trunc_seq: object = _NO_PRESCAN,
     ) -> tuple[DataFrame, set[str] | None]:
         """Full-snapshot read-merge-rewrite for a batch the caller has
         PROVEN non-empty — the pruned store's TRUNCATE and heal/DDL
-        fallbacks enter here so the pre-scan's count is not re-checked
-        with a second isEmpty() job per fallback epoch."""
+        fallbacks enter here so neither the pre-scan's count nor its
+        truncate seq is re-derived with extra jobs per fallback epoch
+        (``trunc_seq`` forwards the pre-scan result to merge_cdc)."""
         state = self.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
-        new_state = merge_cdc(state, batch_df, pk, old_prefix="old_")
+        new_state = merge_cdc(state, batch_df, pk, old_prefix="old_",
+                              known_trunc_seq=trunc_seq)
         self._write_unlocked(new_state, version, epoch_id=epoch_id)
         return new_state, prev_cols
 
@@ -194,6 +197,13 @@ class ParquetStateStore(_CommitPointer):
         self._refuse_pruned_layout(v)
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
+    def _raise_not_retained(self, version: int, cur: int | None) -> None:
+        committed = [v for v in self.versions() if cur is not None and v <= cur]
+        raise FileNotFoundError(
+            f"state version {version} not committed+retained "
+            f"(current={cur}); retained committed versions: {committed}"
+        )
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read a specific retained snapshot (committed
         epochs within the `prune` retention window). Raises if the
@@ -203,11 +213,7 @@ class ParquetStateStore(_CommitPointer):
         cur = self.current_version()
         p = os.path.join(self.path, f"v{version}")
         if cur is None or version > cur or not os.path.isdir(p):
-            committed = [v for v in self.versions() if cur is not None and v <= cur]
-            raise FileNotFoundError(
-                f"state version {version} not committed+retained "
-                f"(current={cur}); retained committed versions: {committed}"
-            )
+            self._raise_not_retained(version, cur)
         self._refuse_pruned_layout(version)
         return self.spark.read.parquet(p)
 
@@ -481,11 +487,7 @@ class PrunedParquetStateStore(ParquetStateStore):
         if cur is None or version > cur or not os.path.isfile(
             self._manifest_path(version)
         ):
-            committed = [v for v in self.versions() if cur is not None and v <= cur]
-            raise FileNotFoundError(
-                f"state version {version} not committed+retained "
-                f"(current={cur}); retained committed versions: {committed}"
-            )
+            self._raise_not_retained(version, cur)
         return self._read_buckets(self._manifest(version))
 
     # -- writes --------------------------------------------------------------
@@ -588,10 +590,10 @@ class PrunedParquetStateStore(ParquetStateStore):
             return None, None
         if trunc_seq is not None:
             # TRUNCATE: every bucket changes anyway; the pre-scan
-            # already proved the batch non-empty, so skip the base
-            # path's isEmpty() job
+            # already proved the batch non-empty AND found the truncate
+            # seq, so skip both the isEmpty() job and the re-scan
             return super()._merge_commit_nonempty(
-                batch_df, pk, version, epoch_id
+                batch_df, pk, version, epoch_id, trunc_seq=trunc_seq
             )
         manifest = self._manifest(cur)
         self._check_modulus(manifest)
@@ -610,9 +612,9 @@ class PrunedParquetStateStore(ParquetStateStore):
         new_fields = {(f.name.lower(), f.dataType) for f in merged.schema.fields}
         if prev_fields != new_fields:
             # heal/DDL epoch: rewrite all buckets onto the new schema
-            # (non-empty already proven by the pre-scan)
+            # (non-empty and no-TRUNCATE already proven by the pre-scan)
             return super()._merge_commit_nonempty(
-                batch_df, pk, version, epoch_id
+                batch_df, pk, version, epoch_id, trunc_seq=None
             )
         self._commit_touched(merged, version, manifest, set(touched),
                              merged.schema, epoch_id)

@@ -723,3 +723,15 @@ def test_bundle_gates_degenerate_inputs(spark):
     got = {r["doc_id"]: r["q_50"] for r in
            split.join(F.broadcast(q), on="lang").collect()}
     assert got == {1: 10, 3: 10}  # NULL-lang doc 2 drops; NULL n_chars rides
+
+
+def test_cosine_topk_negative_ids_are_candidates(spark):
+    """Negative vector ids must be eligible neighbors — an id >= 0
+    candidate filter (absent from the oracle and every sibling
+    variant) once silently excluded them (r8 review)."""
+    rows = [(-3, [1.0, 0.0]), (0, [1.0, 0.1]), (1, [0.9, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_topk(df, num_queries=1, k=2).collect()
+    # id < num_queries admits -3 as a QUERY too; the regression under
+    # test is the candidate side: -3 must show up as a neighbor
+    assert -3 in {r["neighbor_id"] for r in got if r["query_id"] == 0}

@@ -170,3 +170,22 @@ def test_sort_within_with_partition_col_midlist(spark, tmp_path):
     for f in files:
         ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_fan_out_parses_size_suffixed_split_conf(spark):
+    """spark.sql.files.maxPartitionBytes accepts size suffixes ("128m"
+    is what session.py sets); fan_out must parse them instead of
+    silently falling back to 128 MiB on int() failure (r8 review).
+    With a 1k split size a 1 MiB table is "wide enough" and must NOT
+    be repartitioned; with 1g it is narrow and must fan out."""
+    from canal_phoenix_adapter_spark.sources.tables import fan_out
+
+    df = spark.range(10)
+    orig = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        assert fan_out(spark, df, 1 << 20) is df      # wide: pass-through
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        assert fan_out(spark, df, 1 << 20) is not df  # narrow: fan out
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig)

@@ -167,3 +167,26 @@ def test_envelope_seq_clamps_future_es(spark):
     # second clamps to 2^31-1; the 6000 ms the clamp displaced lands
     # in the (bounded) delivery-lag tiebreak field
     assert rows[0]["seq"] == (2**31 - 1) * (1 << 32) + 6000 * (1 << 18)
+
+
+def test_etl_import_dedup_is_deterministic(spark):
+    """X3 idempotence: duplicate-PK rows must resolve to the SAME
+    winner on every run — dropDuplicates(pk) keeps whichever row a
+    task saw first (partitioning-dependent), so etl_import uses the
+    max-by-payload-value rule instead (r8 review)."""
+    from canal_phoenix_adapter_spark.operators.etl import etl_import
+
+    cfg = DbMapping(
+        database="d", table="t", target_table="D.T", target_pk={"id": "id"}
+    )
+    rows = [(1, "a"), (1, "z"), (1, "m"), (2, "q")]
+    a = etl_import(
+        spark.createDataFrame(rows, "id long, name string"), cfg
+    ).collect()
+    b = etl_import(
+        spark.createDataFrame(list(reversed(rows)), "id long, name string")
+        .repartition(7), cfg,
+    ).collect()
+    got_a = {r["ID"]: r["NAME"] for r in a}
+    got_b = {r["ID"]: r["NAME"] for r in b}
+    assert got_a == got_b == {1: "z", 2: "q"}  # max payload wins, always

@@ -533,3 +533,20 @@ def test_etl_to_sink_targetpk_only_rename(spark, tmp_path):
             applied.append(json.loads(line))
     ups = [a for a in applied if a["sql"].startswith("UPSERT")]
     assert len(ups) == 2
+
+
+def test_upsert_excludes_is_ddl_column():
+    """explode_dml-shaped rows carry is_ddl routing metadata; the sink's
+    image columns come from merge._image_cols (one definition), so
+    IS_DDL must never reach an UPSERT column list — a local copy of the
+    exclusion once drifted exactly here and every epoch aborted on the
+    target-schema check (r8 review)."""
+    conn = FakeConnection()
+    apply_partition(
+        [{"seq": 1, "op": "INSERT", "id": 7, "name": "a", "is_ddl": False}],
+        make_cfg(),
+        lambda: conn,
+    )
+    ups = [s for s in sqls_of(conn.log) if s.startswith("UPSERT")]
+    assert len(ups) == 1
+    assert "IS_DDL" not in ups[0].upper()
