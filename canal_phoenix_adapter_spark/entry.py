@@ -1038,6 +1038,16 @@ def _ivf_trained_replica_codebook(
     return [[float(v) for v in row] for row in cb]
 
 
+def _rank_cut_sql(k: int) -> str:
+    """The oracle twin of similarity._rank_topk (cos desc, id asc, <= k)
+    over a CTE named `scored` — one definition for every ANN oracle."""
+    return f"""SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}"""
+
+
 def _ann_ivf_trained_sql(
     codebook: list[list[float]], num_queries: int = 8, k: int = 5
 ) -> str:
@@ -1075,11 +1085,7 @@ def _ann_ivf_trained_sql(
                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.ve, a.ve))) AS cos
         FROM q JOIN assigned a USING (cell) WHERE query_id <> a.id
     )
-    SELECT query_id, neighbor_id, rank FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= {k}
+    {_rank_cut_sql(k)}
     """
 
 
@@ -1499,11 +1505,7 @@ def _knn_join_ivf_sql(k: int = 5) -> str:
                / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cos
         FROM cells a JOIN cells b USING (cell) WHERE a.id <> b.id
     )
-    SELECT query_id, neighbor_id, rank FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= {k}
+    {_rank_cut_sql(k)}
     """
 
 

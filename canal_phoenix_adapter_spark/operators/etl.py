@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import DbMapping
-from canal_phoenix_adapter_spark.operators.merge import keep_last
 from canal_phoenix_adapter_spark.operators.transform import apply_mapping
 
 SYS_TIME_COLUMN = "SYS_TIME"  # PhoenixEtlService.java:313 (case-insensitive)
@@ -73,9 +72,8 @@ def etl_import(
     conditional scan -> mapping/enum/coercion transform -> idempotent
     dedup on PK (X3: the reference deletes-then-upserts every row so a
     re-run converges). The per-PK winner is the max-by-payload-value
-    row, NOT dropDuplicates(pk): that keeps whichever row a task saw
-    first — partitioning-dependent, so two runs of the same backfill
-    could land different rows and the load would not be idempotent.
+    row, NOT dropDuplicates(pk) — that keeps whichever row a task saw
+    first (partitioning-dependent), so re-runs would not converge.
 
     Row count / range-split bookkeeping (steps 5-6 of SURVEY §3.2) is
     subsumed by Spark's partitioned scan planning.
@@ -86,8 +84,14 @@ def etl_import(
     payload = [c for c in mapped.columns if c not in set(pk_cols)]
     if not pk_cols or not payload:
         return mapped.dropDuplicates()  # full-row set semantics: deterministic
-    ordered = mapped.withColumn("__ord", F.struct(*payload))
-    return keep_last(ordered, pk_cols, "__ord").drop("__ord")
+    # max over the payload struct directly — ordering key IS the kept
+    # value, so the aggregation buffer carries ONE payload copy
+    return (
+        mapped.groupBy(*pk_cols)
+        .agg(F.max(F.struct(*payload)).alias("__t"))
+        .select(*pk_cols, "__t.*")
+        .select(*mapped.columns)
+    )
 
 
 def resolve_pk_columns(cfg: DbMapping, columns: list[str]) -> list[str]:

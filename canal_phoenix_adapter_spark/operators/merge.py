@@ -35,8 +35,7 @@ OP_UPDATE = "UPDATE"
 OP_DELETE = "DELETE"
 OP_TRUNCATE = "TRUNCATE"
 
-# "caller did not pre-scan" sentinel — None is a real value (no TRUNCATE)
-_NO_PRESCAN = object()
+_NO_PRESCAN = object()  # "did not pre-scan"; None means "no TRUNCATE"
 
 
 def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "op"):
@@ -217,6 +216,9 @@ def merge_cdc(
     reference's skip-the-column-with-a-warning behavior, expressed at
     batch granularity.
     """
+    if known_trunc_seq is not _NO_PRESCAN and not check_truncate:
+        raise ValueError("known_trunc_seq requires check_truncate=True "
+                         "(a forwarded seq the merge ignores is a bug)")
     op = F.upper(F.col(op_col))
     if check_truncate:
         trunc_seq = (last_truncate_seq(changes, seq_col, op_col)

@@ -45,13 +45,12 @@ def _norm(v) -> F.Column:
 
 def nonzero_vecs(df: DataFrame, id_col: str, vec_col: str,
                  *extra) -> DataFrame:
-    """(id, v, nrm, *extra) scan projection over vectors with POSITIVE
-    norm — the one definition of the vector base every pairing/top-k
-    variant (and dedup's embedding variants) builds on. Zero-norm rows
-    are dropped HERE because their cosine is NaN, which sorts GREATER
-    than every double and would take rank 1 of every top-k / pass
-    every >= threshold cut. The norm is computed once per vector in
-    the scan, never per pair."""
+    """(id, v, nrm, *extra) scan projection over POSITIVE-norm vectors
+    — the one vector base every pairing/top-k variant (and dedup's
+    embedding variants) builds on. Zero-norm rows drop HERE: their
+    cosine is NaN, which sorts GREATER than every double (rank 1 of
+    every top-k, passes every >= threshold cut). The norm computes
+    once per vector in the scan, never per pair."""
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"), *extra,
@@ -86,8 +85,7 @@ def _keyed_ann_topk(
     IVF cell / trained IVF cell — only the quantizer key differs):
     one scan projection computing (id, vector, norm, key), the tiny
     query side broadcast, candidates restricted by an equi-join on
-    the key, exact cosine ranking via _rank_topk. The norm is
-    computed once per vector in the scan, never per pair."""
+    the key, exact cosine ranking via _rank_topk."""
     base = nonzero_vecs(df, id_col, vec_col, key_expr.alias("__key"))
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
@@ -111,14 +109,12 @@ def cosine_topk(
     num_queries: int = 8,
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k: the first ``num_queries`` ids (deterministic
-    query set) against every other vector. Returns
-    (query_id, neighbor_id, rank) with rank 1..k, ties broken by id.
-
-    Norms are computed ONCE per vector in the scan projection, not per
-    (query, candidate) pair — at q queries that is a q-fold saving on
-    the corpus-side fold, and the value is bit-identical (same
-    expression, same summation order)."""
+    """Exact cosine top-k: ids BELOW ``num_queries`` (the oracle's cut;
+    on 0-based ids, "the first num_queries vectors") against every
+    other vector. Negative ids are full candidates but also land below
+    the cut — signed-id corpora need a caller-side query filter, since
+    the broadcast is sized by this cut. Returns (query_id,
+    neighbor_id, rank) with rank 1..k, ties broken by id."""
     base = nonzero_vecs(df, id_col, vec_col)
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),

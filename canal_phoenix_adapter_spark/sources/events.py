@@ -143,6 +143,14 @@ PK_CHANGE_MOD = 17       # every 17th UPDATE event moves the row to a new key
 PK_CHANGE_SHIFT = 100000  # new key = user_id + shift (disjoint key space)
 
 
+def _op_expr():
+    """signup -> INSERT, error -> DELETE, else UPDATE: THE event->op
+    mapping every synthetic stream variant shares (one definition)."""
+    return (F.when(F.col("event_type") == "signup", "INSERT")
+            .when(F.col("event_type") == "error", "DELETE")
+            .otherwise("UPDATE"))
+
+
 def synthetic_changes(events: DataFrame, with_pk_change: bool = True) -> DataFrame:
     """Derive a deterministic typed CDC stream from events.parquet.
 
@@ -157,10 +165,7 @@ def synthetic_changes(events: DataFrame, with_pk_change: bool = True) -> DataFra
     pk_change = is_update & (F.col("event_id") % PK_CHANGE_MOD == 0) if with_pk_change else F.lit(False)
     return events.select(
         F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "signup", "INSERT")
-        .when(F.col("event_type") == "error", "DELETE")
-        .otherwise("UPDATE")
-        .alias("op"),
+        _op_expr().alias("op"),
         F.when(pk_change, F.col("user_id") + PK_CHANGE_SHIFT)
         .otherwise(F.col("user_id"))
         .alias("user_id"),
@@ -194,11 +199,7 @@ def synthetic_changes_with_truncate(events: DataFrame) -> DataFrame:
     is_trunc = F.col("event_id") % TRUNCATE_MOD == 0
     return events.select(
         F.col("event_id").alias("seq"),
-        F.when(is_trunc, "TRUNCATE")
-        .when(F.col("event_type") == "signup", "INSERT")
-        .when(F.col("event_type") == "error", "DELETE")
-        .otherwise("UPDATE")
-        .alias("op"),
+        F.when(is_trunc, "TRUNCATE").otherwise(_op_expr()).alias("op"),
         F.col("user_id"),
         F.lit(None).cast("bigint").alias("old_user_id"),
         F.col("value"),
@@ -232,10 +233,7 @@ def canal_json_stream(events: DataFrame) -> DataFrame:
             F.lit("g1").alias("groupId"),
             F.when(F.col("user_id") % 3 == 0, "mytest").otherwise("other").alias("database"),
             F.lit("user").alias("table"),
-            F.when(F.col("event_type") == "signup", "INSERT")
-            .when(F.col("event_type") == "error", "DELETE")
-            .otherwise("UPDATE")
-            .alias("type"),
+            _op_expr().alias("type"),
             F.lit(False).alias("isDdl"),
             F.lit(None).cast("string").alias("sql"),
             F.col("event_id").alias("es"),

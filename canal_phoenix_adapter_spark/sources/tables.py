@@ -43,13 +43,11 @@ def fan_out(spark: SparkSession, df: DataFrame, n_bytes: int | None = None) -> D
         return df
     target = spark.sparkContext.defaultParallelism
     try:
-        # parses size suffixes: bare int() throws on "128m" (what
-        # session.py sets) and would silently take the fallback
-        raw = str(spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728")).strip().lower()
-        unit = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
-            raw.rstrip("b")[-1], 1)
-        max_split = int(raw.rstrip("kmgb") or "0") * unit or 134217728
+        # Spark's own parser, not int(): the conf is size-suffixed
+        # ("128m") and a hand-rolled subset mis-falls-back on "1t"
+        max_split = int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                        .byteStringAsBytes(str(spark.conf.get(
+                            "spark.sql.files.maxPartitionBytes", "134217728"))))
     except Exception:
         max_split = 134217728
     if n_bytes >= target * max_split:
