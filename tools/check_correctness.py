@@ -95,6 +95,7 @@ def main() -> int:
             return 1
     is_gate_sf = os.path.normpath(sf_dir).endswith("sf0.01")
     failures = []
+    weak = []
     n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -114,6 +115,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(spark_pd)} (no oracle) [{time.time()-t0:.1f}s]")
+            weak.append(name)
             continue
         if name == "sim_ann_ivf_trained" and not is_gate_sf:
             # the trained-IVF oracle embeds centroids replica-trained
@@ -122,6 +124,7 @@ def main() -> int:
             # would be a guaranteed false FAIL
             print(f"weak  {name}: rows={len(spark_pd)} (oracle is sf0.01-"
                   f"specific; rows-only at {sf_dir}) [{time.time()-t0:.1f}s]")
+            weak.append(name)
             continue
         try:
             duck_pd = con.sql(oracles[name]).df()
@@ -145,7 +148,10 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(spark_pd)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{n_run - len(failures)}/{n_run} ok ({len(qs)} registered)")
+    # weak = ran but only rows-counted (no oracle compare) — report it
+    # so a green summary cannot hide value-unverified queries
+    w = f", {len(weak)} weak (rows-only)" if weak else ""
+    print(f"\n{n_run - len(failures)}/{n_run} ok{w} ({len(qs)} registered)")
     return 1 if failures else 0
 
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
 import time
 
@@ -114,7 +116,7 @@ def crossover(factor: int = 64) -> None:
     the whole state, so big batches touch ~every bucket and the two
     routes differ ONLY in the merge exchange strategy (the write is
     identical) — exactly the term broadcast_threshold_rows gates."""
-    import shutil, statistics, tempfile  # noqa: E401
+    import tempfile
 
     spark = get_spark("epoch-smoke-crossover")
     rows = BASE_ROWS * factor
@@ -154,8 +156,10 @@ def crossover(factor: int = 64) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
         b = batch_df(spark, epoch, rows, n_rows=n_rows)
         t0 = time.perf_counter()
-        assert apply_cdc_epoch(store, b, epoch, ["id"])
+        committed = apply_cdc_epoch(store, b, epoch, ["id"])
         wall = round(time.perf_counter() - t0, 3)
+        if not committed:  # not assert: python -O would skip the merge
+            raise RuntimeError(f"epoch {epoch} did not commit")
         store.prune(keep_last=2)
         epoch += 1
         return wall
@@ -209,9 +213,12 @@ def main() -> None:
             walls = []
             for e in range(EPOCHS):
                 t0 = time.perf_counter()
-                assert apply_cdc_epoch(store, batch_df(spark, e, rows), e, ["id"])
+                committed = apply_cdc_epoch(
+                    store, batch_df(spark, e, rows), e, ["id"])
                 store.prune(keep_last=2)
                 walls.append(time.perf_counter() - t0)
+                if not committed:  # not assert: -O would skip the merge
+                    raise RuntimeError(f"epoch {e} did not commit")
             walls.sort()
             split = {k: round(v / EPOCHS, 3) for k, v in sorted(times.items())}
             split["other"] = round(
@@ -220,10 +227,9 @@ def main() -> None:
             print(json.dumps(
                 {"epoch_smoke": kind, "factor": factor, "state_rows": rows,
                  "batch_rows": BATCH_ROWS,
-                 "epoch_wall_median": round(walls[len(walls) // 2], 3),
+                 "epoch_wall_median": round(statistics.median(walls), 3),
                  "epoch_wall_mean": round(sum(walls) / EPOCHS, 3),
                  "split": split}), flush=True)
-            import shutil
             shutil.rmtree(base, ignore_errors=True)
 
 

@@ -122,7 +122,10 @@ def main() -> None:
             ),
         }
         times = {}
-        passes = int(os.environ.get("SPARK_GRAFT_SMOKE_PASSES", "1"))
+        # default 3, min-of-N: a single pass folds each plan shape's
+        # Janino/C2 compile (constant per factor) into its only sample,
+        # deflating the growth ratios this tool exists to measure
+        passes = int(os.environ.get("SPARK_GRAFT_SMOKE_PASSES", "3"))
         for name, build in ops.items():
             best = float("inf")
             for _ in range(passes):
