@@ -915,7 +915,7 @@ def windowed_rollup_stream(
 
 def stateful_running_totals(
     events: DataFrame,
-    timeout_ms: int = 1_800_000,
+    timeout_ms: int | None = 1_800_000,
 ) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event count + value sum, emitted per micro-batch,
@@ -925,7 +925,12 @@ def stateful_running_totals(
     accumulators over unbounded streams).
 
     State is one (count, sum) pair per user — O(active keys), bounded
-    by the timeout eviction.
+    by the timeout eviction. ``timeout_ms=None`` disables eviction
+    (NoTimeout) — REQUIRED for Trigger.AvailableNow drain runs: with a
+    processing-time timeout pending, the availableNow query keeps
+    scheduling timeout-evaluation micro-batches and NEVER terminates
+    (observed: 50+ empty batches on a one-file source; the old test
+    masked it by ignoring awaitTermination's False).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -954,7 +959,8 @@ def stateful_running_totals(
             n += int(len(pdf))
             s += float(pdf["value"].sum())
         state.update((n, s))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
         )
@@ -967,7 +973,9 @@ def stateful_running_totals(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if timeout_ms is not None
+                         else GroupStateTimeout.NoTimeout),
         )
     )
 

@@ -1,5 +1,13 @@
 from __future__ import annotations
 
+import os
+import sys
+
+# repo-root on sys.path ONCE: `pytest tests/` (console script) does not
+# add the cwd, so `import bench` / `import __spark_entry__` in the test
+# modules would fail outside `python -m pytest`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import pytest
 from pyspark.sql import SparkSession
 

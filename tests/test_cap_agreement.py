@@ -87,7 +87,7 @@ def test_ngram_jaccard_cap_subset_and_dropped_hot(spark, corpus):
         dedup.raw_shingles(corpus, "doc_id", "text", 3)
         .select(F.col("doc_id").alias("id"), md5_long(F.col("shingle")).alias("sh"))
         .dropDuplicates(["id", "sh"])
-    ).persist()
+    )  # no persist: ~36-doc corpus, and session-scoped cached blocks leak
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         sh.alias("a")
@@ -136,7 +136,7 @@ def test_simhash_cap_subset_and_dropped_hot(spark, corpus):
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bv").persist()
+    ).select("id", "bb.band", "bb.bv")  # no persist (tiny corpus; leak)
     sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         banded.alias("x")
@@ -165,7 +165,7 @@ def test_minhash_lsh_cap_subset_and_dropped_hot(spark, corpus):
     assert capped <= uncapped
     dropped = uncapped - capped
 
-    buckets = dedup.minhash_band_buckets(corpus, "doc_id", "text", **kw).persist()
+    buckets = dedup.minhash_band_buckets(corpus, "doc_id", "text", **kw)
     sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         buckets.alias("x")

@@ -527,7 +527,8 @@ def test_salted_join_matches_plain_join(spark):
     salted_l = salted_join(fact2, dim, on=["k"], how="left", num_salts=8).select("k", "seq", "name")
     assert sorted(map(tuple, salted_l.collect(), )) == sorted(map(tuple, plain_l.collect()))
 
-    # the join key space actually includes the salt
+    # the internal salt column must not leak into the output (salt
+    # KEYING itself is asserted in test_salted_join_spreads_hot_key)
     with_salt = salted_join(fact, dim, on=["k"], num_salts=8)
     assert "__salt" not in with_salt.columns
 

@@ -260,17 +260,31 @@ def test_scan_side_ops_have_zero_shuffles(q):
 
     for name in ("text_pii_scrub", "sampling_stratified"):
         text = explain_str(q(name))
+        # each exchange judged by its OWN Arguments line, not a fixed
+        # proximity window (a window can borrow a NEIGHBOR exchange's
+        # REPARTITION_BY_NUM and wave a real hash exchange through)
         ex = [
-            line for line in text.splitlines()
-            if re.search(r"\(\d+\) Exchange", line)
-            and "REPARTITION_BY_NUM" not in text[text.index(line):text.index(line) + 400]
+            m.group(0)
+            for m in re.finditer(
+                r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[[^\]]*\]\n"
+                r"Arguments: ([^\n]*)",
+                text,
+            )
+            if "REPARTITION_BY_NUM" not in m.group(1)
         ]
-        # the fan-out round-robin repartition is already excluded by
-        # the REPARTITION_BY_NUM filter above, so ANY surviving
-        # exchange is a real regression — no extra slack (a <=1
-        # allowance here would double-count the fan-out and wave
-        # through one genuine added hash exchange)
+        # the fan-out round-robin repartition is excluded by ITS
+        # Arguments line, so ANY surviving exchange is a real
+        # regression — no extra slack (a <=1 allowance would
+        # double-count the fan-out and wave through one genuine
+        # added hash exchange)
         assert len(ex) == 0, (name, ex)
+        # format-drift guard: every Exchange header must have parsed
+        # with its Arguments line, else the filter above went vacuous
+        n_headers = len(re.findall(r"\(\d+\) Exchange", text))
+        n_parsed = len(re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[[^\]]*\]\n"
+            r"Arguments: [^\n]*", text))
+        assert n_headers == n_parsed, (name, n_headers, n_parsed)
 
 
 def test_pack_sequences_single_group_shuffle(q):
@@ -292,13 +306,18 @@ def test_chunk_crossdoc_keyed_exchanges_never_carry_text(q):
 
     text = explain_str(q("dedup_chunk_crossdoc"))
     # formatted explain: "(N) Exchange\nInput [..]: [cols]\nArguments: ..."
+    inspected = 0
     for m in re.finditer(
         r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
         text,
     ):
         cols, args = m.group(1), m.group(2)
         if "hashpartitioning" in args.lower():
+            inspected += 1
             assert "text#" not in cols, f"text in keyed exchange: {cols} / {args}"
+    # the plan HAS hash exchanges (chunk-hash groupBy); zero inspected
+    # means the explain format drifted and the test went vacuous
+    assert inspected > 0, "no hashpartitioning exchange parsed"
 
 
 def test_cc_iteration_plan_one_join_one_aggregate(spark):

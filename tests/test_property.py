@@ -115,19 +115,14 @@ def test_merge_cdc_equals_naive_fold(spark, evts, data):
 
 
 def _replay_statements(log):
-    """Interpret the recorded UPSERT/DELETE statement stream the way
-    Phoenix would: last-writer-wins on the PK."""
+    """Fold a recorded connection log via the shared statement
+    interpreter (test_sink.apply_stmt)."""
+    from test_sink import apply_stmt
+
     state = {}
     for entry in log:
-        if entry[0] != "execute":
-            continue
-        sql, params = entry[1], entry[2]
-        if sql.startswith("UPSERT"):
-            state[params[0]] = params[1]
-        elif sql.startswith("DELETE") and "WHERE" in sql:
-            state.pop(params[0], None)
-        elif sql.startswith("DELETE"):  # truncate flavor
-            state.clear()
+        if entry[0] == "execute":
+            apply_stmt(state, entry[1], entry[2], width=1)
     return state
 
 

@@ -243,6 +243,33 @@ def test_batch_executor_counts_and_resets():
     ex.close()  # idempotent
 
 
+def apply_stmt(state, sql, params, width=2):
+    """Interpret ONE recorded sink statement the way Phoenix would
+    (last-writer-wins upsert / keyed delete / truncate). THE shared
+    interpreter — three hand-rolled copies once risked drifting apart
+    (r8 test review)."""
+    if sql.startswith("UPSERT"):
+        state[params[0]] = params[1] if width == 1 else tuple(
+            params[1:1 + width])
+    elif sql.startswith("DELETE") and "WHERE" in sql:
+        state.pop(params[0], None)
+    elif sql.startswith("DELETE") or sql.startswith("TRUNCATE"):
+        state.clear()
+
+
+def replay_sink_files(out_dir):
+    """Fold every statement recorded by _recording_factory into the
+    final (state, n_statements) pair."""
+    state, n = {}, 0
+    for fname in sorted(os.listdir(out_dir)):
+        fp = os.path.join(str(out_dir), fname)
+        for line in open(fp, encoding="utf-8").read().splitlines():
+            rec = json.loads(line)
+            n += 1
+            apply_stmt(state, rec["sql"], rec["params"])
+    return state, n
+
+
 def _recording_factory(out_dir):
     """Picklable executor-side connection factory: records applied
     statements as jsonl, one file per partition (pid+id keyed)."""

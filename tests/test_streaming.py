@@ -88,6 +88,20 @@ def write_events(path, events):
             f.write(json.dumps(e) + "\n")
 
 
+def write_events_split(path, events):
+    """One file per event: with max_files_per_trigger=1 the availableNow
+    drive commits len(events) DISTINCT epochs — required by any test
+    asserting retention actually pruned something."""
+    os.makedirs(path, exist_ok=True)
+    for i, e in enumerate(events):
+        fp = os.path.join(path, f"b{i:03d}.json")
+        with open(fp, "w", encoding="utf-8") as f:
+            f.write(json.dumps(e) + "\n")
+        # FileStreamSource orders by mtime; same-ms writes would apply
+        # epochs in arbitrary order (CDC trusts arrival order)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+
 @pytest.mark.parametrize(
     "events,expected", [(EVENTS, EXPECTED), (EVENTS_TRUNC, EXPECTED_TRUNC)]
 )
@@ -102,7 +116,7 @@ def test_golden_stream(spark, tmp_path, events, expected):
         CFG,
         VALUE_SCHEMA,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     state = ParquetStateStore(spark, str(tmp_path / "state")).read()
     got = {r["id"]: (r["name"], r["balance"]) for r in state.collect()}
     assert got == expected
@@ -116,7 +130,7 @@ def test_incremental_epochs(spark, tmp_path):
         q = run_cdc_stream(
             spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         if i == 0:  # write the extra file only BETWEEN the two runs
             with open(os.path.join(src, "more.json"), "w", encoding="utf-8") as f:
                 f.write(json.dumps(dml(10, "INSERT", [{"id": "4", "name": "erin", "balance": "2"}])) + "\n")
@@ -295,7 +309,7 @@ def test_windowed_rollup_stream_watermark_drops_late(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         collected = spark.read.parquet(out).collect()
         rows = {r["win_start_us"]: r for r in collected}
         # one row per window — a re-emitted window would collide in
@@ -343,7 +357,10 @@ def test_stateful_running_totals(spark, tmp_path):
             f.write(json.dumps({"user_id": uid, "value": val}) + "\n")
 
     stream = spark.readStream.schema("user_id long, value double").json(src)
-    totals = stateful_running_totals(stream)
+    # timeout_ms=None: a pending processing-time timeout makes the
+    # availableNow drive loop timeout batches forever (never
+    # terminates) — the operator docstring documents the trap
+    totals = stateful_running_totals(stream, timeout_ms=None)
     q = (
         totals.writeStream.format("memory")
         .queryName("totals")
@@ -352,7 +369,7 @@ def test_stateful_running_totals(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in
            spark.sql("SELECT * FROM totals").collect()}
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
@@ -379,7 +396,7 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup1").collect())
     assert ids == [1, 2, 3]
 
@@ -421,7 +438,7 @@ def test_run_cdc_stream_notifies_via_cfg_hook(spark, tmp_path):
         spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
         CFG, VALUE_SCHEMA, notify_hook=payloads.append,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert payloads == [{"database": "mytest2", "table": "user"}]
 
 
@@ -437,14 +454,14 @@ def test_checkpoint_loss_replay_converges(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     write_events(src, EVENTS)
     q = run_cdc_stream(spark, src, state, ckpt, CFG, VALUE_SCHEMA)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     store = ParquetStateStore(spark, state)
     before = sorted(map(tuple, store.read().collect()))
     v_before = store.current_version()
 
     shutil.rmtree(ckpt)  # simulate total checkpoint loss
     q = run_cdc_stream(spark, src, state, ckpt, CFG, VALUE_SCHEMA)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert sorted(map(tuple, store.read().collect())) == before
     assert store.current_version() == v_before
 
@@ -493,19 +510,11 @@ def test_run_cdc_stream_to_sink_applies_all_events(spark, tmp_path):
         spark, src, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA,
         _recording_factory(str(out)),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
-    state = {}
-    for fname in sorted(os.listdir(out)):
-        for line in open(out / fname, encoding="utf-8").read().splitlines():
-            rec = json.loads(line)
-            sql, params = rec["sql"], rec["params"]
-            if sql.startswith("UPSERT"):
-                state[params[0]] = (params[1], params[2])
-            elif "WHERE" in sql:
-                state.pop(params[0], None)
-            else:
-                state.clear()
+    from test_sink import replay_sink_files
+
+    state, _n = replay_sink_files(out)
     assert state == {k: (n, b) for k, (n, b) in EXPECTED.items()}
 
 
@@ -547,15 +556,19 @@ def test_route_all_multi_config_dispatch(spark):
 
 def test_run_cdc_stream_with_retention(spark, tmp_path):
     """retain_versions prunes per committing epoch: after the run only
-    the newest snapshots remain and the state is still correct."""
+    the newest snapshots remain and the state is still correct. One
+    file per event + max_files_per_trigger=1 forces MULTIPLE committed
+    versions — a single-epoch run would leave exactly one version
+    whether or not retention worked (the r8 test review's vacuity)."""
     src = str(tmp_path / "src")
-    write_events(src, EVENTS)
+    write_events_split(src, EVENTS)
     q = run_cdc_stream(
         spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
-        CFG, VALUE_SCHEMA, retain_versions=1,
+        CFG, VALUE_SCHEMA, retain_versions=1, max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     store = ParquetStateStore(spark, str(tmp_path / "state"))
+    assert store.current_version() >= 1  # >1 epoch actually committed
     assert len(store.versions()) == 1
     got = {r["id"]: (r["name"], r["balance"]) for r in store.read().collect()}
     assert got == EXPECTED
@@ -602,23 +615,12 @@ def test_sink_topology_checkpoint_loss_is_effectively_once(spark, tmp_path):
             spark, src, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA,
             _recording_factory(str(out)),
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
+
+    from test_sink import replay_sink_files
 
     def replay_state():
-        state = {}
-        n = 0
-        for fname in sorted(os.listdir(out)):
-            for line in open(out / fname, encoding="utf-8").read().splitlines():
-                rec = json.loads(line)
-                n += 1
-                sql, params = rec["sql"], rec["params"]
-                if sql.startswith("UPSERT"):
-                    state[params[0]] = (params[1], params[2])
-                elif "WHERE" in sql:
-                    state.pop(params[0], None)
-                else:
-                    state.clear()
-        return state, n
+        return replay_sink_files(out)
 
     run()
     state1, n1 = replay_state()
@@ -669,7 +671,7 @@ def test_interval_join_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = {
         (r["event_id"], r["click_id"])
         for r in spark.sql("SELECT event_id, click_id FROM ij1").collect()
@@ -800,7 +802,7 @@ def test_session_window_streaming_with_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = {
         (r["user_id"], r["n_events"])
         for r in spark.sql("SELECT * FROM sess1").collect()
@@ -871,7 +873,7 @@ def test_bootstrap_then_stream(spark, tmp_path, buckets):
         spark, src, state_path, str(tmp_path / "ckpt"), CFG, VALUE_SCHEMA,
         state_buckets=buckets,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {
         r["id"]: (r["name"], r["balance"])
         for r in store.read().collect()
@@ -1113,7 +1115,7 @@ def test_max_files_per_trigger_bounds_epochs(spark, tmp_path):
         spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
         CFG, VALUE_SCHEMA, max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     store = ParquetStateStore(spark, str(tmp_path / "state"))
     # epochs 0..2 each committed a version; one batch per file
     assert store.current_version() == 2
@@ -1417,16 +1419,19 @@ def test_run_cdc_stream_with_pruned_store(spark, tmp_path, monkeypatch):
     )
 
     src = str(tmp_path / "src")
-    write_events(src, EVENTS)
+    write_events_split(src, EVENTS)
     q = run_cdc_stream(
         spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"),
         CFG, VALUE_SCHEMA, state_buckets=8, retain_versions=1,
+        max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     store = PrunedParquetStateStore(spark, str(tmp_path / "state"), ["id"], 8)
     got = {r["id"]: (r["name"], r["balance"]) for r in store.read().collect()}
     assert got == EXPECTED
-    # retention ran through the stream path: one readable snapshot left
+    # retention ran through the stream path across MULTIPLE committed
+    # epochs (split source): one readable snapshot left
+    assert store.current_version() >= 1
     assert store.versions() == [store.current_version()]
 
     # the broadcast threshold is reachable from the production
@@ -1445,7 +1450,7 @@ def test_run_cdc_stream_with_pruned_store(spark, tmp_path, monkeypatch):
         CFG, VALUE_SCHEMA, state_buckets=8,
         state_broadcast_threshold_rows=0,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     assert built and built[0]["broadcast_threshold_rows"] == 0
     s2 = PrunedParquetStateStore(spark, str(tmp_path / "state2"), ["id"], 8)
     got2 = {r["id"]: (r["name"], r["balance"]) for r in s2.read().collect()}
