@@ -685,24 +685,30 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_extract_features",
     """
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents)
     SELECT doc_id,
            (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-           CAST(list_sum(list_transform(range(1, length(text)+1),
-                         i -> ascii(substr(text, CAST(i AS INT), 1)))) % 997 AS BIGINT)
-               AS byte_sum_mod
-    FROM documents
+           CAST(nb AS BIGINT) AS n_bytes,
+           CASE WHEN hx IS NULL THEN NULL WHEN nb = 0 THEN -1
+                ELSE CAST(concat('0x', substr(hx, 1, 2)) AS INT)
+           END AS first_byte,
+           CAST(CASE WHEN hx IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(range(1, nb + 1),
+                     i -> CAST(concat('0x', substr(hx, CAST(2*i-1 AS INT), 2))
+                          AS INT))), 0) % 997
+           END AS BIGINT) AS byte_sum_mod
+    FROM b
     """,
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
     payloads (stub decoder; real batch plumbing).
 
-    Oracle-parity caveat (mm_geometry too): the engine's byte math
-    (UTF-8 byte sums, first-32-BYTES md5) is right for binary payloads;
-    DuckDB's ascii()/substr are CODEPOINT math, equal only on ASCII —
-    which the fixtures are. Non-ASCII needs a bytes-true oracle."""
+    The oracle does BYTE math via hex pairs (hex() is bytes-true in
+    both engines), so parity holds on non-ASCII text and arbitrary
+    binary — closing the r8 ASCII-only caveat."""
     media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
@@ -1684,7 +1690,7 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT thumb.*, s.type_n, s.type_total_bytes, s.type_min_bytes, s.type_max_bytes
     FROM thumb CROSS JOIN (SELECT * EXCLUDE (media_type) FROM stats
                            WHERE media_type = 'image') s
-    """.format(thumb_sig=_H.format(x="substring(text, 1, 32)")),
+    """.format(thumb_sig=_H.format(x="substr(hex(encode(text)), 1, 64)")),
 )
 def mm_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal geometry + payload-stat bundle: aspect-preserving

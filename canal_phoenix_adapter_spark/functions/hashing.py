@@ -30,14 +30,6 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
-def md5_long_bytes(col: Column) -> Column:
-    """md5_long for BINARY inputs: hashes the raw bytes (a cast to
-    string would re-encode them and change the digest). Same 15-hex-
-    digit / 60-bit convention — the single definition multimodal
-    signatures share with the DuckDB oracles."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
 def _perm_params(i: int) -> tuple[int, int]:
     """Deterministic per-permutation (a, b), 1 <= a < p, 0 <= b < p."""
     a = (2654435761 * (2 * i + 1)) % MINHASH_PRIME

@@ -84,6 +84,12 @@ def etl_import(
     payload = [c for c in mapped.columns if c not in set(pk_cols)]
     if not pk_cols or not payload:
         return mapped.dropDuplicates()  # full-row set semantics: deterministic
+    fields = {f.name: f.dataType for f in mapped.schema.fields}
+    if any(_unorderable(fields[c]) for c in payload):
+        # map-typed payload has no total order: max(struct) would fail
+        # at analysis. dropDuplicates keeps a partitioning-dependent
+        # winner — re-runs may not converge on this config shape.
+        return mapped.dropDuplicates(pk_cols)
     # max over the payload struct directly — ordering key IS the kept
     # value, so the aggregation buffer carries ONE payload copy
     return (
@@ -92,6 +98,18 @@ def etl_import(
         .select(*pk_cols, "__t.*")
         .select(*mapped.columns)
     )
+
+
+def _unorderable(dt: T.DataType) -> bool:
+    """True where Spark's TypeUtils.checkForOrderingExpr rejects the
+    type: maps anywhere in the tree (incl. nested under struct/array)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _unorderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_unorderable(f.dataType) for f in dt.fields)
+    return False
 
 
 def resolve_pk_columns(cfg: DbMapping, columns: list[str]) -> list[str]:

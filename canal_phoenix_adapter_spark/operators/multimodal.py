@@ -19,7 +19,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from canal_phoenix_adapter_spark.functions.hashing import md5_long_bytes
+from canal_phoenix_adapter_spark.functions.hashing import md5_long
 
 MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -149,7 +149,11 @@ def frame_sample(
     out = vids.select("doc_id", "payload", idx.alias("frame_idx"))
     offset = (F.col("frame_idx") * frame_bytes + 1).cast("int")
     frame = F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})")
-    sig = md5_long_bytes(frame)
+    # md5 over the HEX of the slice, not the raw bytes: hex is pure
+    # ASCII, so byte and codepoint semantics coincide and the DuckDB
+    # oracle computes the identical digest for ANY payload (non-ASCII
+    # text, arbitrary binary) — the r8 ASCII-only parity caveat, closed
+    sig = md5_long(F.hex(frame))
     return out.select(
         "doc_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
@@ -179,7 +183,8 @@ def thumbnail_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
         )
         return F.when(long_side <= max_side, side).otherwise(scaled)
 
-    sig = md5_long_bytes(F.expr("substring(payload, 1, 32)"))
+    # hex-of-slice digest for bytes-true oracle parity (see frame_sample)
+    sig = md5_long(F.hex(F.expr("substring(payload, 1, 32)")))
     return imgs.select(
         "doc_id",
         w.alias("width"),

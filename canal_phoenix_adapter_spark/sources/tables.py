@@ -6,6 +6,7 @@ predicate pushdown / column pruning reach the parquet scans."""
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,17 +43,34 @@ def fan_out(spark: SparkSession, df: DataFrame, n_bytes: int | None = None) -> D
     if n_bytes is None:
         return df
     target = spark.sparkContext.defaultParallelism
-    try:
-        # Spark's own parser, not int(): the conf is size-suffixed
-        # ("128m") and a hand-rolled subset mis-falls-back on "1t"
-        max_split = int(spark._jvm.org.apache.spark.network.util.JavaUtils
-                        .byteStringAsBytes(str(spark.conf.get(
-                            "spark.sql.files.maxPartitionBytes", "134217728"))))
-    except Exception:
-        max_split = 134217728
+    max_split = _byte_string_as_bytes(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    )
     if n_bytes >= target * max_split:
         return df
     return df.repartition(target)
+
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _byte_string_as_bytes(s: str) -> int:
+    """Spark size-conf grammar ("128m", "1gb", bare number = bytes) in
+    pure Python: the py4j JavaUtils route costs a JVM round-trip per
+    call and does not exist under Spark Connect, where the broad except
+    silently discarded the configured value. 128 MiB fallback only for
+    a genuinely unparseable string."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", s)
+    if m and m.group(2).lower() in _SIZE_SUFFIX:
+        return int(m.group(1)) * _SIZE_SUFFIX[m.group(2).lower()]
+    return 134217728
 
 
 def dataset_size(path: str) -> int | None:

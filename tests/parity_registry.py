@@ -567,24 +567,24 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     """
     WITH vids AS (
-        SELECT doc_id, text, CAST(floor(strlen(text) / 16.0) AS BIGINT) AS nf
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(floor(octet_length(encode(text)) / 16.0) AS BIGINT) AS nf
         FROM documents WHERE doc_id % 3 = 2
     )
     SELECT doc_id,
            CAST(i AS BIGINT) AS frame_idx,
            CAST(i * 16 + 1 AS BIGINT) AS byte_offset,
            CAST(concat('0x',
-                substr(md5(substring(text, CAST(i * 16 + 1 AS BIGINT), 16)), 1, 15))
+                substr(md5(substr(hx, CAST(i * 32 + 1 AS BIGINT), 32)), 1, 15))
                 AS BIGINT) AS frame_sig
     FROM vids, unnest(range(0, nf, 4)) AS t(i)
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-4th-frame sampling over video payloads: real explode +
-    binary-slice plumbing, md5 frame signature standing in for the
-    decoder (operators/multimodal.frame_sample). The oracle slices the
-    source text — byte-identical to the payload for this ASCII corpus
-    (the payload IS encode(text))."""
+    binary-slice plumbing, md5-of-hex frame signature standing in for
+    the decoder (operators/multimodal.frame_sample). The oracle slices
+    the payload's HEX — bytes-true for any corpus, ASCII or not."""
     media = multimodal.as_media_table(load_table(spark, sf_dir, "documents"))
     return multimodal.frame_sample(media, every_n=4, frame_bytes=16)
 @register_parity(
@@ -603,7 +603,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE greatest(CAST(floor((doc_id % 480 + 16) * 64.0
                      / greatest(doc_id % 640 + 16, doc_id % 480 + 16)) AS BIGINT), 1)
            END AS thumb_h,
-           {_H.format(x="substring(text, 1, 32)")} AS thumb_sig
+           {_H.format(x="substr(hex(encode(text)), 1, 64)")} AS thumb_sig
     FROM documents WHERE doc_id % 3 = 0
     """,
 )

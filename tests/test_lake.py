@@ -182,10 +182,26 @@ def test_fan_out_parses_size_suffixed_split_conf(spark):
 
     df = spark.range(10)
     orig = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # threshold is parallelism * split-size, so derive n_bytes from the
+    # session's parallelism instead of assuming 32 cores (r8 advice)
+    n_bytes = spark.sparkContext.defaultParallelism * 1024
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
-        assert fan_out(spark, df, 1 << 20) is df      # wide: pass-through
+        assert fan_out(spark, df, n_bytes) is df      # wide: pass-through
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
-        assert fan_out(spark, df, 1 << 20) is not df  # narrow: fan out
+        assert fan_out(spark, df, n_bytes) is not df  # narrow: fan out
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
+
+
+def test_byte_string_parser_matches_spark_grammar():
+    from canal_phoenix_adapter_spark.sources.tables import _byte_string_as_bytes
+
+    assert _byte_string_as_bytes("134217728") == 134217728
+    assert _byte_string_as_bytes("128m") == 128 << 20
+    assert _byte_string_as_bytes("128MB") == 128 << 20
+    assert _byte_string_as_bytes("1k") == 1024
+    assert _byte_string_as_bytes("1t") == 1 << 40
+    assert _byte_string_as_bytes(" 2g ") == 2 << 30
+    assert _byte_string_as_bytes("garbage") == 134217728  # fallback
+    assert _byte_string_as_bytes("1x") == 134217728       # unknown suffix

@@ -43,6 +43,60 @@ def duck():
     con.close()
 
 
+# Multibyte UTF-8 everywhere a byte-vs-codepoint confusion could hide:
+# accents, CJK, emoji, a char straddling the 16-byte frame boundary,
+# and an empty doc. The r8 caveat was that mm parity held only because
+# the driver fixtures are pure ASCII; these rows prove the oracles are
+# bytes-true now (hex-pair math + md5-of-hex signatures).
+_NON_ASCII_DOCS = [
+    (0, "héllo wörld — ça va? ünïcode päyload für das Bild"),
+    (1, "audio: 日本語のテキストと中文混在，バイト数≠文字数です"),
+    (2, "video 🎬 emoji 🚀 straddle: ααααααααααααααααααααααααααα end"),
+    (3, "plain ascii image row for contrast, long enough to matter"),
+    (4, ""),
+    (5, "🎥🎥🎥🎥🎥🎥🎥🎥 four-byte codepoints only, frames split them"),
+]
+
+
+@pytest.mark.parametrize(
+    "name", ["mm_extract_features", "mm_geometry", "mm_frame_sample", "mm_thumbnail"]
+)
+def test_mm_parity_is_bytes_true_on_non_ascii(spark, tmp_path, name):
+    import pandas as pd
+
+    from canal_phoenix_adapter_spark.entry import ORACLE, QUERIES
+
+    queries = {**dict(QUERIES), **PARITY_QUERIES}
+    oracles = {**dict(ORACLE), **PARITY_ORACLE}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in _NON_ASCII_DOCS],
+            "text": [t for _, t in _NON_ASCII_DOCS],
+            "lang": ["xx"] * len(_NON_ASCII_DOCS),
+            "source": ["fixture"] * len(_NON_ASCII_DOCS),
+            "n_chars": [len(t) for _, t in _NON_ASCII_DOCS],
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+    spark_pd = queries[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        duck_pd = con.sql(oracles[name]).df()
+    finally:
+        con.close()
+    assert len(spark_pd) == len(duck_pd) > 0
+    assert sorted(spark_pd.columns) == sorted(duck_pd.columns)
+    a, b = canon(spark_pd), canon(duck_pd)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        pytest.fail(f"{name}: values differ on non-ASCII, e.g. {diff}")
+
+
 @pytest.mark.parametrize("name", sorted(PARITY_QUERIES))
 def test_parity_query_matches_oracle(spark, duck, name):
     spark.catalog.clearCache()

@@ -190,3 +190,25 @@ def test_etl_import_dedup_is_deterministic(spark):
     got_a = {r["ID"]: r["NAME"] for r in a}
     got_b = {r["ID"]: r["NAME"] for r in b}
     assert got_a == got_b == {1: "z", 2: "q"}  # max payload wins, always
+
+
+def test_etl_import_map_payload_falls_back_to_drop_duplicates(spark):
+    """A map-typed payload column has no total order, so the
+    max(struct(payload)) rule would fail at analysis; etl_import must
+    fall back to dropDuplicates(pk) for that config shape (r8 advice).
+    One row per PK and the correct schema — the winner among true
+    duplicates is partitioning-dependent by documented fallback."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.operators.etl import etl_import
+
+    cfg = DbMapping(
+        database="d", table="t", target_table="D.T", target_pk={"id": "id"}
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, k string"
+    ).select("id", F.create_map(F.col("k"), F.lit(1)).alias("attrs"))
+    out = etl_import(df, cfg)  # must not raise at analysis
+    rows = out.collect()
+    assert sorted(out.columns) == ["ATTRS", "ID"]
+    assert sorted(r["ID"] for r in rows) == [1, 2]

@@ -375,6 +375,28 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
 
 
+def test_stateful_totals_timed_variant_documented_unsupported_for_drain():
+    """Regression pin for the r8 availableNow hang (db2eb34): a pending
+    processing-time timeout makes Trigger.AvailableNow schedule empty
+    timeout-evaluation batches forever. The operator cannot see the
+    trigger at declaration time, so the contract is documentation: the
+    docstring must keep stating that timeout_ms=None is REQUIRED for
+    availableNow drains, and the timed default must stay non-None so
+    long-running streams keep state eviction. If either half drifts,
+    this fails before the hang can silently return."""
+    import inspect
+
+    from canal_phoenix_adapter_spark.streaming.stream import (
+        stateful_running_totals,
+    )
+
+    doc = inspect.getdoc(stateful_running_totals) or ""
+    assert "timeout_ms=None" in doc and "AvailableNow" in doc
+    assert "NEVER terminates" in doc  # the hazard, stated, not implied
+    sig = inspect.signature(stateful_running_totals)
+    assert sig.parameters["timeout_ms"].default == 1_800_000
+
+
 def test_dedup_stream_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicate event_ids within the
     watermark horizon collapse to one row."""

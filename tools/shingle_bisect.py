@@ -6,7 +6,13 @@ drift hits both arms equally), the same harness timing both arms.
 
 Usage: python tools/shingle_bisect.py [R3_TREE] [HEAD_TREE] [N_ROUNDS]
 (defaults /tmp/r3tree /root/repo 7). Prints one JSON line:
-{"queries": {name: {"r3": {...}, "head": {...}, "delta_pct": x}}}.
+{"queries": {name: {"r3": {...}, "head": {...}, "delta_pct": x}}},
+where "r3" is the FIRST tree argument and "head" the second, plus
+the applicationId of the shared session. SPARK_GRAFT_BISECT_QUERIES
+(comma-separated) overrides the default shingle family — any
+registered query name works; that is how non-shingle movers get the
+same one-session adjudication (r9: dedup_minhash_lsh_capped +
+analytics_time_rollup).
 """
 
 from __future__ import annotations
@@ -18,10 +24,13 @@ import sys
 import time
 
 QUERIES = [
-    "dedup_ngram_jaccard_maxdf",
-    "dedup_minhash_lsh_capped",
-    "dedup_chunk_crossdoc",
-    "text_boilerplate_strip",
+    q.strip()
+    for q in os.environ.get(
+        "SPARK_GRAFT_BISECT_QUERIES",
+        "dedup_ngram_jaccard_maxdf,dedup_minhash_lsh_capped,"
+        "dedup_chunk_crossdoc,text_boilerplate_strip",
+    ).split(",")
+    if q.strip()
 ]
 
 def _is_tree_module(name: str) -> bool:
@@ -122,7 +131,10 @@ def main() -> None:
             "delta_pct": round(100 * (b["min"] - a["min"]) / a["min"], 1),
             "raw": samples[q],
         }
-    print(json.dumps({"sf_dir": sf_dir, "rounds": n_rounds, "queries": out}))
+    print(json.dumps({"sf_dir": sf_dir, "rounds": n_rounds,
+                      "trees": {"r3": r3_root, "head": head_root},
+                      "session": spark.sparkContext.applicationId,
+                      "queries": out}))
 
 
 if __name__ == "__main__":
