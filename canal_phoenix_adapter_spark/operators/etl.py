@@ -74,6 +74,10 @@ def etl_import(
     re-run converges). The per-PK winner is the max-by-payload-value
     row, NOT dropDuplicates(pk) — that keeps whichever row a task saw
     first (partitioning-dependent), so re-runs would not converge.
+    EXCEPTION: when any payload column is unorderable (map/variant/
+    interval anywhere in its type), max(struct) has no total order and
+    the dedup falls back to dropDuplicates(pk) — one row per PK still,
+    but the winner among true duplicates is partitioning-dependent.
 
     Row count / range-split bookkeeping (steps 5-6 of SURVEY §3.2) is
     subsumed by Spark's partitioned scan planning.
@@ -100,10 +104,18 @@ def etl_import(
     )
 
 
+_UNORDERABLE_LEAVES = tuple(
+    t for t in (getattr(T, n, None)
+                for n in ("MapType", "VariantType", "CalendarIntervalType"))
+    if t is not None
+)
+
+
 def _unorderable(dt: T.DataType) -> bool:
     """True where Spark's TypeUtils.checkForOrderingExpr rejects the
-    type: maps anywhere in the tree (incl. nested under struct/array)."""
-    if isinstance(dt, T.MapType):
+    type: map/variant/calendar-interval anywhere in the tree (incl.
+    nested under struct/array)."""
+    if isinstance(dt, _UNORDERABLE_LEAVES):
         return True
     if isinstance(dt, T.ArrayType):
         return _unorderable(dt.elementType)

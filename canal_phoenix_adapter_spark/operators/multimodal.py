@@ -128,7 +128,8 @@ def frame_sample(
     scale-relevant part real: the per-video frame-index explode
     (sequence with step — no Python loop), the binary slicing of the
     payload (``substring`` on BinaryType, executor-side), and the
-    per-frame signature (md5 of the sliced bytes). Swapping in a real
+    per-frame signature (md5 of the slice's HEX — see the inline
+    comment for why hex, not raw bytes). Swapping in a real
     decoder replaces ONLY the signature expression with an Arrow
     mapInPandas decode of the sliced bytes; the sampling topology —
     one generator per video, frames resolved without shuffling
@@ -167,7 +168,7 @@ def thumbnail_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
     geometry (aspect-preserving integer fit into max_side x max_side —
     real arithmetic a production resize needs regardless of codec) and
     a deterministic stand-in for the thumbnail payload (md5 signature
-    of the first 32 payload bytes). A real implementation swaps the
+    of the HEX of the first 32 payload bytes). A real implementation swaps the
     signature for an Arrow mapInPandas decode-resize-encode of the
     payload column; geometry, routing (images only), and the
     no-payload-shuffle shape stay exactly as planned here."""

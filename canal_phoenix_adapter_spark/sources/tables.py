@@ -63,10 +63,12 @@ _SIZE_SUFFIX = {
 
 def _byte_string_as_bytes(s: str) -> int:
     """Spark size-conf grammar ("128m", "1gb", bare number = bytes) in
-    pure Python: the py4j JavaUtils route costs a JVM round-trip per
-    call and does not exist under Spark Connect, where the broad except
-    silently discarded the configured value. 128 MiB fallback only for
-    a genuinely unparseable string."""
+    pure Python: the py4j JavaUtils route cost a JVM round-trip per
+    call and silently fell back to 128 MiB wherever the gateway is
+    absent. (fan_out as a whole still needs a classic session — it
+    reads sparkContext.defaultParallelism — so this is one removed
+    Connect incompatibility, not Connect support.) 128 MiB fallback
+    only for a genuinely unparseable string."""
     m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", s)
     if m and m.group(2).lower() in _SIZE_SUFFIX:
         return int(m.group(1)) * _SIZE_SUFFIX[m.group(2).lower()]

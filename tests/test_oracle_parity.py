@@ -55,6 +55,11 @@ _NON_ASCII_DOCS = [
     (3, "plain ascii image row for contrast, long enough to matter"),
     (4, ""),
     (5, "🎥🎥🎥🎥🎥🎥🎥🎥 four-byte codepoints only, frames split them"),
+    # NULL text on an audio row (7 % 3 = 1): pins the oracle's
+    # explicit hx-IS-NULL -> NULL branches without touching the
+    # image/video signature paths (whose _H oracle is NULL-hostile
+    # by construction and whose engine rows filter NULL payloads out)
+    (7, None),
 ]
 
 
@@ -74,7 +79,7 @@ def test_mm_parity_is_bytes_true_on_non_ascii(spark, tmp_path, name):
             "text": [t for _, t in _NON_ASCII_DOCS],
             "lang": ["xx"] * len(_NON_ASCII_DOCS),
             "source": ["fixture"] * len(_NON_ASCII_DOCS),
-            "n_chars": [len(t) for _, t in _NON_ASCII_DOCS],
+            "n_chars": [len(t) if t is not None else 0 for _, t in _NON_ASCII_DOCS],
         }
     )
     sf_dir = str(tmp_path)
