@@ -75,9 +75,11 @@ def etl_import(
     row, NOT dropDuplicates(pk) — that keeps whichever row a task saw
     first (partitioning-dependent), so re-runs would not converge.
     EXCEPTION: when any payload column is unorderable (map/variant/
-    interval anywhere in its type), max(struct) has no total order and
-    the dedup falls back to dropDuplicates(pk) — one row per PK still,
-    but the winner among true duplicates is partitioning-dependent.
+    calendar-interval anywhere in its type — ANSI day-time/year-month
+    intervals ARE orderable and keep the deterministic path),
+    max(struct) has no total order and the dedup falls back to
+    dropDuplicates(pk) — one row per PK still, but the winner among
+    true duplicates is partitioning-dependent.
 
     Row count / range-split bookkeeping (steps 5-6 of SURVEY §3.2) is
     subsumed by Spark's partitioned scan planning.
@@ -114,13 +116,15 @@ _UNORDERABLE_LEAVES = tuple(
 def _unorderable(dt: T.DataType) -> bool:
     """True where Spark's TypeUtils.checkForOrderingExpr rejects the
     type: map/variant/calendar-interval anywhere in the tree (incl.
-    nested under struct/array)."""
+    nested under struct/array, and inside a UDT's sql storage type)."""
     if isinstance(dt, _UNORDERABLE_LEAVES):
         return True
     if isinstance(dt, T.ArrayType):
         return _unorderable(dt.elementType)
     if isinstance(dt, T.StructType):
         return any(_unorderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.UserDefinedType):
+        return _unorderable(dt.sqlType())
     return False
 
 

@@ -212,3 +212,22 @@ def test_etl_import_map_payload_falls_back_to_drop_duplicates(spark):
     rows = out.collect()
     assert sorted(out.columns) == ["ATTRS", "ID"]
     assert sorted(r["ID"] for r in rows) == [1, 2]
+
+
+def test_etl_import_variant_payload_falls_back_too(spark):
+    """VariantType is unorderable like maps (Spark's
+    checkForOrderingExpr rejects both); the fallback detection must
+    cover it or a variant payload dies at analysis (r9 review)."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.operators.etl import etl_import
+
+    cfg = DbMapping(
+        database="d", table="t", target_table="D.T", target_pk={"id": "id"}
+    )
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (1, '{"a": 2}'), (2, '{"b": 3}')],
+        "id long, j string",
+    ).select("id", F.parse_json(F.col("j")).alias("doc"))
+    out = etl_import(df, cfg)  # must not raise at analysis
+    assert sorted(r["ID"] for r in out.collect()) == [1, 2]

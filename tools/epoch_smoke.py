@@ -22,8 +22,8 @@ batch size swept across the 2M-row default, the three merge routes
 (broadcast / auto / smj — see crossover()) INTERLEAVED per batch size
 in the same session (the shingle_bisect protocol — composition and
 host noise hit all routes equally). Reports median epoch wall per
-(batch_rows, route); findings of record are the r8 single-session
-run in SCALE.md "Round 7/8" (run=crossover-64-insession).
+(batch_rows, route); findings of record are the r9 stamped 5-rep
+run in SCALE.md "Round 9" (run=crossover-64-r9-stamped).
 """
 
 from __future__ import annotations
