@@ -26,11 +26,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _pin_ws_class(sql: str) -> str:
+    """Dialect shim applied to every oracle at registration: Java's
+    regex \\s (what the engine tokenizer text.py::tokens pins as an
+    explicit class) includes \\x0B; DuckDB's RE2 \\s does NOT. Left
+    as-is, every token-derived oracle silently diverges from the
+    engine on vertical-tab whitespace (r9 oracle-independence review).
+    Rewriting the two \\s idioms the oracles use keeps each oracle
+    readable while making the whitespace class IDENTICAL by
+    construction — including in future oracles that keep writing
+    '\\s+' out of habit."""
+    return sql.replace("'\\s+'", "'[ \\t\\n\\x0b\\f\\r]+'").replace(
+        "[^A-Za-z0-9\\s]", "[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
+    )
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
-            ORACLE[name] = sql
+            ORACLE[name] = _pin_ws_class(sql)
         return fn
     return deco
 
@@ -252,8 +267,10 @@ def proj_mapping_exclude_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         escape_upper=True,
     )
     df = load_table(spark, sf_dir, "customer")
-    out = apply_mapping(df, cfg)
-    return out.select("CUSTKEY", "NAME", "SEGMENT")
+    # no narrowing select: the gate must SEE every column apply_mapping
+    # emits, or an exclude_columns leak hides behind the projection
+    # (r9 oracle-independence review)
+    return apply_mapping(df, cfg)
 
 
 @register(
@@ -276,33 +293,55 @@ def proj_enum_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adversarial strings for the string->int path: fixture $.k values are
+# all clean digits, so without these the gate can't tell Spark's
+# try_cast (NULL on ALL of them except ' 7 '/'+8') from a lenient
+# parser (DuckDB TRY_CAST reads '12.5'->13, '0x10'->16, '1e3'->1000 —
+# r9 oracle-independence review). Indexed by event_id % 8 on BOTH
+# sides; the oracle expresses Spark semantics as a regex-guarded cast.
+_EDGE_STRINGS = ["12.5", "1e3", "0x10", "", "  7 ", "+8",
+                 "99999999999999999999", "true"]
+_EDGE_SQL = ("[" + ", ".join(f"'{s}'" for s in _EDGE_STRINGS)
+             + "][CAST(event_id % 8 + 1 AS INT)]")
+
+
 @register(
     "proj_type_coercion",
-    """
+    f"""
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            CASE WHEN json_extract_string(props, '$.k') IS NULL THEN NULL
                 WHEN json_extract_string(props, '$.k') = '0' THEN FALSE
                 ELSE TRUE END AS k_bool,
            CAST(TRY_CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_dec,
-           CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CASE WHEN regexp_matches(trim({_EDGE_SQL}), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim({_EDGE_SQL}) AS INTEGER)
+                ELSE NULL END AS edge_int
     FROM events
     """,
 )
 def proj_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: the coercion matrix over stringly-typed JSON values —
-    int/bool/decimal/date paths, NULL on unparseable."""
+    int/bool/decimal/date paths, NULL on unparseable — plus the
+    adversarial string->int column (edge_int) that pins try_cast's
+    NULL-on-unparseable contract against a lenient-parser regression."""
     from canal_phoenix_adapter_spark.functions.coerce import boolean_lenient, coerce_to
     from pyspark.sql import types as T
 
     df = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")
+    edge = F.element_at(
+        F.array(*[F.lit(s) for s in _EDGE_STRINGS]),
+        (F.col("event_id") % 8 + 1).cast("int"),
+    )
     return df.select(
         "event_id",
         coerce_to(k, T.IntegerType()).alias("k_int"),
         boolean_lenient(k).alias("k_bool"),
         coerce_to(F.col("value"), T.DecimalType(12, 2)).cast("string").alias("value_dec"),
         F.col("ts").cast("date").cast("string").alias("day"),
+        coerce_to(edge, T.IntegerType()).alias("edge_int"),
     )
 
 
@@ -359,7 +398,10 @@ from canal_phoenix_adapter_spark.operators import (  # noqa: E402
     text as text_ops,
 )
 
-_H = "CAST(concat('0x', substr(md5({x}),1,15)) AS BIGINT)"
+# nullif: md5(NULL) is NULL, but DuckDB concat SKIPS NULL args, so
+# without it a NULL input becomes CAST('0x') — a hard error — where
+# Spark's md5/conv propagate NULL (r9 review: NULL-payload mm rows)
+_H = "CAST(nullif(concat('0x', substr(md5({x}),1,15)), '0x') AS BIGINT)"
 
 _SHINGLE_CTE = """
 docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
@@ -372,16 +414,37 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> '')
 """
 
 
+# The sf fixtures contain ZERO duplicate texts, which made the exact-
+# dedup gates vacuous (any keep-rule — min, max, keep-all — produced
+# identical output; r9 oracle-independence review). Both sides union a
+# deterministic duplicate shard so n_dups>1 groups and the min-keeper
+# rule are actually witnessed.
+_DUP_SHARD_SQL = """(SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)"""
+
+
+def _with_dup_shard(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    return base.unionAll(
+        base.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
 @register(
     "dedup_exact_groups",
-    """
+    f"""
     SELECT sha256(text) AS content_sha, count(1) AS n_dups, min(doc_id) AS keeper_id
-    FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
+    FROM {_DUP_SHARD_SQL} WHERE text IS NOT NULL GROUP BY sha256(text)
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group summary on content digest."""
-    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    """Duplicate-group summary on content digest (incl. a synthetic
+    duplicate shard — see _with_dup_shard)."""
+    return dedup.exact_dup_groups(
+        _with_dup_shard(load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
 
 
 @register(

@@ -13,8 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Whitespace as an EXPLICIT class, not \s: this is exactly Java \s,
+# so engine behavior is unchanged — but DuckDB's RE2 \s omits \x0B,
+# so the oracles can only match a class both dialects spell the same
+# way (entry.py::_pin_ws_class rewrites the oracle side to this).
+WS_CLASS = r" \t\n\x0B\f\r"
+
 # BPE-ish token pattern: letter runs, digit runs, single punctuation.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
 
 # Tiny deterministic per-language marker lists (n-gram heuristic
 # calibre: real lang-ID uses char n-gram profiles; the *shape* — score
@@ -36,7 +42,7 @@ def tokens(text: Column) -> Column:
     One definition on purpose: two drifting copies would silently
     desynchronize shingle hashes vs chunk hashes built from the same
     text."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), rf"[{WS_CLASS}]+")
 
 
 _tokens = tokens
@@ -141,7 +147,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
                 lambda t: t.isin(*STOPWORDS),
             )
         ).alias("_stop_hits"),
-        F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).alias(
+        F.size(F.regexp_extract_all(text, F.lit(rf"[^A-Za-z0-9{WS_CLASS}]"), F.lit(0))).alias(
             "_n_punct"
         ),
         F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0))).alias("_n_digit"),

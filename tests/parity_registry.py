@@ -51,12 +51,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.entry import (  # noqa: F401 - SQL fragments
+    _DUP_SHARD_SQL,
     _H,
     _QUALITY_EXPR,
     _SPLIT_BUCKET,
     _minhash_lsh_sql,
     _minhash_sql,
+    _pin_ws_class,
     _simhash_sql,
+    _with_dup_shard,
 )
 from canal_phoenix_adapter_spark.operators import (
     analytics,
@@ -76,24 +79,29 @@ def register_parity(name: str, sql: str | None = None):
     def deco(fn):
         PARITY_QUERIES[name] = fn
         if sql is not None:
-            PARITY_ORACLE[name] = sql
+            # same whitespace-class dialect shim as the driver gates
+            PARITY_ORACLE[name] = _pin_ws_class(sql)
         return fn
     return deco
 
 
 @register_parity(
     "dedup_exact",
-    """
+    f"""
     SELECT doc_id, content_sha FROM (
         SELECT doc_id, sha256(text) AS content_sha,
                row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-        FROM documents
+        FROM {_DUP_SHARD_SQL}
     ) WHERE content_sha IS NULL OR rn = 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: canonical doc per sha256(text)."""
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    """Exact dedup: canonical doc per sha256(text), over the synthetic
+    duplicate shard (fixtures alone have zero duplicates — the keep-
+    min rule would otherwise be unwitnessed)."""
+    return dedup.exact_dedup(
+        _with_dup_shard(load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
 @register_parity("dedup_minhash_signatures", _minhash_sql(16))
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signature per document."""
@@ -395,10 +403,17 @@ def analytics_q5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_parity(
     "analytics_json_props",
     """
-    SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
-    FROM events
+    WITH j AS (
+        SELECT event_id,
+               -- regex-guarded: DuckDB TRY_CAST is lenient ('12.5'->13)
+               -- where Spark try_cast is NULL; guard pins Spark semantics
+               CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')),
+                                        '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(trim(json_extract_string(props, '$.k')) AS INT)
+                    ELSE NULL END AS k
+        FROM events
+    )
+    SELECT event_id, k, k % 10 AS k_bucket FROM j
     """,
 )
 def analytics_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:

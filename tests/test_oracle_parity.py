@@ -55,16 +55,23 @@ _NON_ASCII_DOCS = [
     (3, "plain ascii image row for contrast, long enough to matter"),
     (4, ""),
     (5, "🎥🎥🎥🎥🎥🎥🎥🎥 four-byte codepoints only, frames split them"),
-    # NULL text on an audio row (7 % 3 = 1): pins the oracle's
-    # explicit hx-IS-NULL -> NULL branches without touching the
-    # image/video signature paths (whose _H oracle is NULL-hostile
-    # by construction and whose engine rows filter NULL payloads out)
+    # NULL text on an IMAGE row (6 % 3 = 0): pins the _H oracle's
+    # NULL-propagation (nullif guard — DuckDB concat skips NULL args,
+    # so without it the oracle ERRORS where the engine yields a NULL
+    # signature) and on an audio row (7): the hx-IS-NULL branches.
+    (6, None),
     (7, None),
+    # every Java \s member incl. \x0B — the char RE2's \s does NOT
+    # match: pins the engine/oracle whitespace-class agreement
+    # (text.py WS_CLASS <-> entry._pin_ws_class) for tokenizer gates
+    (8, "alpha\x0bbeta gamma\ttab\nnl\fff\rcr the of and!!"),
 ]
 
 
 @pytest.mark.parametrize(
-    "name", ["mm_extract_features", "mm_geometry", "mm_frame_sample", "mm_thumbnail"]
+    "name",
+    ["mm_extract_features", "mm_geometry", "mm_frame_sample", "mm_thumbnail",
+     "text_quality"],
 )
 def test_mm_parity_is_bytes_true_on_non_ascii(spark, tmp_path, name):
     import pandas as pd

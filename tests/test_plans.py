@@ -140,10 +140,16 @@ def test_shingle_generator_has_no_split_in_lambda(q):
         assert "element_at(split(" not in text, name
 
 
-def test_exact_dedup_shuffles_digest_not_text(q):
+def test_exact_dedup_shuffles_digest_not_text(q, spark, sf_dir):
     """Exact dedup must shuffle the 64-hex digest, not document text:
-    the only wide columns allowed into the exchange are doc_id+sha."""
-    df = q("dedup_exact")
+    the only wide columns allowed into the exchange are doc_id+sha.
+    Pinned on the OPERATOR, not the gate — the r9 gate unions a
+    synthetic duplicate shard (witness construct) whose second branch
+    adds a fan-out exchange that has nothing to do with this invariant."""
+    from canal_phoenix_adapter_spark.operators import dedup
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+
+    df = dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     assert shuffle_count(df) <= 2  # fan-out + hash partition on sha
     scans = read_schema_columns(df)
     for cols in scans:
