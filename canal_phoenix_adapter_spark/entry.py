@@ -36,9 +36,15 @@ def _pin_ws_class(sql: str) -> str:
     readable while making the whitespace class IDENTICAL by
     construction — including in future oracles that keep writing
     '\\s+' out of habit."""
-    return sql.replace("'\\s+'", "'[ \\t\\n\\x0b\\f\\r]+'").replace(
+    out = sql.replace("'\\s+'", "'[ \\t\\n\\x0b\\f\\r]+'").replace(
         "[^A-Za-z0-9\\s]", "[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
     )
+    if "\\s" in out:  # a third \s idiom would silently reopen the gap
+        raise ValueError(
+            "oracle uses a \\s spelling _pin_ws_class does not rewrite; "
+            "spell the whitespace class explicitly: [ \\t\\n\\x0b\\f\\r]"
+        )
+    return out
 
 
 def register(name: str, sql: str | None = None):

@@ -140,7 +140,7 @@ def test_shingle_generator_has_no_split_in_lambda(q):
         assert "element_at(split(" not in text, name
 
 
-def test_exact_dedup_shuffles_digest_not_text(q, spark, sf_dir):
+def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
     """Exact dedup must shuffle the 64-hex digest, not document text:
     the only wide columns allowed into the exchange are doc_id+sha.
     Pinned on the OPERATOR, not the gate — the r9 gate unions a
