@@ -32,6 +32,23 @@ def test_every_parity_query_has_an_oracle():
     assert set(PARITY_ORACLE) == set(PARITY_QUERIES)
 
 
+def test_ws_shim_rewrites_known_idioms_and_rejects_novel_ones():
+    """_pin_ws_class must rewrite the two \\s spellings the oracles use
+    (RE2's \\s lacks \\x0B, Java's has it) and HARD-FAIL on any other
+    \\s idiom — otherwise the dialect gap it closes silently reopens in
+    the next oracle someone writes."""
+    from canal_phoenix_adapter_spark.entry import _pin_ws_class
+
+    assert _pin_ws_class("split(trim(text), '\\s+')") == (
+        "split(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
+    )
+    assert _pin_ws_class("regexp('[^A-Za-z0-9\\s]')") == (
+        "regexp('[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')"
+    )
+    with pytest.raises(ValueError, match="spell the whitespace class"):
+        _pin_ws_class("regexp_replace(text, '\\s', ' ')")
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
