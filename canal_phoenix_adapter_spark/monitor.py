@@ -42,19 +42,32 @@ class ConfigMonitor:
         self.outer_adapter_key = outer_adapter_key
         self.configs: dict[str, MappingConfig] = {}
         self.routing: dict[str, dict[str, MappingConfig]] = {}
-        self._mtimes: dict[str, float] = {}
+        self._mtimes: dict[str, tuple[int, int]] = {}
+        self._failed: dict[str, tuple[int, int]] = {}
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
     # -- cache mutation (java :137-163) --------------------------------
+    # Copy-on-write: the poll thread swaps whole dicts instead of
+    # mutating in place, so a foreachBatch driver thread iterating
+    # configs/routing mid-reload sees a stable snapshot rather than
+    # "dictionary changed size during iteration" (r9 review). Config
+    # counts are small; the copies are trivial next to the 3 s cadence.
     def _add(self, name: str, cfg: MappingConfig) -> None:
-        self.configs[name] = cfg
-        self.routing.setdefault(cfg.routing_key(), {})[name] = cfg
+        configs = dict(self.configs)
+        configs[name] = cfg
+        routing = {k: dict(v) for k, v in self.routing.items()}
+        routing.setdefault(cfg.routing_key(), {})[name] = cfg
+        self.configs, self.routing = configs, routing
 
     def _remove(self, name: str) -> None:
-        self.configs.pop(name, None)
-        for configs in self.routing.values():
-            configs.pop(name, None)
+        configs = dict(self.configs)
+        configs.pop(name, None)
+        routing = {
+            k: {n: c for n, c in v.items() if n != name}
+            for k, v in self.routing.items()
+        }
+        self.configs, self.routing = configs, routing
 
     def _accepts(self, cfg: MappingConfig) -> bool:
         """Key filter (java :75-76): both None, or equal."""
@@ -65,21 +78,30 @@ class ConfigMonitor:
         """One observer pass: diff dir state against the last poll and
         apply create/change/delete. Returns the event lists (for tests
         and logging)."""
-        seen: dict[str, float] = {}
+        seen: dict[str, tuple[int, int]] = {}
         try:
             for name in sorted(os.listdir(self.conf_dir)):
                 if not name.endswith((".yml", ".yaml")):
                     continue
                 try:
-                    seen[name] = os.path.getmtime(os.path.join(self.conf_dir, name))
+                    st = os.stat(os.path.join(self.conf_dir, name))
+                    # (mtime_ns, size): plain float mtime misses a
+                    # rewrite landing in the same coarse-granularity
+                    # timestamp as the already-polled version
+                    seen[name] = (st.st_mtime_ns, st.st_size)
                 except OSError:  # deleted between listdir and stat
                     continue
         except FileNotFoundError:
             seen = {}
 
         events: dict[str, list[str]] = {"created": [], "changed": [], "deleted": []}
-        for name in self._mtimes.keys() - seen.keys():
+        load_failures: list[str] = []
+        # union with live config names: a file in failed-load retry has
+        # no _mtimes entry, but its LAST GOOD config is still served and
+        # must still be dropped when the file disappears
+        for name in (self._mtimes.keys() | self.configs.keys()) - seen.keys():
             self._remove(name)
+            self._failed.pop(name, None)
             events["deleted"].append(name)
             logger.info("Delete a phoenix mapping config: %s", name)
         for name, mtime in seen.items():
@@ -90,9 +112,22 @@ class ConfigMonitor:
             try:
                 cfg = load_config(os.path.join(self.conf_dir, name))
             except Exception as e:  # noqa: BLE001 - bad YAML must not kill the loop
-                logger.error("config %s load failed: %s", name, e)
+                # do NOT record the mtime: a failed load is retried on
+                # every poll (a mid-write partial YAML whose completing
+                # write lands in the same coarse timestamp would
+                # otherwise serve the OLD config forever). Log once per
+                # distinct file state, not once per 3 s poll.
+                if self._failed.get(name) != mtime:
+                    logger.error("config %s load failed: %s", name, e)
+                    self._failed[name] = mtime
+                load_failures.append(name)
                 continue
-            if kind == "changed" and name in self.configs:
+            self._failed.pop(name, None)
+            # keyed on LIVE config presence, not event kind: a file
+            # recovering from a failed-load retry arrives as "created"
+            # yet still replaces a served config, so the key-change
+            # rejection must apply to it too
+            if name in self.configs:
                 old = self.configs[name]
                 if (old.outer_adapter_key or None) != (cfg.outer_adapter_key or None):
                     # java :110-112: the key routes to an adapter
@@ -108,6 +143,8 @@ class ConfigMonitor:
             self._add(name, cfg)
             events[kind].append(name)
             logger.info("%s phoenix mapping config: %s", kind, name)
+        for name in load_failures:
+            seen.pop(name, None)
         self._mtimes = seen
         return events
 
@@ -118,7 +155,12 @@ class ConfigMonitor:
     # -- background mode (init/destroy, java :34-58) -------------------
     def start(self, interval_sec: float = POLL_INTERVAL_SEC) -> None:
         if self._thread is not None:
-            return
+            if self._thread.is_alive():
+                # running, or a stop() that timed out on a hung poll:
+                # clearing _stop now would resurrect the OLD loop and
+                # race a new poller over the same caches (r9 review)
+                return
+            self._thread = None
         # a stop()ed monitor must be restartable: without the clear, a
         # second start() would launch a thread whose wait() returns
         # immediately and dies after zero polls while looking started.
@@ -139,4 +181,9 @@ class ConfigMonitor:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=POLL_INTERVAL_SEC * 2)
+            if self._thread.is_alive():
+                # hung poll (e.g. stat on a dead mount): keep the handle
+                # so start() cannot launch a second poller beside it
+                logger.error("config poll thread did not stop in time")
+                return
             self._thread = None

@@ -40,21 +40,30 @@ def http_post_notify(url: str, payload: dict, timeout: float = 5.0) -> None:
     log). stdlib urllib; no HTTP client dependency."""
 
     def _post() -> None:
-        import urllib.request
-
-        req = urllib.request.Request(
-            url,
-            data=json.dumps(payload).encode("utf-8"),
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
         try:
+            # Request construction INSIDE the try: a malformed
+            # notifyUrl (schemeless YAML typo) raises in urllib and
+            # must surface as the documented warning, not a silent
+            # thread death (r9 review)
+            import urllib.request
+
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(payload).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
             with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
                 logger.info("notify done => %s %s %s", url, payload, resp.status)
         except Exception as e:  # noqa: BLE001 - notify is best-effort
             logger.warning("notify failed => %s %s", url, e)
 
-    threading.Thread(target=_post, daemon=True).start()
+    try:
+        threading.Thread(target=_post, daemon=True).start()
+    except Exception as e:  # noqa: BLE001 - thread exhaustion on the
+        # caller (foreachBatch driver) thread: best-effort means a
+        # notify failure may never fail the sync that triggered it
+        logger.warning("notify failed => %s %s", url, e)
 
 
 def make_notifier(cfg: MappingConfig) -> NotifyHook | None:

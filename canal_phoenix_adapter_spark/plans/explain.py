@@ -17,23 +17,66 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 — naive str.split corrupts
+    any entry containing its own commas (In(id, [1,2,3]) filters,
+    decimal(18,2) / nested struct<> schema types; r9 review, both
+    reproduced on Spark 4.1)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in s:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return [x for x in out if x]
+
+
+def _balanced_regions(text: str, marker: str, open_ch: str, close_ch: str) -> list[str]:
+    """Every balanced open..close region that follows marker (whose
+    last char must be open_ch) — a [^\\]]* regex stops at the FIRST
+    close char and silently truncates nested entries."""
+    out = []
+    i = text.find(marker)
+    while i >= 0:
+        k = i + len(marker)
+        depth, start = 1, k
+        while k < len(text) and depth:
+            if text[k] == open_ch:
+                depth += 1
+            elif text[k] == close_ch:
+                depth -= 1
+            k += 1
+        out.append(text[start:k - 1])
+        i = text.find(marker, k)
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries across all scans in the plan."""
     text = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    for region in _balanced_regions(text, "PushedFilters: [", "[", "]"):
+        out.extend(_split_top_level(region))
     return out
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each parquet scan (pruning check)."""
     text = explain_str(df)
-    out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
-        out.append(cols)
-    return out
+    return [
+        [c.split(":")[0].strip() for c in _split_top_level(region)]
+        for region in _balanced_regions(text, "ReadSchema: struct<", "<", ">")
+    ]
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

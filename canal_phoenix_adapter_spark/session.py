@@ -28,6 +28,16 @@ def get_spark(app_name: str = "canal-phoenix-adapter-spark",
     AQE handles runtime coalescing + skew splitting, and shuffle
     partition count is a starting hint that AQE re-plans.
     """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        # Never mutate an externally-owned session: getOrCreate() would
+        # silently apply the runtime confs below (64m broadcast
+        # threshold, shuffle partitions, AQE flags) to the DRIVER's
+        # session — changing its unrelated joins — while silently
+        # ignoring the master/cpus/memory this signature promises
+        # (r9 review). The engine works on any session: semantics never
+        # depend on conf (try_cast everywhere, module NOTE above).
+        return existing
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

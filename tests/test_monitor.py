@@ -116,3 +116,61 @@ def test_monitor_restart_after_stop(tmp_path):
         assert "late.yml" in mon.configs, "restarted monitor never polled"
     finally:
         mon.stop()
+
+
+def test_failed_load_is_retried_even_at_identical_mtime(tmp_path):
+    """A mid-write partial YAML whose completing write lands in the
+    same coarse timestamp must not serve the old (or no) config
+    forever: failed loads are NOT mtime-recorded, so every poll
+    retries them (r9 review)."""
+    p = os.path.join(str(tmp_path), "user.yml")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("dbMapping: [broken")
+    mon = ConfigMonitor(str(tmp_path))
+    mon.poll()
+    assert "user.yml" not in mon.configs
+    st = os.stat(p)
+    write_yaml(str(tmp_path), "user.yml")
+    # pin the completed write to the EXACT same mtime_ns as the broken
+    # one — the old mtime-equality skip would never reload it
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    mon.poll()
+    assert "user.yml" in mon.configs
+
+
+def test_delete_during_failed_load_retry_drops_last_good_config(tmp_path):
+    """good -> broken (old config kept, retried) -> file deleted: the
+    served config must be dropped even though the retry loop holds no
+    mtime entry for the file (r9 review)."""
+    p = write_yaml(str(tmp_path), "user.yml")
+    mon = ConfigMonitor(str(tmp_path))
+    mon.poll()
+    assert "user.yml" in mon.configs
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("dbMapping: [broken")
+    mon.poll()
+    assert "user.yml" in mon.configs  # last good config still served
+    os.remove(p)
+    ev = mon.poll()
+    assert ev["deleted"] == ["user.yml"]
+    assert "user.yml" not in mon.configs
+    assert not mon.configs_for("example_mytest-user")
+
+
+def test_reload_swaps_snapshots_instead_of_mutating(tmp_path):
+    """Copy-on-write reload: a reader holding the dict from before a
+    poll must see a STABLE snapshot (the driver's foreachBatch iterates
+    configs while the poll thread applies events — in-place mutation
+    raises 'dictionary changed size during iteration')."""
+    write_yaml(str(tmp_path), "a.yml", target="M.A")
+    mon = ConfigMonitor(str(tmp_path))
+    mon.poll()
+    before_configs = mon.configs
+    before_routing = mon.configs_for("example_mytest-user")
+    write_yaml(str(tmp_path), "b.yml", target="M.B")
+    bump_mtime(os.path.join(str(tmp_path), "b.yml"))
+    mon.poll()
+    # old snapshots untouched; new state visible through the monitor
+    assert set(before_configs) == {"a.yml"}
+    assert set(before_routing) == {"a.yml"}
+    assert set(mon.configs) == {"a.yml", "b.yml"}

@@ -397,3 +397,58 @@ def test_pipeline_corpus_clean_single_join(q):
         text,
     )
     assert len(joins) == 1, joins
+
+
+def test_pushed_filters_survives_in_and_multiarg_filters(spark, sf_dir, tmp_path):
+    """In(id, [1,2,3]) contains both ']' and commas: the old regex
+    truncated at the first ']' and comma-split the rest, shredding the
+    entry AND dropping every filter after it (r9 review, reproduced).
+    A filter listed after the In must still be visible."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.plans.explain import pushed_filters
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(1, 2, 3))
+        .where(F.col("n_chars") > 0)
+        .select("doc_id")
+    )
+    filters = pushed_filters(df)
+    assert any(f.startswith("In(doc_id") and f.endswith("])") for f in filters), filters
+    assert any(f.startswith("GreaterThan(n_chars") for f in filters), filters
+    assert not any(f in ("[1", "2", "3]") for f in filters), filters
+
+
+def test_read_schema_columns_survives_nested_types(spark, tmp_path):
+    """struct<...> inside ReadSchema: the old [^>]* regex stopped at
+    the FIRST '>', dropping every column after a nested one — a
+    pruning assertion would false-PASS (r9 review, reproduced)."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.plans.explain import read_schema_columns
+
+    path = str(tmp_path / "nested")
+    spark.range(10).select(
+        F.struct(
+            F.array(F.col("id").cast("int")).alias("a"),
+            F.lit("s").alias("b"),
+        ).alias("data"),
+        F.col("id").alias("x"),
+        F.lit("y").alias("y"),
+    ).write.parquet(path)
+    scans = read_schema_columns(spark.read.parquet(path).select("data", "x", "y"))
+    assert scans and scans[0] == ["data", "x", "y"], scans
+
+
+def test_split_top_level_respects_bracket_depth():
+    from canal_phoenix_adapter_spark.plans.explain import _split_top_level
+
+    assert _split_top_level(
+        "IsNotNull(x), In(id, [1,2,3]), GreaterThan(x,0)"
+    ) == ["IsNotNull(x)", "In(id, [1,2,3])", "GreaterThan(x,0)"]
+    assert _split_top_level(
+        "a:decimal(18,2),b:struct<c:int,d:string>,e:bigint"
+    ) == ["a:decimal(18,2)", "b:struct<c:int,d:string>", "e:bigint"]
+    assert _split_top_level("") == []
