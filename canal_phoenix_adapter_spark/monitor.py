@@ -69,6 +69,22 @@ class ConfigMonitor:
         }
         self.configs, self.routing = configs, routing
 
+    def _replace(self, name: str, cfg: MappingConfig) -> None:
+        """Change = ONE published state, not _remove-then-_add: two
+        swaps leave a window where the mapping is absent from routing
+        and a concurrent dispatch silently skips its rows. (configs
+        and routing are two attribute stores, but no reader consults
+        both together: route_all reads configs, configs_for reads
+        routing.)"""
+        configs = dict(self.configs)
+        configs[name] = cfg
+        routing = {
+            k: {n: c for n, c in v.items() if n != name}
+            for k, v in self.routing.items()
+        }
+        routing.setdefault(cfg.routing_key(), {})[name] = cfg
+        self.configs, self.routing = configs, routing
+
     def _accepts(self, cfg: MappingConfig) -> bool:
         """Key filter (java :75-76): both None, or equal."""
         return (self.outer_adapter_key or None) == (cfg.outer_adapter_key or None)
@@ -139,12 +155,19 @@ class ConfigMonitor:
             if not self._accepts(cfg):
                 continue
             if name in self.configs:
-                self._remove(name)
-            self._add(name, cfg)
+                self._replace(name, cfg)
+            else:
+                self._add(name, cfg)
             events[kind].append(name)
             logger.info("%s phoenix mapping config: %s", kind, name)
         for name in load_failures:
             seen.pop(name, None)
+        # GC failure markers for vanished files (a failing-from-birth
+        # file is in neither _mtimes nor configs, so the delete loop
+        # above never sees it; without this the marker leaks and can
+        # wrongly suppress the error log for a same-stat reappearance)
+        for name in self._failed.keys() - seen.keys() - set(load_failures):
+            self._failed.pop(name, None)
         self._mtimes = seen
         return events
 
@@ -158,7 +181,15 @@ class ConfigMonitor:
             if self._thread.is_alive():
                 # running, or a stop() that timed out on a hung poll:
                 # clearing _stop now would resurrect the OLD loop and
-                # race a new poller over the same caches (r9 review)
+                # race a new poller over the same caches (r9 review).
+                # Loud when it is the stopped-but-hung case — the old
+                # loop exits as soon as its hung syscall returns, so
+                # "start() succeeded" would silently mean NO poller.
+                if self._stop.is_set():
+                    logger.error(
+                        "start() refused: previous poll thread still "
+                        "shutting down; call start() again once it exits"
+                    )
                 return
             self._thread = None
         # a stop()ed monitor must be restartable: without the clear, a

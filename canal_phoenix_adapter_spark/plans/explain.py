@@ -17,18 +17,21 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
-def _split_top_level(s: str) -> list[str]:
+def _split_top_level(s: str, opens: str, closes: str) -> list[str]:
     """Split on commas at bracket depth 0 — naive str.split corrupts
     any entry containing its own commas (In(id, [1,2,3]) filters,
     decimal(18,2) / nested struct<> schema types; r9 review, both
-    reproduced on Spark 4.1)."""
+    reproduced on Spark 4.1). The bracket alphabet is per GRAMMAR:
+    '<' in a filter literal (EqualTo(s,a<b)) is data, not a bracket,
+    so the filter grammar counts only ()[] while the schema grammar
+    counts <>()."""
     out: list[str] = []
     buf: list[str] = []
     depth = 0
     for ch in s:
-        if ch in "([<":
+        if ch in opens:
             depth += 1
-        elif ch in ")]>":
+        elif ch in closes:
             depth -= 1
         if ch == "," and depth == 0:
             out.append("".join(buf).strip())
@@ -44,7 +47,10 @@ def _split_top_level(s: str) -> list[str]:
 def _balanced_regions(text: str, marker: str, open_ch: str, close_ch: str) -> list[str]:
     """Every balanced open..close region that follows marker (whose
     last char must be open_ch) — a [^\\]]* regex stops at the FIRST
-    close char and silently truncates nested entries."""
+    close char and silently truncates nested entries. A region that
+    never closes (Spark truncated the line at
+    spark.sql.maxMetadataStringLength) RAISES: a plan assertion must
+    error loudly rather than silently test garbage columns."""
     out = []
     i = text.find(marker)
     while i >= 0:
@@ -56,6 +62,11 @@ def _balanced_regions(text: str, marker: str, open_ch: str, close_ch: str) -> li
             elif text[k] == close_ch:
                 depth -= 1
             k += 1
+        if depth:
+            raise ValueError(
+                f"unbalanced {marker!r} region — plan text likely truncated; "
+                "raise spark.sql.maxMetadataStringLength for this assertion"
+            )
         out.append(text[start:k - 1])
         i = text.find(marker, k)
     return out
@@ -66,7 +77,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
     text = explain_str(df)
     out: list[str] = []
     for region in _balanced_regions(text, "PushedFilters: [", "[", "]"):
-        out.extend(_split_top_level(region))
+        out.extend(_split_top_level(region, "([", ")]"))
     return out
 
 
@@ -74,7 +85,7 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each parquet scan (pruning check)."""
     text = explain_str(df)
     return [
-        [c.split(":")[0].strip() for c in _split_top_level(region)]
+        [c.split(":")[0].strip() for c in _split_top_level(region, "<(", ">)")]
         for region in _balanced_regions(text, "ReadSchema: struct<", "<", ">")
     ]
 

@@ -28,7 +28,13 @@ def get_spark(app_name: str = "canal-phoenix-adapter-spark",
     AQE handles runtime coalescing + skew splitting, and shuffle
     partition count is a starting hint that AQE re-plans.
     """
-    existing = SparkSession.getActiveSession()
+    # getActiveSession() is THREAD-scoped; getOrCreate()'s fallback is
+    # the process-global instantiated session, so a call from another
+    # thread (streaming listener, config-monitor poll) would slip past
+    # an active-only check and still mutate the external session
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if existing is not None:
         # Never mutate an externally-owned session: getOrCreate() would
         # silently apply the runtime confs below (64m broadcast

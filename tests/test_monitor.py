@@ -118,24 +118,71 @@ def test_monitor_restart_after_stop(tmp_path):
         mon.stop()
 
 
-def test_failed_load_is_retried_even_at_identical_mtime(tmp_path):
+def test_failed_load_is_retried_even_at_identical_stat(tmp_path):
     """A mid-write partial YAML whose completing write lands in the
-    same coarse timestamp must not serve the old (or no) config
-    forever: failed loads are NOT mtime-recorded, so every poll
-    retries them (r9 review)."""
+    same coarse timestamp AND byte length must not serve the old (or
+    no) config forever: failed loads are NOT stat-recorded, so every
+    poll retries them (r9 review). Size is pinned too — a differing
+    st_size would let the (mtime_ns, size) change detector pass the
+    test even with the retry fix reverted."""
     p = os.path.join(str(tmp_path), "user.yml")
+    write_yaml(str(tmp_path), "user.yml")  # measure the good size
+    good_size = os.stat(p).st_size
+    broken = ("dbMapping: [broken" + " " * good_size)[:good_size]
     with open(p, "w", encoding="utf-8") as f:
-        f.write("dbMapping: [broken")
+        f.write(broken)
     mon = ConfigMonitor(str(tmp_path))
     mon.poll()
     assert "user.yml" not in mon.configs
     st = os.stat(p)
     write_yaml(str(tmp_path), "user.yml")
-    # pin the completed write to the EXACT same mtime_ns as the broken
-    # one — the old mtime-equality skip would never reload it
+    # completed write pinned to the broken one's EXACT (mtime_ns, size)
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.stat(p).st_size == st.st_size == good_size
     mon.poll()
     assert "user.yml" in mon.configs
+
+
+def test_changed_config_is_never_absent_between_polls(tmp_path):
+    """A change publishes ONE state: the mapping must be resolvable
+    from routing at every point — _remove-then-_add left a window
+    where dispatch silently skipped the table (r9 fix-review)."""
+    write_yaml(str(tmp_path), "user.yml", target="M.T")
+    mon = ConfigMonitor(str(tmp_path))
+    mon.poll()
+
+    observed_absent = []
+    orig_add = mon._add
+
+    def spying_add(name, cfg):
+        # called mid-change in the old two-swap protocol: the config
+        # would be missing HERE; with _replace, _add is never invoked
+        # for a change at all
+        if not mon.configs_for("example_mytest-user"):
+            observed_absent.append(name)
+        orig_add(name, cfg)
+
+    mon._add = spying_add
+    write_yaml(str(tmp_path), "user.yml", target="M.T2")
+    bump_mtime(os.path.join(str(tmp_path), "user.yml"))
+    mon.poll()
+    assert not observed_absent
+    assert mon.configs["user.yml"].db_mapping.target_table == "M.T2"
+
+
+def test_failed_marker_gc_for_vanished_files(tmp_path):
+    """A failing-from-birth file that disappears must not leak its
+    _failed marker (it is in neither _mtimes nor configs, so the
+    delete loop never sees it; r9 fix-review)."""
+    p = os.path.join(str(tmp_path), "bad.yml")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("dbMapping: [broken")
+    mon = ConfigMonitor(str(tmp_path))
+    mon.poll()
+    assert "bad.yml" in mon._failed
+    os.remove(p)
+    mon.poll()
+    assert "bad.yml" not in mon._failed
 
 
 def test_delete_during_failed_load_retry_drops_last_good_config(tmp_path):

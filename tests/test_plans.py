@@ -446,9 +446,28 @@ def test_split_top_level_respects_bracket_depth():
     from canal_phoenix_adapter_spark.plans.explain import _split_top_level
 
     assert _split_top_level(
-        "IsNotNull(x), In(id, [1,2,3]), GreaterThan(x,0)"
+        "IsNotNull(x), In(id, [1,2,3]), GreaterThan(x,0)", "([", ")]"
     ) == ["IsNotNull(x)", "In(id, [1,2,3])", "GreaterThan(x,0)"]
     assert _split_top_level(
-        "a:decimal(18,2),b:struct<c:int,d:string>,e:bigint"
+        "a:decimal(18,2),b:struct<c:int,d:string>,e:bigint", "<(", ">)"
     ) == ["a:decimal(18,2)", "b:struct<c:int,d:string>", "e:bigint"]
-    assert _split_top_level("") == []
+    # '<' in a FILTER literal is data, not a bracket: the filter
+    # grammar must still split after it (r9 fix-review, reproduced)
+    assert _split_top_level(
+        "EqualTo(s,a<b), GreaterThan(x,0), IsNotNull(y)", "([", ")]"
+    ) == ["EqualTo(s,a<b)", "GreaterThan(x,0)", "IsNotNull(y)"]
+    assert _split_top_level("", "([", ")]") == []
+
+
+def test_balanced_regions_raises_on_truncated_plan_text():
+    """A ReadSchema line Spark truncated at maxMetadataStringLength
+    must ERROR, not silently yield garbage columns that a pruning
+    assertion then 'verifies' (r9 fix-review, reproduced)."""
+    import pytest as _pytest
+
+    from canal_phoenix_adapter_spark.plans.explain import _balanced_regions
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _balanced_regions(
+            "ReadSchema: struct<a:int,b:str", "ReadSchema: struct<", "<", ">"
+        )
