@@ -6,15 +6,22 @@ just the benchmark."""
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 
 from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """Plan text via the public df.explain(mode=...), captured from
+    stdout — the only API that works on both classic and Connect
+    sessions (the previous PythonSQLUtils.explainString call was the
+    package's last private-py4j-gateway dependency; r9 verdict)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
 
 
 def _split_top_level(s: str, opens: str, closes: str) -> list[str]:
@@ -24,14 +31,17 @@ def _split_top_level(s: str, opens: str, closes: str) -> list[str]:
     reproduced on Spark 4.1). The bracket alphabet is per GRAMMAR:
     '<' in a filter literal (EqualTo(s,a<b)) is data, not a bracket,
     so the filter grammar counts only ()[] while the schema grammar
-    counts <>()."""
+    counts <>(). A close char at depth 0 (unmatched ']' inside a
+    string literal, e.g. EqualTo(s,a])) is treated as data — without
+    the clamp it would drive depth negative and mis-split every
+    later entry (r9 ADVICE)."""
     out: list[str] = []
     buf: list[str] = []
     depth = 0
     for ch in s:
         if ch in opens:
             depth += 1
-        elif ch in closes:
+        elif ch in closes and depth > 0:
             depth -= 1
         if ch == "," and depth == 0:
             out.append("".join(buf).strip())

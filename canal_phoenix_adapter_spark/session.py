@@ -13,9 +13,12 @@ coercion uses try_cast / try_element_at / try_* explicitly.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
 
 
 def get_spark(app_name: str = "canal-phoenix-adapter-spark",
@@ -43,6 +46,14 @@ def get_spark(app_name: str = "canal-phoenix-adapter-spark",
         # ignoring the master/cpus/memory this signature promises
         # (r9 review). The engine works on any session: semantics never
         # depend on conf (try_cast everywhere, module NOTE above).
+        if (app_name, cpus, shuffle_partitions) != (
+            "canal-phoenix-adapter-spark", None, None,
+        ):
+            logger.warning(
+                "get_spark: existing session returned; explicit args "
+                "(app_name=%r, cpus=%r, shuffle_partitions=%r) are dropped",
+                app_name, cpus, shuffle_partitions,
+            )
         return existing
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -5,10 +5,13 @@ predicate pushdown / column pruning reach the parquet scans."""
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -72,6 +75,10 @@ def _byte_string_as_bytes(s: str) -> int:
     m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", s)
     if m and m.group(2).lower() in _SIZE_SUFFIX:
         return int(m.group(1)) * _SIZE_SUFFIX[m.group(2).lower()]
+    logger.warning(
+        "unparseable size string %r (Spark would reject it); "
+        "falling back to 128 MiB", s,
+    )
     return 134217728
 
 

@@ -580,7 +580,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.contamination_hits(docs, probes)
 @register_parity(
     "mm_frame_sample",
-    """
+    f"""
     WITH vids AS (
         SELECT doc_id, hex(encode(text)) AS hx,
                CAST(floor(octet_length(encode(text)) / 16.0) AS BIGINT) AS nf
@@ -589,9 +589,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(i AS BIGINT) AS frame_idx,
            CAST(i * 16 + 1 AS BIGINT) AS byte_offset,
-           CAST(concat('0x',
-                substr(md5(substr(hx, CAST(i * 32 + 1 AS BIGINT), 32)), 1, 15))
-                AS BIGINT) AS frame_sig
+           {_H.format(x="substr(hx, CAST(i * 32 + 1 AS BIGINT), 32)")} AS frame_sig
     FROM vids, unnest(range(0, nf, 4)) AS t(i)
     """,
 )

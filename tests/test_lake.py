@@ -205,3 +205,31 @@ def test_byte_string_parser_matches_spark_grammar():
     assert _byte_string_as_bytes(" 2g ") == 2 << 30
     assert _byte_string_as_bytes("garbage") == 134217728  # fallback
     assert _byte_string_as_bytes("1x") == 134217728       # unknown suffix
+
+
+def test_byte_string_parser_fallback_warns(caplog):
+    # r9 ADVICE: a typo'd spark.sql.files.maxPartitionBytes silently
+    # changed fan_out's threshold — the fallback must be loud.
+    from canal_phoenix_adapter_spark.sources.tables import _byte_string_as_bytes
+
+    with caplog.at_level("WARNING", "canal_phoenix_adapter_spark.sources.tables"):
+        assert _byte_string_as_bytes("1gib") == 134217728
+    assert any("1gib" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level("WARNING", "canal_phoenix_adapter_spark.sources.tables"):
+        assert _byte_string_as_bytes("128m") == 128 << 20
+    assert not caplog.records  # happy path stays silent
+
+
+def test_get_spark_warns_when_explicit_args_dropped(spark, caplog):
+    # r9 ADVICE: explicit tuning args are discarded when an external
+    # session already exists — the caller must get a runtime signal.
+    from canal_phoenix_adapter_spark.session import get_spark
+
+    with caplog.at_level("WARNING", "canal_phoenix_adapter_spark.session"):
+        assert get_spark(cpus=4, shuffle_partitions=8) is spark
+    assert any("dropped" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level("WARNING", "canal_phoenix_adapter_spark.session"):
+        assert get_spark() is spark  # all-default call stays silent
+    assert not caplog.records
