@@ -453,10 +453,33 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fixtures' max shingle doc-freq is 4, so the max_df=5 cap never
+# binds at the gate SF — a skipped cap produced identical output and
+# the gate was blind to it (r10 gate-kill audit; the cap-agreement
+# property tests cover the cap but the driver gate could not). Both
+# sides union a hot-shingle witness shard: 8 four-token docs sharing
+# one shingle (df=8 > 5). Capped, the shingle is dropped and the
+# witness docs pair with nothing; uncapped, 28 jaccard-1.0 witness
+# pairs appear and the compare goes red.
+_HOT_SHINGLE_DOCS = [(-(i + 1), "hot shingle witness row") for i in range(8)]
+_HOT_SHARD_SQL = "(SELECT doc_id, text FROM documents UNION ALL {rows})".format(
+    rows=" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT), '{t}'" for i, t in _HOT_SHINGLE_DOCS
+    )
+)
+
+
+def _with_hot_shingle_shard(docs: DataFrame) -> DataFrame:
+    spark = docs.sparkSession
+    witness = spark.createDataFrame(_HOT_SHINGLE_DOCS, "doc_id bigint, text string")
+    return docs.select("doc_id", "text").unionByName(witness)
+
+
 @register(
     "dedup_ngram_jaccard_maxdf",
     f"""
-    WITH {_SHINGLE_CTE},
+    WITH {_SHINGLE_CTE.replace("FROM documents",
+                               f"FROM {_HOT_SHARD_SQL} AS documents")},
     hs0 AS (SELECT DISTINCT doc_id AS id, {_H.format(x='shingle')} AS sh
             FROM sh0 WHERE shingle <> ''),
     docfreq AS (SELECT sh, count(1) AS d FROM hs0 GROUP BY sh),
@@ -478,10 +501,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale Jaccard: shingles in more than max_df=5 docs are
     dropped before the self-join (a d-doc shingle costs d^2 join rows),
-    bounding every bucket; sizes are over kept shingles on both sides."""
+    bounding every bucket; sizes are over kept shingles on both sides.
+    Input includes the hot-shingle witness shard (_with_hot_shingle_shard)
+    so a skipped cap turns the gate red."""
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        n=4, threshold=0.5, max_df=5,
+        _with_hot_shingle_shard(load_table(spark, sf_dir, "documents")),
+        "doc_id", "text", n=4, threshold=0.5, max_df=5,
     )
 
 
@@ -875,12 +900,35 @@ SELECT user_id, value, ts_us FROM last WHERE rn = 1 AND is_create = 1
 """
 
 
-@register("cdc_truncate_apply", _TRUNCATE_FOLD_SQL)
+# Every fixture user has a post-truncate event at the gate SF, so a
+# merge that IGNORED truncate entirely — or cut at the FIRST marker
+# (seq 0) instead of the last — produced identical output: the gate
+# was blind to C7 bugs (r10 gate-kill audit). One witness row, a user
+# whose ONLY event sits between the first and last TRUNCATE, must be
+# wiped; it survives under either bug.
+_TRUNC_WITNESS_SQL = ("SELECT CAST(1 AS BIGINT) AS seq, 'INSERT' AS op, "
+                      "CAST(-1 AS BIGINT) AS user_id, "
+                      "CAST(NULL AS BIGINT) AS old_user_id, "
+                      "CAST(1.0 AS DOUBLE) AS value, CAST(0 AS BIGINT) AS ts_us")
+
+
+@register(
+    "cdc_truncate_apply",
+    _TRUNCATE_FOLD_SQL.replace(
+        f"WITH changes AS ({ev.SYNTHETIC_CHANGES_TRUNCATE_SQL})",
+        f"WITH changes AS ({ev.SYNTHETIC_CHANGES_TRUNCATE_SQL} "
+        f"UNION ALL {_TRUNC_WITNESS_SQL})",
+    ),
+)
 def cdc_truncate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7/S7: TRUNCATE markers interleaved in the stream wipe all
     earlier state; only events after the last truncate survive."""
     changes = ev.synthetic_changes_with_truncate(load_table(spark, sf_dir, "events"))
-    return merge_cdc(None, changes, ["user_id"], old_prefix="old_", check_truncate=True)
+    witness = spark.createDataFrame(
+        [(1, "INSERT", -1, None, 1.0, 0)], schema=changes.schema
+    )
+    return merge_cdc(None, changes.unionByName(witness), ["user_id"],
+                     old_prefix="old_", check_truncate=True)
 
 
 @register(

@@ -1,0 +1,417 @@
+"""Systematic gate-kill audit (r9 VERDICT task 1).
+
+r9's oracle-independence review proved a gate can sit green for seven
+rounds while being UNABLE to fail (7 of 50 were blind). This module
+makes that impossible to regress silently: for EVERY driver gate in
+canal_phoenix_adapter_spark/entry.py, one deliberate semantic engine
+mutation (monkeypatched at the operator seam the gate actually calls)
+must turn the gate's own oracle compare RED — same compare semantics,
+same SF (sf0.01) as the driver's t2 gate. A gate that stays green
+under its mutation is blind, and this suite fails.
+
+Each Kill documents the concrete engine bug class it simulates
+(keep-FIRST instead of keep-last, PK-change death rows dropped,
+max_df cap skipped, 1-based enum decode off by one, ... — reference
+semantics at PhoenixSyncService.java:206-220/:425-456,
+MappingConfig.java:277-287). The mutation is applied via pytest's
+monkeypatch, so it is reverted even on assertion failure; the
+ORACLE side is never touched. Registration completeness is enforced:
+a new gate without a Kill fails test_every_driver_gate_has_a_kill.
+
+The kill table in COVERAGE.md is generated from this registry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import os
+import sys
+from dataclasses import dataclass
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from canal_phoenix_adapter_spark import entry as E  # noqa: E402
+from tools.check_correctness import TABLES, canon  # noqa: E402
+
+# The driver's gate SF: kills must fire at the same scale the gate is
+# graded at (a mutation that only shows at sf0.1 would leave the
+# driver's own compare blind).
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+
+PKG = "canal_phoenix_adapter_spark"
+
+
+@dataclass(frozen=True)
+class Kill:
+    """One deliberate engine mutation that must turn one gate red.
+
+    module/attr: the seam that is monkeypatched (the module ATTRIBUTE
+    the gate's call path resolves at call time — entry.py's inline
+    `from x import f` imports re-resolve per call, top-level aliases
+    are patched on entry itself).
+    make: orig attribute value -> mutated value (wrapper or constant).
+    note: the concrete bug class this simulates.
+    """
+
+    module: str
+    attr: str
+    make: object
+    note: str
+
+
+def _keep_first(orig):
+    """keep-LAST flipped to keep-FIRST: order key negated on a scratch
+    column so output values stay untouched — only the surviving row
+    changes (the reference guarantee PhoenixSyncService.java:206-220)."""
+
+    def mutant(df, pk, order_col="seq"):
+        neg = df.withColumn("__neg", -F.col(order_col))
+        return orig(neg, pk, "__neg").drop("__neg")
+
+    return mutant
+
+
+def _collapse_keep_first(orig):
+    """merge kernel applies the batch in REVERSED event order (first
+    writer wins): seq negated before the collapse."""
+
+    def mutant(changes, pk, seq_col="seq", op_col="op", old_prefix="old_"):
+        return orig(
+            changes.withColumn(seq_col, -F.col(seq_col)),
+            pk, seq_col, op_col, old_prefix,
+        )
+
+    return mutant
+
+
+def _collapse_wrong_old_prefix(orig):
+    """PK-change handling broken: the old_<pk> columns are not
+    recognized, so the death row for the moved-away key is never
+    emitted (reference: delete old key then upsert new,
+    PhoenixSyncService.java:425-456)."""
+
+    def mutant(changes, pk, seq_col="seq", op_col="op", old_prefix="old_"):
+        return orig(changes, pk, seq_col, op_col, "zz_")
+
+    return mutant
+
+
+def _collapse_deletes_as_updates(orig):
+    """DELETE apply broken: delete events land on the upsert path, so
+    deleted keys survive in state."""
+
+    def mutant(changes, pk, seq_col="seq", op_col="op", old_prefix="old_"):
+        rewritten = changes.withColumn(
+            op_col,
+            F.when(F.upper(F.col(op_col)) == "DELETE", F.lit("UPDATE"))
+            .otherwise(F.col(op_col)),
+        )
+        return orig(rewritten, pk, seq_col, op_col, old_prefix)
+
+    return mutant
+
+
+def _kw(overrides: dict, note: str) -> Kill | tuple:
+    """Factory for the most common mutant shape: call orig with some
+    keyword arguments FORCED to a wrong value (a mis-set constant /
+    off-by-one hyperparameter — the classic config-drift bug)."""
+
+    def make(orig):
+        def mutant(*args, **kwargs):
+            sig_args = dict(kwargs)
+            sig_args.update(overrides)
+            return orig(*args, **sig_args)
+
+        return mutant
+
+    return make, note
+
+
+def _const(value, note: str):
+    """Mutant that replaces a module CONSTANT the engine reads at call
+    time (the oracle baked the true value in at registration)."""
+    return (lambda _orig: value), note
+
+
+# One kill per driver gate. Where two gates share a kernel the same
+# mutation may kill both, but each entry names the semantic it
+# witnesses for THAT gate.
+KILLS: dict[str, Kill] = {}
+
+
+def _kill(name: str, module: str, attr: str, make, note: str) -> None:
+    assert name not in KILLS, f"duplicate kill for {name}"
+    KILLS[name] = Kill(f"{PKG}.{module}", attr, make, note)
+
+
+# --- CDC merge family -------------------------------------------------------
+_kill("cdc_merge_full", "operators.merge", "collapse_changes",
+      _collapse_wrong_old_prefix,
+      "PK-change death rows never emitted (old_<pk> unrecognized) -> "
+      "moved-away keys survive with stale images")
+_kill("cdc_merge_upsert_delete", "operators.merge", "collapse_changes",
+      _collapse_deletes_as_updates,
+      "DELETE events applied as upserts -> deleted keys survive")
+_kill("cdc_keep_last", "entry", "keep_last", _keep_first,
+      "keep-FIRST instead of keep-last per key")
+_kill("cdc_merge_into_state", "operators.merge", "collapse_changes",
+      _collapse_keep_first,
+      "batch applied in reversed event order (first writer wins)")
+_kill("cdc_serial_mode", "operators.merge", "collapse_changes",
+      _collapse_keep_first,
+      "strict event order broken (first writer wins) — same kernel "
+      "mutation as cdc_merge_into_state, witnessed on the coalesce(1) path")
+_kill("cdc_truncate_apply", "operators.merge", "last_truncate_seq",
+      lambda orig: (lambda changes, seq_col="seq", op_col="op": None),
+      "TRUNCATE never detected -> state not wiped, pre-truncate rows survive")
+_kill("cdc_envelope_route", "sources.events", "route",
+      lambda orig: (lambda df, cfg: df),
+      "routing filter dropped -> events for unmapped tables applied")
+
+# --- ETL family --------------------------------------------------------------
+_kill("etl_scan_condition", "operators.etl", "append_condition",
+      lambda orig: (lambda df, cfg, params=None: df),
+      "etlCondition ignored -> full-table extract")
+_kill("etl_incremental_sys_time", "operators.etl", "append_condition",
+      lambda orig: (lambda df, cfg, params=None:
+                    orig(df, cfg, [p + 86_400_000_000 for p in params]
+                         if params else params)),
+      "incremental SYS_TIME cutoff off by one day (unit/boundary bug)")
+_kill("etl_count", "operators.etl", "count_table",
+      lambda orig: (lambda df: orig(df).withColumn("cnt", F.col("cnt") + 1)),
+      "COUNT off by one")
+_kill("etl_count_filtered", "operators.etl", "count_filtered",
+      lambda orig: (lambda df, cfg, params=None:
+                    importlib.import_module(f"{PKG}.operators.etl").count_table(df)),
+      "filter skipped before the count")
+_kill("etl_idempotent_load", "entry", "keep_last", _keep_first,
+      "idempotent load keeps the FIRST row per PK instead of the latest")
+_kill("etl_range_split", "operators.etl", "range_split_stats",
+      *_kw({"num_slices": 4}, "wrong slice count (3 -> 4) shifts every "
+           "range boundary")),
+
+# --- Projection family --------------------------------------------------------
+_kill("proj_mapping_exclude_rename", "operators.transform", "apply_mapping",
+      lambda orig: (lambda df, cfg, target_schema=None:
+                    orig(df, dataclasses.replace(cfg, exclude_columns=[]),
+                         target_schema)),
+      "exclude_columns leak: excluded source columns reach the target")
+_kill("proj_enum_decode", "functions.enums", "enum_decode",
+      lambda orig: (lambda col, labels: orig(col + F.lit(1), labels)),
+      "enum index off by one (1-based decode broken, "
+      "MappingConfig.java:277-287)")
+_kill("proj_type_coercion", "functions.coerce", "coerce_to",
+      lambda orig: (lambda col, target: orig(col.try_cast("double"), target)
+                    if target.simpleString() == "int" else orig(col, target)),
+      "lenient string->int parse ('12.5' -> 12, '1e3' -> 1000) instead "
+      "of Spark try_cast NULL-on-unparseable")
+_kill("proj_zero_date", "functions.coerce", "zero_date_lenient",
+      lambda orig: (lambda col, kind="timestamp":
+                    F.when(col.startswith("0000-00-00"),
+                           F.lit(None).cast("string")).otherwise(orig(col, kind))),
+      "zero-date passthrough broken (zero dates nulled like garbage)")
+
+# --- Schema family ------------------------------------------------------------
+_kill("schema_ddl_evolution", "operators.schema_sync", "_default_lit",
+      lambda orig: (lambda dv, dtype: F.lit(None).cast(dtype)),
+      "default-value backfill broken: ADDed column is NULL instead of "
+      "its DEFAULT (C13)")
+_kill("schema_probe", "operators.schema_sync", "schema_inventory",
+      lambda orig: (lambda df: orig(df).withColumn(
+          "ordinal", F.col("ordinal") - 1)),
+      "0-based ordinal instead of 1-based")
+
+# --- Dedup family --------------------------------------------------------------
+_kill("dedup_exact_groups", "operators.dedup", "exact_dup_groups",
+      lambda orig: (lambda df, id_col, text_col:
+                    orig(df.withColumn(id_col, -F.col(id_col)), id_col, text_col)
+                    .withColumn("keeper_id", -F.col("keeper_id"))),
+      "keep-MAX doc instead of keep-min (canonical keeper flipped; "
+      "witnessed on the duplicate shard)")
+_kill("dedup_ngram_jaccard_maxdf", "operators.dedup", "ngram_jaccard_pairs",
+      *_kw({"max_df": None}, "max_df cap skipped: hot shingles re-enter "
+           "the pair join")),
+_kill("dedup_minhash_lsh_capped", "operators.dedup", "minhash_lsh_candidates",
+      *_kw({"bands": 2}, "banding scheme wrong (4 -> 2 bands of 8 rows): "
+           "candidate recall collapses")),
+_kill("dedup_clusters", "operators.dedup", "_cc_iterate",
+      lambda orig: (lambda edges, labels: labels),
+      "label propagation broken: every doc its own cluster")
+_kill("dedup_embedding_cosine_lsh", "operators.dedup",
+      "embedding_near_dup_pairs_lsh",
+      *_kw({"threshold": 0.3}, "cosine threshold mis-set (0.4 -> 0.3): "
+           "non-duplicates pass")),
+_kill("dedup_simhash_pairs_capped", "operators.dedup", "simhash_hamming_pairs",
+      *_kw({"max_dist": 4}, "hamming radius off by one (3 -> 4)")),
+_kill("dedup_chunk_crossdoc", "operators.dedup", "chunk_crossdoc_stats",
+      *_kw({"size": 7}, "chunk width off by one (8 -> 7 tokens)")),
+_kill("dedup_semantic_ivf", "operators.dedup", "semantic_dup_pairs_ivf",
+      *_kw({"threshold": 0.3}, "semantic threshold mis-set (0.4 -> 0.3)")),
+_kill("text_decontaminate_ngram", "operators.dedup",
+      "ngram_overlap_contamination",
+      *_kw({"n": 5}, "n-gram width off by one (4 -> 5): reflowed copies "
+           "missed")),
+_kill("dedup_minhash_lsh_incremental", "operators.dedup",
+      "minhash_lsh_incremental",
+      lambda orig: (lambda new_df, index_df, *a, **k:
+                    orig(index_df, new_df, *a, **k)),
+      "new-batch and index sides swapped (watermark direction bug)")
+
+# --- Text family ---------------------------------------------------------------
+_kill("text_langid", "operators.text", "LANG_MARKERS",
+      *_const({"en": ["zzzznever"], "de": ["der", "die", "das", "und", "ist"],
+               "es": ["el", "la", "los", "y", "es"],
+               "fr": ["le", "la", "les", "et", "est"]},
+              "marker profile drift: English markers lost -> en docs "
+              "misclassified")),
+_kill("text_quality", "operators.text", "STOPWORDS",
+      *_const(["a", "of", "and", "to", "in", "is", "it", "on", "for"],
+              "stopword list drift ('the' dropped) -> stopword_ratio and "
+              "composite quality wrong")),
+_kill("text_features", "operators.text", "token_count_ws",
+      lambda orig: (lambda text: orig(text) + 1),
+      "whitespace token count off by one")
+_kill("text_vocab_topk", "operators.sampling", "vocab_topk",
+      *_kw({"k": 21}, "vocabulary cut off by one (top-20 -> top-21)")),
+_kill("text_pii_scrub", "operators.text", "IPV4_RE",
+      *_const(r"[0-9]{1,3}(\.[0-9]{1,3}){2}",
+              "IPv4 regex matches only 3 octets -> wrong spans scrubbed")),
+_kill("text_boilerplate_strip", "operators.text", "boilerplate_strip",
+      *_kw({"size": 7}, "chunk width off by one (8 -> 7): wrong chunks "
+           "dropped and reassembled")),
+
+# --- Multimodal family -----------------------------------------------------------
+_kill("mm_extract_features", "operators.multimodal", "MEDIA_TYPES",
+      *_const(["audio", "video", "image"],
+              "media-type routing rotated: every payload typed wrongly")),
+_kill("mm_geometry", "operators.multimodal", "thumbnail_plan",
+      *_kw({"max_side": 32}, "thumbnail bound mis-set (64 -> 32): every "
+           "large image resized wrongly")),
+
+# --- Sampling / assembly family ----------------------------------------------------
+_kill("sampling_assembly", "operators.sampling", "hash_split",
+      *_kw({"salt": "spl1t"}, "split salt drift: train/val/test "
+           "assignment changes between runs")),
+_kill("sampling_stratified", "operators.sampling", "stratified_sample",
+      *_kw({"salt": "strat2"}, "sampling salt drift: different docs "
+           "selected per stratum")),
+_kill("sampling_pack_sequences", "operators.sampling", "pack_sequences",
+      *_kw({"num_groups": 9}, "pack-group count mis-set (8 -> 9): "
+           "every group assignment moves")),
+_kill("pipeline_corpus_clean", "operators.sampling", "stratified_sample",
+      *_kw({"salt": "strat2"}, "final sampling stage salt drift "
+           "(same mutation as sampling_stratified, witnessed through "
+           "the composed pipeline)")),
+
+# --- Similarity family ----------------------------------------------------------
+_kill("sim_knn_join_ivf", "operators.similarity", "knn_join_ivf",
+      *_kw({"k": 4}, "k off by one (top-5 -> top-4 neighbors)")),
+_kill("sim_ann_ivf_trained", "operators.similarity", "ivf_train_codebook",
+      *_kw({"k": 7}, "codebook size off by one (8 -> 7 centroids): every "
+           "cell boundary moves. (A stopped-early iters=2 mutant drifts "
+           "the centroids but moves no vector across a cell boundary on "
+           "this corpus, so the neighbor sets — the gate's OUTPUT — are "
+           "legitimately identical; verified r10.)")),
+
+# --- Analytics family ------------------------------------------------------------
+_kill("analytics_topk_per_group", "operators.analytics",
+      "topk_orders_per_customer",
+      *_kw({"k": 4}, "top-k cut off by one (3 -> 4)")),
+_kill("analytics_rollup", "operators.analytics", "rollup_pricing",
+      lambda orig: (lambda spark, sf_dir: orig(spark, sf_dir).where(
+          F.col("l_returnflag").isNotNull() | F.col("l_linestatus").isNotNull())),
+      "ROLLUP degraded: the grand-total grouping set is lost")
+_kill("analytics_time_rollup", "operators.analytics", "time_window_rollup",
+      *_kw({"bucket_hours": 12}, "window width mis-set (24h -> 12h)")),
+_kill("analytics_session_window", "operators.analytics",
+      "session_window_rollup",
+      *_kw({"gap": "30 minutes"}, "session gap mis-set (60 -> 30 min): "
+           "sessions split")),
+_kill("analytics_asof_join", "entry", "asof_join",
+      *_kw({"direction": "forward"}, "as-of direction flipped "
+           "(backward -> forward)")),
+_kill("analytics_salted_join", "functions.skew", "salted_join",
+      lambda orig: (lambda skewed, other, on, num_salts=16, how="inner",
+                    salt_expr=None:
+                    orig(skewed, other, on, num_salts, how, F.lit(num_salts))),
+      "salt range off by one: probe-side salt outside the replicated "
+      "range -> join silently drops every row")
+
+
+def _asof_min_tiebreak(orig):
+    """right_order tiebreak flipped to MIN: the order column is negated
+    on the right side and re-negated in the output, so only which tied
+    row wins changes."""
+
+    def mutant(left, right, on, left_ts, right_ts, direction="backward",
+               suffix="_right", tolerance=None, right_order=None):
+        col = right_order[0]
+        out = orig(left, right.withColumn(col, -F.col(col)), on, left_ts,
+                   right_ts, direction, suffix, tolerance, right_order)
+        return out.withColumn(col, -F.col(col))
+
+    return mutant
+
+
+_kill("analytics_asof_tiebreak", "entry", "asof_join", _asof_min_tiebreak,
+      "right_order tiebreak picks the SMALLEST tuple instead of the "
+      "greatest")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _compare(spark, con, name: str) -> str | None:
+    """The driver's t2 compare (rows + columns + order-insensitive
+    normalized values); returns None when green, else the first
+    mismatch. A Spark-side ERROR counts as red (the driver records it
+    as a gate failure too); an ORACLE error raises — the oracle is
+    never mutated, so it erroring is a harness bug, not a kill."""
+    spark.catalog.clearCache()
+    try:
+        spark_pd = E.QUERIES[name](spark, SF_DIR).toPandas()
+    except Exception as e:  # noqa: BLE001 - mutation may legally crash the engine
+        return f"spark error: {type(e).__name__}"
+    duck_pd = con.sql(E.ORACLE[name]).df()
+    if len(spark_pd) != len(duck_pd):
+        return f"rows {len(spark_pd)} != {len(duck_pd)}"
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        return "columns differ"
+    if canon(spark_pd) != canon(duck_pd):
+        return "values differ"
+    return None
+
+
+def test_every_driver_gate_has_a_kill():
+    """Completeness both ways: every registered gate has a mutation
+    witness, and no kill references a retired gate."""
+    assert set(KILLS) == set(E.QUERIES), (
+        f"missing kills: {sorted(set(E.QUERIES) - set(KILLS))}; "
+        f"stale kills: {sorted(set(KILLS) - set(E.QUERIES))}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(KILLS))
+def test_gate_goes_red_under_engine_mutation(name, spark, duck, monkeypatch):
+    kill = KILLS[name]
+    mod = importlib.import_module(kill.module)
+    orig = getattr(mod, kill.attr)
+    monkeypatch.setattr(mod, kill.attr, kill.make(orig))
+    reason = _compare(spark, duck, name)
+    assert reason is not None, (
+        f"{name} stayed GREEN under engine mutation [{kill.note}] — "
+        "the gate is blind to this bug class"
+    )
