@@ -1724,7 +1724,8 @@ def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (
         SELECT doc_id,
                len(lines) AS n_lines,
-               CASE WHEN len(lines) > 0
+               CASE WHEN lines IS NULL THEN NULL
+                    WHEN len(lines) > 0
                     THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
                     ELSE 0.0 END AS dup_line_frac,
                list_transform(range(1, len(toks)),
@@ -1740,7 +1741,8 @@ def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep AS (
         SELECT f.doc_id, f.n_lines, f.dup_line_frac,
                len(f.bg) AS n_bigrams,
-               CASE WHEN len(f.bg) > 0
+               CASE WHEN f.bg IS NULL THEN NULL
+                    WHEN len(f.bg) > 0
                     THEN CAST(m.top_cnt AS DOUBLE) / len(f.bg)
                     ELSE 0.0 END AS top_bigram_frac
         FROM f LEFT JOIN m USING (doc_id)

@@ -88,21 +88,72 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def _ppm_token(data: bytes, i: int) -> tuple[int, int]:
+    """Next integer header token from position i, netpbm grammar:
+    tokens separated by whitespace, '#' comments run to end-of-line
+    and may appear anywhere in the header."""
+    while i < len(data):
+        c = data[i]
+        if c in b" \t\n\r\x0b\f":
+            i += 1
+        elif c == ord("#"):
+            while i < len(data) and data[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    j = i
+    while j < len(data) and data[j] not in b" \t\n\r\x0b\f#":
+        j += 1
+    if j == i:
+        raise ValueError("truncated PPM header")
+    return int(data[i:j]), j
+
+
+def ppm_decode(data: bytes) -> list[float]:
+    """Pure-stdlib binary-PPM (P6) decoder — the default codec for
+    decode_image (r9 verdict task 4): returns
+    [height, width, mean_r, mean_g, mean_b].
+
+    P6 is the one raster format a container with no image libraries
+    can still genuinely parse; any other magic raises
+    NotImplementedError, so the honest-refusal path decode_image used
+    to take for ALL formats now guards exactly the formats a stdlib
+    decoder cannot read. Raster grammar per the netpbm spec: header
+    tokens w/h/maxval with '#' comments, exactly ONE whitespace byte
+    after maxval, then 3*w*h raw RGB bytes."""
+    if data[:2] != b"P6":
+        raise NotImplementedError(
+            "stdlib codec reads binary PPM (P6) only; inject "
+            f"decoder=bytes->list[float] for other formats (magic {data[:2]!r})"
+        )
+    w, i = _ppm_token(data, 2)
+    h, i = _ppm_token(data, i)
+    maxval, i = _ppm_token(data, i)
+    if not 0 < maxval < 256:
+        raise NotImplementedError(
+            f"only 1-byte-per-sample PPM supported (maxval {maxval})"
+        )
+    px = data[i + 1 : i + 1 + 3 * w * h]
+    if len(px) != 3 * w * h:
+        raise ValueError(f"truncated PPM raster: {len(px)} of {3 * w * h} bytes")
+    n = w * h
+    return [float(h), float(w),
+            sum(px[0::3]) / n, sum(px[1::3]) / n, sum(px[2::3]) / n]
+
+
 def decode_image(media: DataFrame, decoder=None) -> DataFrame:
     """Image decode with an INJECTED codec: ``decoder`` is a plain
     ``bytes -> list[float]`` callable (a deployment wraps PIL/libjpeg
-    here; this container has none, so tests inject a deterministic
-    fake). The Spark side is real either way: images routed by
-    metadata before any byte moves, payloads crossing to Python only
-    as Arrow batches inside mapInPandas, NULL payloads carried through
-    as NULL vectors. Without a decoder it raises — a silent fake
-    default could be mistaken for real pixels."""
+    here; this container has none). Default: the stdlib ppm_decode —
+    a REAL decoder, not a fake — which refuses any non-P6 payload
+    with NotImplementedError at decode time, so unknown formats still
+    fail loudly instead of being mistaken for pixels. The Spark side
+    is identical either way: images routed by metadata before any
+    byte moves, payloads crossing to Python only as Arrow batches
+    inside mapInPandas, NULL payloads carried through as NULL
+    vectors."""
     if decoder is None:
-        raise NotImplementedError(
-            "image decode needs a codec (not in container): pass "
-            "decoder=bytes->list[float], or use extract_features() "
-            "for codec-free payload features"
-        )
+        decoder = ppm_decode
 
     def batches(it: Iterator) -> Iterator:
         for pdf in it:

@@ -219,10 +219,18 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     lines, toks = F.col("_lines"), F.col("_toks")
     n_lines = F.size(lines)
-    dup_line_frac = F.when(
-        n_lines > 0,
-        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
-    ).otherwise(F.lit(0.0))
+    # NULL text stays NULL throughout (the quality_features convention;
+    # size(NULL array) is NULL, so n_lines/n_bigrams gate the ratios):
+    # an unguarded otherwise(0.0) scored NULL docs as real zero-
+    # repetition documents — caught by the r10 multilingual witness
+    # rows, where the oracle half-disagreed (NULL n_bigrams, 0.0 frac).
+    dup_line_frac = (
+        F.when(
+            n_lines > 0,
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+        )
+        .when(n_lines.isNotNull(), F.lit(0.0))
+    )
     # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short docs.
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -234,7 +242,10 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     # size(bigrams) would re-run the whole transform just to count it.
-    n_bigrams = F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(F.lit(0))
+    n_bigrams = (
+        F.when(F.size(toks) >= 2, F.size(toks) - 1)
+        .when(toks.isNotNull(), F.lit(0))
+    )
     base = arrays.select(
         "_id",
         n_lines.alias("n_lines"),
@@ -269,7 +280,7 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col("n_bigrams") > 0,
             F.col("top_cnt").cast("double") / F.col("n_bigrams"),
         )
-        .otherwise(F.lit(0.0))
+        .when(F.col("n_bigrams").isNotNull(), F.lit(0.0))
         .alias("top_bigram_frac"),
     )
 

@@ -360,13 +360,61 @@ def test_multimodal_features_null_payload(spark):
     assert feats[1]["first_byte"] is None and feats[1]["byte_sum_mod"] is None
 
 
-def test_multimodal_stubs_raise(spark):
-    docs = spark.createDataFrame([(0, "x", 1)], "doc_id long, text string, n_chars long")
-    media = multimodal.as_media_table(docs)
+def test_decode_image_refuses_unknown_formats_at_decode_time(spark):
+    """The honest-refusal path survives the stdlib default codec: a
+    payload that is not binary PPM raises NotImplementedError inside
+    the decode (surfacing at action time), never fake features."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+    docs = spark.createDataFrame([(0, "x", 1)], "doc_id long, text string, n_chars long")
+    media = multimodal.as_media_table(docs)  # payload b"x": not P6
+    with pytest.raises(Exception, match="PPM"):
+        multimodal.decode_image(media).collect()
+
+
+def _ppm_bytes(w, h, pixels, header=b"P6\n# a comment\n%d %d\n255\n"):
+    return header % (w, h) + bytes(v for px in pixels for v in px)
+
+
+def test_ppm_decode_pure():
+    """ppm_decode parses the netpbm P6 grammar (comments, arbitrary
+    header whitespace) to [h, w, mean_r, mean_g, mean_b]; truncation
+    and non-8-bit maxval refuse loudly."""
+    import pytest
+
+    img = _ppm_bytes(2, 1, [(255, 0, 0), (0, 0, 255)])
+    assert multimodal.ppm_decode(img) == [1.0, 2.0, 127.5, 0.0, 127.5]
+    # comment between tokens + CRLF
+    tricky = b"P6 2 # width\r\n1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert multimodal.ppm_decode(tricky) == [1.0, 2.0, 25.0, 35.0, 45.0]
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        multimodal.ppm_decode(img[:-1])
+    with pytest.raises(NotImplementedError, match="maxval"):
+        multimodal.ppm_decode(b"P6\n1 1\n65535\n" + bytes(6))
+    with pytest.raises(NotImplementedError, match="P6"):
+        multimodal.ppm_decode(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_decode_image_default_codec_end_to_end(spark):
+    """decode_image with NO injected decoder decodes a real P6 fixture
+    through the full mapInPandas path to (h, w, mean_rgb) — the r9
+    verdict's done-criterion for the stdlib codec."""
+    from pyspark.sql import types as T
+
+    img = _ppm_bytes(4, 2, [(i * 8, 255 - i * 8, 128) for i in range(8)])
+    media = spark.createDataFrame(
+        [(0, "image", img), (1, "audio", b"zz"), (2, "image", None)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    out = {r["doc_id"]: r["features"]
+           for r in multimodal.decode_image(media).collect()}
+    assert set(out) == {0, 2}  # audio routed away; NULL payload kept as NULL
+    assert out[0] == [2.0, 4.0, 28.0, 227.0, 128.0]
+    assert out[2] is None
 
 
 def test_decode_image_with_injected_decoder(spark):
@@ -678,10 +726,13 @@ def test_bundle_gates_degenerate_inputs(spark):
     never sees: NULL/empty text through the text-feature join, a
     corpus with no image rows through the geometry join, NULL lang /
     NULL n_chars through the assembly join. Pins today's (oracle-
-    consistent) behavior: NULL text yields NULL counts + zeroed
-    repetition, no-image input yields zero rows (inner join against
-    empty stats), NULL-lang docs drop (inner join on lang; SQL JOIN
-    USING has the same NULL-key semantics)."""
+    consistent) behavior: NULL text yields NULL counts AND NULL
+    repetition features (the quality_features convention; until r10
+    repetition zeroed them, scoring NULL docs as real zero-repetition
+    documents — caught by the multilingual witness rows), no-image
+    input yields zero rows (inner join against empty stats), NULL-lang
+    docs drop (inner join on lang; SQL JOIN USING has the same
+    NULL-key semantics)."""
     from pyspark.sql import functions as F
 
     from canal_phoenix_adapter_spark.operators import multimodal, sampling
@@ -702,8 +753,11 @@ def test_bundle_gates_degenerate_inputs(spark):
                      on="doc_id").collect()}
     assert out[1]["n_ws"] == 4 and out[1]["top_bigram_frac"] == 2 / 3
     assert out[2]["n_ws"] is None and out[2]["fp"] is None
-    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[2]["n_bigrams"] is None
+    assert out[2]["dup_line_frac"] is None
+    assert out[2]["top_bigram_frac"] is None
     assert out[3]["n_ws"] == 0 and out[3]["n_bigrams"] == 0
+    assert out[3]["top_bigram_frac"] == 0.0  # empty text is REAL zero, not NULL
 
     no_images = spark.createDataFrame(
         [(1, "a", 1), (2, "bb", 2)], "doc_id long, text string, n_chars long"

@@ -82,13 +82,23 @@ _NON_ASCII_DOCS = [
     # match: pins the engine/oracle whitespace-class agreement
     # (text.py WS_CLASS <-> entry._pin_ws_class) for tokenizer gates
     (8, "alpha\x0bbeta gamma\ttab\nnl\fff\rcr the of and!!"),
+    # Multilingual rows for the TEXT gates (r9 verdict #7): marker
+    # tokens embedded in genuinely multibyte text pin that langid /
+    # vocab / fingerprint tokenization, lower(), substr() and string
+    # ORDERING are codepoint-identical across engines. Row 10 carries
+    # a COMBINING acute (e + U+0301) and precomposed é in the same
+    # text; row 11 mixes two languages' markers to pin the tie-break.
+    (9, "der Bär läuft über die Straße und ist müde, natürlich"),
+    (10, "le résumé et le résumé sont lus — c'est la vie, et les idées"),
+    (11, "la la el der und y es ist — ¡señor! œuvre straße"),
 ]
 
 
 @pytest.mark.parametrize(
     "name",
     ["mm_extract_features", "mm_geometry", "mm_frame_sample", "mm_thumbnail",
-     "text_quality"],
+     "text_quality", "text_langid", "text_vocab_topk", "text_features",
+     "text_repetition"],
 )
 def test_mm_parity_is_bytes_true_on_non_ascii(spark, tmp_path, name):
     import pandas as pd

@@ -1,0 +1,150 @@
+"""One measured scale octave for the BATCH surface (r9 verdict #2):
+synthesize a 10x sf0.1 input ("sf1-equivalent": 6M lineitem / 50k
+documents / 20k embeddings) and run the top-8 most expensive batch
+queries at both scales, strictly interleaved in ONE stamped session,
+min-of-N per cell. Output: one JSON line appended to SCALE_SMOKE.json
+(run=batch-octave-r10) with wall mins, wall ratio, and output-row
+counts at both scales (rows context separates data-growth effects
+from engine scaling).
+
+Copies are made semantically DISTINCT, not replicated: document
+tokens get a per-copy suffix EXCEPT stopwords and language markers
+(shingle/minhash spaces stay disjoint across copies so the near-dup
+profile scales linearly instead of exploding quadratically on exact
+clones, while quality/langid profiles are preserved — suffixing
+stopwords zeroed every copy's stopword_ratio in synthesis v1 and the
+corpus-clean pipeline filtered all copies out); embeddings get a
+deterministic hash-style isotropic jitter (v1 used same-frequency
+sinusoids, which confined every jitter vector to a 2-D subspace and
+manufactured 365x more near-dup pairs — retired, see SCALE.md);
+lineitem/part key domains are offset per copy (per-key join fan-out
+constant).
+
+Usage: python tools/scale_octave.py [src_sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACTOR = 10
+OFF = 10_000_000  # per-copy id offset; clears the gates' witness-shard ranges
+TOP8 = [
+    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard_maxdf",
+    "sim_ann_ivf_trained", "dedup_clusters", "pipeline_corpus_clean",
+    "dedup_simhash_pairs_capped", "analytics_salted_join",
+    "dedup_minhash_lsh_capped",
+]
+
+
+def synthesize(src: str, out: str) -> None:
+    from canal_phoenix_adapter_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+    keep = set(STOPWORDS) | {m for ms in LANG_MARKERS.values() for m in ms}
+    os.makedirs(out, exist_ok=True)
+    docs = pd.read_parquet(f"{src}/documents.parquet")
+    parts = [docs]
+    for k in range(1, FACTOR):
+        c = docs.copy()
+        c["doc_id"] += k * OFF
+        sfx = f"~{k}"
+        c["text"] = c["text"].map(
+            lambda t, s=sfx: None if t is None else " ".join(
+                w if w.lower() in keep else w + s for w in t.split()
+            )
+        )
+        c["n_chars"] = c["text"].map(lambda t: 0 if t is None else len(t))
+        parts.append(c)
+    pd.concat(parts, ignore_index=True).to_parquet(f"{out}/documents.parquet")
+
+    emb = pd.read_parquet(f"{src}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    dim = vecs.shape[1]
+    eparts = [emb]
+    for k in range(1, FACTOR):
+        ids = emb["vec_id"].to_numpy() + k * OFF
+        # per-copy SIGNED PERMUTATION (an orthogonal transform): every
+        # within-copy cosine is preserved exactly, so the near-dup pair
+        # count scales exactly linearly (x FACTOR), while copies of the
+        # SAME vector land in unrelated directions. (Both jitter
+        # syntheses failed: additive noise small enough to preserve the
+        # distribution leaves each vector's 10 copies a cos~0.99 clique
+        # — 290x pair explosion, measured; see SCALE.md round 10.)
+        rng = np.random.RandomState(k)
+        perm = rng.permutation(dim)
+        signs = rng.choice([-1.0, 1.0], size=dim)
+        eparts.append(pd.DataFrame({
+            "vec_id": ids,
+            "embedding": list((vecs[:, perm] * signs).astype(np.float32)),
+            "label": emb["label"].to_numpy(),
+        }))
+    pd.concat(eparts, ignore_index=True).to_parquet(f"{out}/embeddings.parquet")
+
+    li = pd.read_parquet(f"{src}/lineitem.parquet")
+    part = pd.read_parquet(f"{src}/part.parquet")
+    lparts, pparts = [li], [part]
+    for k in range(1, FACTOR):
+        c = li.copy()
+        c["l_orderkey"] += k * OFF
+        c["l_partkey"] += k * OFF
+        pc = part.copy()
+        pc["p_partkey"] += k * OFF
+        lparts.append(c)
+        pparts.append(pc)
+    pd.concat(lparts, ignore_index=True).to_parquet(f"{out}/lineitem.parquet")
+    pd.concat(pparts, ignore_index=True).to_parquet(f"{out}/part.parquet")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    out = "/tmp/sf1-octave"
+    if not os.path.exists(f"{out}/lineitem.parquet"):
+        t0 = time.time()
+        synthesize(src, out)
+        print(f"synthesized {out} in {time.time() - t0:.1f}s", flush=True)
+
+    from canal_phoenix_adapter_spark import entry as E
+    from canal_phoenix_adapter_spark.session import get_spark
+
+    spark = get_spark("scale-octave")
+    cells: dict[str, dict] = {q: {"sf0.1": [], "sf1": [], "rows": {}} for q in TOP8}
+    for rep in range(reps):
+        for q in TOP8:
+            for key, d in (("sf0.1", src), ("sf1", out)):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n = E.QUERIES[q](spark, d).count()
+                cells[q][key].append(round(time.time() - t0, 3))
+                cells[q]["rows"][key] = n
+                print(f"rep{rep} {q} {key}: {cells[q][key][-1]}s rows={n}",
+                      flush=True)
+    row = {
+        "run": "batch-octave-r10",
+        "app_id": spark.sparkContext.applicationId,
+        "factor": FACTOR, "reps": reps,
+        "queries": {
+            q: {
+                "sf0.1_min": min(c["sf0.1"]), "sf1_min": min(c["sf1"]),
+                "wall_ratio": round(min(c["sf1"]) / min(c["sf0.1"]), 2),
+                "rows": c["rows"],
+            }
+            for q, c in cells.items()
+        },
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_SMOKE.json"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
