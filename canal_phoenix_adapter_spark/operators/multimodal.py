@@ -129,6 +129,10 @@ def ppm_decode(data: bytes) -> list[float]:
     w, i = _ppm_token(data, 2)
     h, i = _ppm_token(data, i)
     maxval, i = _ppm_token(data, i)
+    if w <= 0 or h <= 0:
+        # 0x0 would pass the truncation check and ZeroDivisionError in
+        # the mean; refuse with the documented loud-contract error
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if not 0 < maxval < 256:
         raise NotImplementedError(
             f"only 1-byte-per-sample PPM supported (maxval {maxval})"

@@ -393,6 +393,12 @@ def test_ppm_decode_pure():
         multimodal.ppm_decode(b"P6\n1 1\n65535\n" + bytes(6))
     with pytest.raises(NotImplementedError, match="P6"):
         multimodal.ppm_decode(b"P3\n1 1\n255\n0 0 0")
+    # 0x0 passed the truncation check and hit ZeroDivisionError in the
+    # mean before the dimension guard (r10 review)
+    with pytest.raises(ValueError, match="dimensions"):
+        multimodal.ppm_decode(b"P6 0 0 255\n")
+    with pytest.raises(ValueError, match="dimensions"):
+        multimodal.ppm_decode(b"P6 -1 2 255\n" + bytes(6))
 
 
 def test_decode_image_default_codec_end_to_end(spark):

@@ -27,6 +27,7 @@ import dataclasses
 import importlib
 import os
 import sys
+import traceback
 from dataclasses import dataclass
 
 import duckdb
@@ -192,8 +193,12 @@ _kill("etl_count_filtered", "operators.etl", "count_filtered",
 _kill("etl_idempotent_load", "entry", "keep_last", _keep_first,
       "idempotent load keeps the FIRST row per PK instead of the latest")
 _kill("etl_range_split", "operators.etl", "range_split_stats",
-      *_kw({"num_slices": 4}, "wrong slice count (3 -> 4) shifts every "
-           "range boundary")),
+      # entry.py passes num_slices POSITIONALLY — a _kw override would
+      # TypeError in the wrapper and register a fake crash-kill
+      # (r10 review); mirror the real signature instead.
+      lambda orig: (lambda df, key_col, num_slices=3:
+                    orig(df, key_col, num_slices + 1)),
+      "wrong slice count (3 -> 4) shifts every range boundary"),
 
 # --- Projection family --------------------------------------------------------
 _kill("proj_mapping_exclude_rename", "operators.transform", "apply_mapping",
@@ -384,6 +389,15 @@ def _compare(spark, con, name: str) -> str | None:
     try:
         spark_pd = E.QUERIES[name](spark, SF_DIR).toPandas()
     except Exception as e:  # noqa: BLE001 - mutation may legally crash the engine
+        tb = traceback.extract_tb(e.__traceback__)
+        if tb and tb[-1].filename == __file__:
+            # the exception was RAISED inside a mutant wrapper in this
+            # file (signature drift, bad kwarg) — the mutation never
+            # reached the engine, so counting it as red would record a
+            # fake kill (r10 review: the etl_range_split _kw wrapper
+            # TypeError'd and the audit passed anyway). A legitimate
+            # crash-kill raises deep in pyspark, below the wrapper.
+            raise
         return f"spark error: {type(e).__name__}"
     duck_pd = con.sql(E.ORACLE[name]).df()
     if len(spark_pd) != len(duck_pd):

@@ -103,14 +103,28 @@ def synthesize(src: str, out: str) -> None:
     pd.concat(pparts, ignore_index=True).to_parquet(f"{out}/part.parquet")
 
 
+SYNTH_TAG = "v3-signed-permutation"  # bump on ANY synthesize() change
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     out = "/tmp/sf1-octave"
-    if not os.path.exists(f"{out}/lineitem.parquet"):
+    marker = f"{out}/_synth"
+    # The marker is written LAST and carries the synthesis version: a
+    # partial run, or a dir left by the retired v1/v2 syntheses, is
+    # regenerated instead of silently measured (r10 review).
+    stale = not os.path.exists(marker) or open(marker).read() != SYNTH_TAG
+    if stale:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         synthesize(src, out)
-        print(f"synthesized {out} in {time.time() - t0:.1f}s", flush=True)
+        with open(marker, "w") as f:
+            f.write(SYNTH_TAG)
+        print(f"synthesized {out} ({SYNTH_TAG}) in {time.time() - t0:.1f}s",
+              flush=True)
 
     from canal_phoenix_adapter_spark import entry as E
     from canal_phoenix_adapter_spark.session import get_spark
