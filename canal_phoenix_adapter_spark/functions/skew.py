@@ -67,9 +67,19 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join does not support how={how!r}")
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     if salt_expr is None:
         salt_expr = default_salt(skewed, on, num_salts)
-    s = skewed.withColumn(SALT_COL, salt_expr.cast("int"))
+    # pmod UNCONDITIONALLY: the docstring invites raw ids/offsets as
+    # salt_expr, and a value outside [0, num_salts) matches no replica
+    # — an inner join silently DROPPED those rows (r10 review). pmod
+    # of the already-modded default is a no-op; bigint-first cast keeps
+    # ids > 2^31 from overflowing under ANSI.
+    s = skewed.withColumn(
+        SALT_COL,
+        F.pmod(salt_expr.cast("bigint"), F.lit(num_salts)).cast("int"),
+    )
     o = other.withColumn(
         SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")),

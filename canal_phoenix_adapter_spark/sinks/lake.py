@@ -9,9 +9,12 @@ Three knobs, all standard Spark mechanics:
     one partition scan one directory (partition pruning).
   * ``target_files`` — repartition to a chosen output-file count
     BEFORE the write. By key columns (files become hash-bucketed and
-    co-located per partition value) or round-robin when no keys make
-    sense. This is what controls file SIZE: files-per-partition =
-    target_files / distinct(partition values).
+    co-located per partition value); with ``partition_by`` but no
+    keys, hashed on the partition columns (each writer task holds few
+    partition values, so total files stay ~target_files — round-robin
+    here would put EVERY value in EVERY task and emit tasks x values
+    small files, the exact disaster this module exists to prevent;
+    r10 review); round-robin only when neither is set.
   * ``sort_within`` — sortWithinPartitions before the write: rows
     inside each file arrive ordered (e.g. by doc_id or event time),
     which makes parquet min/max row-group statistics selective —
@@ -49,6 +52,10 @@ def write_lake(
     if target_files is not None:
         if repartition_keys:
             out = out.repartition(target_files, *[F.col(c) for c in repartition_keys])
+        elif partition_by:
+            # see module docstring: round-robin + partitionBy multiplies
+            # files by distinct(partition values)
+            out = out.repartition(target_files, *[F.col(c) for c in partition_by])
         else:
             out = out.repartition(target_files)
     elif repartition_keys:

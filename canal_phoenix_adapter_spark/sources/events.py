@@ -37,10 +37,30 @@ DML_ENVELOPE = T.StructType(
 )
 
 
-def parse_dml_json(df: DataFrame, json_col: str = "value") -> DataFrame:
+def parse_dml_json(
+    df: DataFrame, json_col: str = "value", corrupt_col: str | None = None
+) -> DataFrame:
     """Parse a column of Canal-JSON strings into the envelope struct
-    (batch or streaming source: file/kafka `value`)."""
-    return df.select(F.from_json(F.col(json_col).cast("string"), DML_ENVELOPE).alias("dml")).select("dml.*")
+    (batch or streaming source: file/kafka `value`).
+
+    Malformed JSON parses to an all-NULL envelope (from_json is
+    PERMISSIVE) which route() then silently filters away — an event
+    lost with no signal, where the reference throws on the parse and
+    fails the batch for retry (r10 review). Pass ``corrupt_col`` to
+    surface them: the raw input string rides in that column (NULL on
+    well-formed rows) so a caller can dead-letter the batch or fail it
+    on ``count(corrupt_col) > 0``. Default stays the lenient shape."""
+    raw = F.col(json_col).cast("string")
+    parsed = F.from_json(raw, DML_ENVELOPE)
+    if corrupt_col is None:
+        return df.select(parsed.alias("dml")).select("dml.*")
+    # from_json PERMISSIVE yields a struct of all-NULL FIELDS (not a
+    # NULL struct) for malformed input, so parsed.isNull() can't detect
+    # it; try_parse_json is NULL exactly when the string is not JSON.
+    corrupt = F.when(raw.isNotNull() & F.try_parse_json(raw).isNull(), raw)
+    return df.select(parsed.alias("dml"), corrupt.alias(corrupt_col)).select(
+        "dml.*", corrupt_col
+    )
 
 
 # seq packing: (binlog second) 31 bits | (delivery-ms tiebreak) 14 bits
@@ -124,14 +144,20 @@ def route(df: DataFrame, cfg: MappingConfig) -> DataFrame:
         F.lower(F.col("table")) == m.table.lower()
     )
     if cfg.destination:
-        cond = cond & (F.col("destination") == cfg.destination)
+        # destination/groupId match LOWERCASED, like database/table:
+        # the repo's own dispatch key (MappingConfig.routing_key,
+        # ConfigMonitor.configs_for) lowercases the whole key per the
+        # reference (PhoenixAdapter.java:88-95) — a case-sensitive
+        # filter here silently applied zero rows for envelopes
+        # configs_for had already matched (r10 review).
+        cond = cond & (F.lower(F.col("destination")) == cfg.destination.lower())
     if cfg.group_id:
         # route() runs on BOTH sides of explode_dml: the raw envelope
         # still carries camelCase groupId (explode_dml renames it to
         # group_id) — resolving by the columns actually present keeps
         # a groupId-scoped config from dying at plan time pre-explode.
         gcol = "group_id" if "group_id" in df.columns else "groupId"
-        cond = cond & (F.col(gcol) == cfg.group_id)
+        cond = cond & (F.lower(F.col(gcol)) == cfg.group_id.lower())
     return df.where(cond)
 
 

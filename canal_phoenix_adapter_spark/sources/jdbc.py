@@ -40,8 +40,13 @@ DEFAULT_COMMIT_BATCH = 5_000  # commitBatch default, MappingConfig.java:116
 
 def quote_ident(name: str, escape_upper: bool = True) -> str:
     """Identifier normalization (P6): escapeUpper quotes-and-uppercases
-    (SyncUtil.java:258-273); otherwise pass through unquoted."""
-    return f'"{name.upper()}"' if escape_upper else name
+    (SyncUtil.java:258-273); otherwise pass through unquoted. Embedded
+    double quotes are doubled per the SQL standard — unescaped they
+    produced broken statement text and let a hostile yml identifier
+    smuggle SQL past the quoting (r10 review)."""
+    if escape_upper:
+        return '"{}"'.format(name.upper().replace('"', '""'))
+    return name
 
 
 def qualified_table(cfg: DbMapping) -> str:

@@ -94,15 +94,21 @@ def dataset_size(path: str) -> int | None:
     inode-size mistake one level down). Dot/underscore entries
     (_SUCCESS, _metadata, hidden files) are skipped."""
     if os.path.isdir(path):
-        n_bytes = 0
-        for root, dirs, files in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            n_bytes += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if not f.startswith((".", "_"))
-            )
-        return n_bytes
+        # same unknowable->None contract as the file branch: a dangling
+        # symlink or a part file deleted mid-walk (writer cleanup) must
+        # not crash plan time (r10 review)
+        try:
+            n_bytes = 0
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                n_bytes += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
+            return n_bytes
+        except OSError:
+            return None
     try:
         return os.path.getsize(path)
     except OSError:  # remote path / missing: unknown size
@@ -125,11 +131,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     n_bytes = dataset_size(path)
     if name != "events":
         return fan_out(spark, spark.read.parquet(path), n_bytes)
+    # Scope the legacy conf to THIS read and restore the caller's value:
+    # leaving it set session-wide silently changed how every later
+    # parquet read decodes TIMESTAMP(NANOS) — bigint nanos instead of
+    # the expected loud PARQUET_TYPE_ILLEGAL (r10 review; the relation
+    # captures the conf at read time, verified, so restoring is safe).
+    prior = None
     try:
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf locked down
         pass
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        try:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        except Exception:  # pragma: no cover - conf locked down
+            pass
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         from pyspark.sql import functions as F

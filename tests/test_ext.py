@@ -587,6 +587,30 @@ def test_salted_join_matches_plain_join(spark):
     assert "__salt" not in with_salt.columns
 
 
+def test_salted_join_pmods_caller_salt_and_rejects_bad_num_salts(spark):
+    """The docstring invites a raw row-unique id as salt_expr; values
+    outside [0, num_salts) matched no replica and an inner join
+    silently DROPPED those rows (r10 review). salted_join must pmod
+    any caller salt — including bigints past 2^31 — and refuse
+    num_salts < 1 loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 2, 2**31 + i) for i in range(40)], "k long, rowid long"
+    )
+    dim = spark.createDataFrame([(0, "zero"), (1, "one")], "k long, name string")
+    plain = fact.join(dim, on=["k"]).select("k", "rowid", "name")
+    salted = salted_join(
+        fact, dim, on=["k"], num_salts=8, salt_expr=F.col("rowid")
+    ).select("k", "rowid", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    with pytest.raises(ValueError, match="num_salts"):
+        salted_join(fact, dim, on=["k"], num_salts=0)
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must receive more than one distinct salt —
     the whole point of the exercise. Asserts salted_join's ACTUAL

@@ -340,12 +340,26 @@ _kill("analytics_session_window", "operators.analytics",
 _kill("analytics_asof_join", "entry", "asof_join",
       *_kw({"direction": "forward"}, "as-of direction flipped "
            "(backward -> forward)")),
+def _salted_join_forgot_salt(orig):
+    """The canonical salted-join bug: the build side is replicated per
+    salt but the join key forgets the salt column, so every probe row
+    matches all num_salts replicas -> counts multiplied by num_salts.
+    (The previous out-of-range-salt mutant died when salted_join
+    started pmod-ing every caller salt — correct-by-construction now.)"""
+
+    def mutant(skewed, other, on, num_salts=16, how="inner", salt_expr=None):
+        replicated = other.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+        ).drop("__salt")
+        return skewed.join(replicated, on=on, how=how)
+
+    return mutant
+
+
 _kill("analytics_salted_join", "functions.skew", "salted_join",
-      lambda orig: (lambda skewed, other, on, num_salts=16, how="inner",
-                    salt_expr=None:
-                    orig(skewed, other, on, num_salts, how, F.lit(num_salts))),
-      "salt range off by one: probe-side salt outside the replicated "
-      "range -> join silently drops every row")
+      _salted_join_forgot_salt,
+      "salt replicated on the build side but missing from the join key "
+      "-> every row counted num_salts times")
 
 
 def _asof_min_tiebreak(orig):

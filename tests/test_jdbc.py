@@ -33,6 +33,15 @@ def test_qualified_table_escape_upper():
     assert qualified_table(low) == "db.t"
 
 
+def test_quote_ident_escapes_embedded_quotes():
+    """An identifier containing a double quote must not break out of
+    the quoting (SQL smuggling via a hostile yml config; r10 review)."""
+    from canal_phoenix_adapter_spark.sources.jdbc import quote_ident
+
+    assert quote_ident('a"b') == '"A""B"'
+    assert quote_ident('a"; DROP TABLE x; --') == '"A""; DROP TABLE X; --"'
+
+
 def test_extract_query_condition_template():
     assert (
         extract_query(CFG, ["2024-01-01"])

@@ -41,6 +41,54 @@ def test_partition_dirs_and_file_count(spark, tmp_path):
     assert set(back.columns) == {"doc_id", "lang", "text"}
 
 
+def test_partitioned_write_without_keys_keeps_file_count_bounded(spark, tmp_path):
+    """partition_by + target_files with NO repartition_keys used to
+    round-robin, putting every partition value in every writer task —
+    tasks x values small files (r10 review). Hashing on the partition
+    columns bounds total files near target_files."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 20}") for i in range(400)], "doc_id long, date string"
+    )
+    out = str(tmp_path / "lake_np")
+    write_lake(df, out, partition_by=["date"], target_files=4)
+    n = len(_files(out))
+    # round-robin would emit up to 4 x 20 = 80 files; hashing on date
+    # emits at most one file per distinct value (each value lives in
+    # exactly one task)
+    assert n <= 20, n
+    assert spark.read.parquet(out).count() == 400
+
+
+def test_dataset_size_survives_dangling_symlink(tmp_path):
+    """The directory branch must honor the unknowable->None contract
+    instead of crashing plan time on a broken symlink (r10 review)."""
+    from canal_phoenix_adapter_spark.sources.tables import dataset_size
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 10)
+    os.symlink(str(d / "never-existed"), str(d / "part-1.parquet"))
+    assert dataset_size(str(d)) is None
+
+
+def test_load_table_events_restores_nanos_conf(spark):
+    """load_table('events') must scope the legacy nanosAsLong conf to
+    its own read: leaking it session-wide silently changed every later
+    TIMESTAMP(NANOS) parquet read (r10 review; relation captures the
+    conf at read time, so restoring cannot break the returned df)."""
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get(key, None) is None  # restored to unset
+    assert df.count() > 0                     # and the df still executes
+    spark.conf.set(key, "false")
+    load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get(key) == "false"     # prior explicit value restored
+    spark.conf.unset(key)
+
+
 def test_sort_within_orders_rows_in_each_file(spark, tmp_path):
     df = spark.createDataFrame(
         [(i * 37 % 100, f"t{i}") for i in range(100)], "k long, text string"

@@ -179,6 +179,41 @@ def test_route_group_id_on_raw_envelope(spark):
     assert [r["data"]["id"] for r in rows2] == ["1"]
 
 
+def test_route_matches_destination_and_group_case_insensitively(spark):
+    """configs_for lowercases the whole routing key (the reference's
+    PhoenixAdapter key), but route() compared destination/groupId
+    case-sensitively — an envelope configs_for matched then applied
+    ZERO rows (r10 review)."""
+    from canal_phoenix_adapter_spark.config import config_from_dict
+
+    cfg = config_from_dict(
+        {
+            "destination": "Example", "groupId": "G1",
+            "dbMapping": {"database": "mytest", "table": "user",
+                          "targetTable": "mytest2.user", "targetPk": {"id": "id"}},
+        }
+    )
+    e = dml(1, "INSERT", [{"id": "1", "name": "a", "balance": "1"}])
+    e["destination"], e["groupId"] = "exAmple", "g1"
+    raw = spark.createDataFrame([(json.dumps(e),)], "value string")
+    assert route(parse_dml_json(raw), cfg).count() == 1
+
+
+def test_parse_dml_json_surfaces_corrupt_records(spark):
+    """Malformed Canal JSON parses to an all-NULL envelope that route()
+    silently drops; corrupt_col carries the raw string so callers can
+    dead-letter or fail the batch (r10 review)."""
+    good = json.dumps(dml(1, "INSERT", [{"id": "1", "name": "a", "balance": "1"}]))
+    raw = spark.createDataFrame(
+        [(good,), ("{half an envelope",), (None,)], "value string"
+    )
+    rows = parse_dml_json(raw, corrupt_col="_corrupt").collect()
+    corrupt = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
+    assert corrupt == ["{half an envelope"]
+    # default shape is unchanged: no extra column
+    assert "_corrupt" not in parse_dml_json(raw).columns
+
+
 def test_epoch_replay_after_crash_converges(spark, tmp_path):
     """C10 rollback semantics made observable: an epoch replayed after
     a crash converges to the identical state, whichever side of the
