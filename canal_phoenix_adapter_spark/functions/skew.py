@@ -75,10 +75,13 @@ def salted_join(
     # salt_expr, and a value outside [0, num_salts) matches no replica
     # — an inner join silently DROPPED those rows (r10 review). pmod
     # of the already-modded default is a no-op; bigint-first cast keeps
-    # ids > 2^31 from overflowing under ANSI.
+    # ids > 2^31 from overflowing under ANSI; coalesce(0) because a
+    # NULL salt value is a NULL equi-join key — the same silent drop
+    # one level up (r10 fix-review).
     s = skewed.withColumn(
         SALT_COL,
-        F.pmod(salt_expr.cast("bigint"), F.lit(num_salts)).cast("int"),
+        F.pmod(F.coalesce(salt_expr.cast("bigint"), F.lit(0)),
+               F.lit(num_salts)).cast("int"),
     )
     o = other.withColumn(
         SALT_COL,

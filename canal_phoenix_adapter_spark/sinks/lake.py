@@ -10,11 +10,16 @@ Three knobs, all standard Spark mechanics:
   * ``target_files`` — repartition to a chosen output-file count
     BEFORE the write. By key columns (files become hash-bucketed and
     co-located per partition value); with ``partition_by`` but no
-    keys, hashed on the partition columns (each writer task holds few
-    partition values, so total files stay ~target_files — round-robin
-    here would put EVERY value in EVERY task and emit tasks x values
-    small files, the exact disaster this module exists to prevent;
-    r10 review); round-robin only when neither is set.
+    keys, hashed on the partition columns — total files are then
+    bounded by distinct(partition values), each value written by ONE
+    task (round-robin here would put EVERY value in EVERY task and
+    emit tasks x values small files, the exact disaster this module
+    exists to prevent; r10 review). Honest limit of that default: a
+    single HOT partition value is one task and one file — spreading
+    it needs per-row information this sink won't buy with an extra
+    full scan, so pair ``max_records_per_file`` (splits the writer's
+    output) or pass ``repartition_keys`` including a row-unique
+    column (r10 fix-review). Round-robin only when neither is set.
   * ``sort_within`` — sortWithinPartitions before the write: rows
     inside each file arrive ordered (e.g. by doc_id or event time),
     which makes parquet min/max row-group statistics selective —

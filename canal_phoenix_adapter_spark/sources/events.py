@@ -49,18 +49,25 @@ def parse_dml_json(
     fails the batch for retry (r10 review). Pass ``corrupt_col`` to
     surface them: the raw input string rides in that column (NULL on
     well-formed rows) so a caller can dead-letter the batch or fail it
-    on ``count(corrupt_col) > 0``. Default stays the lenient shape."""
+    on ``count(corrupt_col) > 0``. Detection uses from_json's own
+    columnNameOfCorruptRecord (ONE parse, and it also flags
+    valid-JSON-that-is-not-an-object — '42', '[1,2]', '"str"', 'null',
+    e.g. array-wrapped flatMessage batches — which a JSON-validity
+    probe like try_parse_json waves through; r10 fix-review, verified
+    on this pyspark). Default stays the lenient shape."""
     raw = F.col(json_col).cast("string")
-    parsed = F.from_json(raw, DML_ENVELOPE)
     if corrupt_col is None:
-        return df.select(parsed.alias("dml")).select("dml.*")
-    # from_json PERMISSIVE yields a struct of all-NULL FIELDS (not a
-    # NULL struct) for malformed input, so parsed.isNull() can't detect
-    # it; try_parse_json is NULL exactly when the string is not JSON.
-    corrupt = F.when(raw.isNotNull() & F.try_parse_json(raw).isNull(), raw)
-    return df.select(parsed.alias("dml"), corrupt.alias(corrupt_col)).select(
-        "dml.*", corrupt_col
+        return df.select(F.from_json(raw, DML_ENVELOPE).alias("dml")).select("dml.*")
+    clash = {f.name.lower() for f in DML_ENVELOPE.fields} | {"dml"}
+    if corrupt_col.lower() in clash:
+        raise ValueError(
+            f"corrupt_col {corrupt_col!r} collides with an envelope field"
+        )
+    schema = T.StructType(
+        [*DML_ENVELOPE.fields, T.StructField(corrupt_col, T.StringType())]
     )
+    parsed = F.from_json(raw, schema, {"columnNameOfCorruptRecord": corrupt_col})
+    return df.select(parsed.alias("dml")).select("dml.*")
 
 
 # seq packing: (binlog second) 31 bits | (delivery-ms tiebreak) 14 bits

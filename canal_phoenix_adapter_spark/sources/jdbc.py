@@ -25,6 +25,8 @@ the network when `.load()` runs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from canal_phoenix_adapter_spark.config import DbMapping
@@ -43,9 +45,17 @@ def quote_ident(name: str, escape_upper: bool = True) -> str:
     (SyncUtil.java:258-273); otherwise pass through unquoted. Embedded
     double quotes are doubled per the SQL standard — unescaped they
     produced broken statement text and let a hostile yml identifier
-    smuggle SQL past the quoting (r10 review)."""
+    smuggle SQL past the quoting (r10 review). The unquoted branch is
+    reference parity for SANE names only: a name outside the plain
+    identifier charset would be raw SQL in the statement text (worse
+    than the quoted-branch smuggling), so it is rejected loudly
+    instead (r10 fix-review)."""
     if escape_upper:
         return '"{}"'.format(name.upper().replace('"', '""'))
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$#]*", name):
+        raise ValueError(
+            f"identifier {name!r} needs quoting; set escapeUpper or rename"
+        )
     return name
 
 

@@ -599,14 +599,20 @@ def test_salted_join_pmods_caller_salt_and_rejects_bad_num_salts(spark):
     from canal_phoenix_adapter_spark.functions.skew import salted_join
 
     fact = spark.createDataFrame(
-        [(i % 2, 2**31 + i) for i in range(40)], "k long, rowid long"
+        # includes a NULL rowid: pmod(NULL) is a NULL join key — the
+        # same silent drop one level up (r10 fix-review)
+        [(i % 2, 2**31 + i) for i in range(40)] + [(0, None)],
+        "k long, rowid long",
     )
     dim = spark.createDataFrame([(0, "zero"), (1, "one")], "k long, name string")
     plain = fact.join(dim, on=["k"]).select("k", "rowid", "name")
     salted = salted_join(
         fact, dim, on=["k"], num_salts=8, salt_expr=F.col("rowid")
     ).select("k", "rowid", "name")
-    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731 - None-safe sort
+    assert sorted(map(tuple, salted.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
     with pytest.raises(ValueError, match="num_salts"):
         salted_join(fact, dim, on=["k"], num_salts=0)
 

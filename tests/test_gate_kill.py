@@ -404,13 +404,21 @@ def _compare(spark, con, name: str) -> str | None:
         spark_pd = E.QUERIES[name](spark, SF_DIR).toPandas()
     except Exception as e:  # noqa: BLE001 - mutation may legally crash the engine
         tb = traceback.extract_tb(e.__traceback__)
-        if tb and tb[-1].filename == __file__:
-            # the exception was RAISED inside a mutant wrapper in this
-            # file (signature drift, bad kwarg) — the mutation never
-            # reached the engine, so counting it as red would record a
-            # fake kill (r10 review: the etl_range_split _kw wrapper
-            # TypeError'd and the audit passed anyway). A legitimate
-            # crash-kill raises deep in pyspark, below the wrapper.
+        raised_here = tb and tb[-1].filename == __file__
+        # signature drift can also surface one frame HIGHER: a
+        # TypeError at the gate's call site in entry.py when the
+        # mutant's explicit signature no longer matches the call shape
+        # (r10 fix-review) — the mutant frame is never entered, so the
+        # tb[-1]-in-this-file check alone misses it
+        drifted = isinstance(e, TypeError) and tb and tb[-1].filename.endswith(
+            os.path.join("canal_phoenix_adapter_spark", "entry.py")
+        )
+        if raised_here or drifted:
+            # the mutation never reached the engine, so counting it as
+            # red would record a fake kill (r10 review: the
+            # etl_range_split _kw wrapper TypeError'd and the audit
+            # passed anyway). A legitimate crash-kill raises deep in
+            # pyspark, below the wrapper.
             raise
         return f"spark error: {type(e).__name__}"
     duck_pd = con.sql(E.ORACLE[name]).df()

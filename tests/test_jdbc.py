@@ -40,6 +40,13 @@ def test_quote_ident_escapes_embedded_quotes():
 
     assert quote_ident('a"b') == '"A""B"'
     assert quote_ident('a"; DROP TABLE x; --') == '"A""; DROP TABLE X; --"'
+    # the unquoted branch is parity for sane names only — anything else
+    # would be raw SQL in the statement text (r10 fix-review)
+    import pytest
+
+    assert quote_ident("db_1", escape_upper=False) == "db_1"
+    with pytest.raises(ValueError, match="needs quoting"):
+        quote_ident("id = 1; DROP TABLE x; --", escape_upper=False)
 
 
 def test_extract_query_condition_template():

@@ -202,16 +202,26 @@ def test_route_matches_destination_and_group_case_insensitively(spark):
 def test_parse_dml_json_surfaces_corrupt_records(spark):
     """Malformed Canal JSON parses to an all-NULL envelope that route()
     silently drops; corrupt_col carries the raw string so callers can
-    dead-letter or fail the batch (r10 review)."""
+    dead-letter or fail the batch (r10 review). Valid JSON that is NOT
+    an object ('42', arrays, bare strings, JSON null — e.g. a Kafka
+    tombstone or array-wrapped flatMessage) must be flagged too (r10
+    fix-review: a JSON-validity probe waved those through)."""
+    import pytest
+
     good = json.dumps(dml(1, "INSERT", [{"id": "1", "name": "a", "balance": "1"}]))
+    bad = ["{half an envelope", "42", "[1,2]", '"str"', "null"]
     raw = spark.createDataFrame(
-        [(good,), ("{half an envelope",), (None,)], "value string"
+        [(good,), (None,)] + [(b,) for b in bad], "value string"
     )
     rows = parse_dml_json(raw, corrupt_col="_corrupt").collect()
-    corrupt = [r["_corrupt"] for r in rows if r["_corrupt"] is not None]
-    assert corrupt == ["{half an envelope"]
+    corrupt = sorted(r["_corrupt"] for r in rows if r["_corrupt"] is not None)
+    assert corrupt == sorted(bad)
     # default shape is unchanged: no extra column
     assert "_corrupt" not in parse_dml_json(raw).columns
+    # a corrupt_col shadowing an envelope field would emit duplicate
+    # columns and break route() with AMBIGUOUS_REFERENCE downstream
+    with pytest.raises(ValueError, match="collides"):
+        parse_dml_json(raw, corrupt_col="destination")
 
 
 def test_epoch_replay_after_crash_converges(spark, tmp_path):

@@ -113,8 +113,13 @@ def main() -> None:
     marker = f"{out}/_synth"
     # The marker is written LAST and carries the synthesis version: a
     # partial run, or a dir left by the retired v1/v2 syntheses, is
-    # regenerated instead of silently measured (r10 review).
-    stale = not os.path.exists(marker) or open(marker).read() != SYNTH_TAG
+    # regenerated instead of silently measured (r10 review). An
+    # unreadable marker is just as stale (r10 fix-review).
+    try:
+        with open(marker) as f:
+            stale = f.read() != SYNTH_TAG
+    except OSError:
+        stale = True
     if stale:
         import shutil
 
