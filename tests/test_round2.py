@@ -641,3 +641,27 @@ def test_dup_clusters_releases_checkpoint_storage(spark):
                     (20, 20), (21, 20), (22, 20), (23, 20)}
     leaked = pids() - before
     assert len(leaked) <= 1, f"checkpoint blocks leaked: {leaked}"
+
+
+def test_q13_left_join_surfaces_zero_order_customers(spark, tmp_path):
+    """Direct witness for the q13 semantics the sf fixtures cannot
+    show: every fixture customer has orders, so a left-join-degraded-
+    to-inner bug is invisible to the parity gate at sf0.01 (r10
+    gate-kill audit, recorded blind spot). A tiny corpus with two
+    zero-order customers pins the c_count=0 bucket explicitly."""
+    import pandas as pd
+
+    from canal_phoenix_adapter_spark.operators.analytics import (
+        q13_order_count_distribution,
+    )
+
+    sf = str(tmp_path)
+    pd.DataFrame({"c_custkey": [1, 2, 3, 4]}).to_parquet(f"{sf}/customer.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 2]}
+    ).to_parquet(f"{sf}/orders.parquet")
+    got = {r["c_count"]: r["custdist"]
+           for r in q13_order_count_distribution(spark, sf).collect()}
+    # customers 3 and 4 have no orders: the 0 bucket MUST exist (an
+    # inner join would drop them entirely)
+    assert got == {0: 2, 1: 1, 2: 1}
