@@ -38,13 +38,34 @@ OP_TRUNCATE = "TRUNCATE"
 _NO_PRESCAN = object()  # "did not pre-scan"; None means "no TRUNCATE"
 
 
+def truncate_seq_expr(seq_col: str = "seq", op_col: str = "op") -> F.Column:
+    """THE truncate-detection aggregate (max seq of TRUNCATE rows),
+    shared by last_truncate_seq and the pruned store's single-pass
+    pre-scan — two hand-maintained copies of this predicate would
+    silently desynchronize the pre-scan from the merge it feeds
+    (known_trunc_seq makes the pre-scan authoritative; r10 review)."""
+    return F.max(F.when(F.upper(F.col(op_col)) == OP_TRUNCATE, F.col(seq_col)))
+
+
+def old_key_exprs(
+    columns: list[str], pk: list[str], old_prefix: str = "old_"
+) -> list[F.Column]:
+    """coalesce(old_<pk>, <pk>) per pk column — THE old-key expression
+    (reference getPkVal, PhoenixSyncService.java:575-593), shared by
+    collapse_changes' death rows and the pruned store's touched-bucket
+    pre-scan for the same no-drift reason as truncate_seq_expr."""
+    return [
+        F.coalesce(F.col(old_prefix + k), F.col(k))
+        if (old_prefix + k) in columns else F.col(k)
+        for k in pk
+    ]
+
+
 def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "op"):
     """Seq of the last TRUNCATE in the batch, or None. A TRUNCATE wipes
     state and all earlier events (C7, PhoenixSyncService.java:505-513
     applied in event order)."""
-    return changes.agg(
-        F.max(F.when(F.upper(F.col(op_col)) == OP_TRUNCATE, F.col(seq_col)))
-    ).first()[0]
+    return changes.agg(truncate_seq_expr(seq_col, op_col)).first()[0]
 
 
 def _image_cols(
@@ -113,12 +134,7 @@ def collapse_changes(
                     F.col(old_prefix + k).isNotNull()
                     & ~F.col(old_prefix + k).eqNullSafe(F.col(k))
                 )
-        old_key = [
-            F.coalesce(F.col(old_prefix + k), F.col(k))
-            if (old_prefix + k) in changes.columns
-            else F.col(k)
-            for k in pk
-        ]
+        old_key = old_key_exprs(changes.columns, pk, old_prefix)
         main_entry = F.struct(
             *[F.col(k).alias(f"k_{k}") for k in pk],
             F.when(is_create, F.lit(1)).otherwise(F.lit(0)).alias("c"),

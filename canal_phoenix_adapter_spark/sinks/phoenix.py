@@ -162,6 +162,16 @@ def _check_target(
     raise TargetSchemaError(f"Target column: {tgt} not matched")
 
 
+def _ci_view(item: dict) -> dict:
+    """Case-insensitive view of a row dict: config-cased source names
+    (explicit targetColumns / targetPk values) must match the
+    DataFrame's column casing the way Spark's analyzer resolves them
+    everywhere upstream — a case-sensitive item.get() silently wrote
+    NULLs into every mapped column and made DELETE predicates match
+    nothing (r10 review)."""
+    return {k.lower(): v for k, v in item.items()}
+
+
 def upsert_item(
     executor: BatchExecutor,
     cfg: MappingConfig,
@@ -183,20 +193,21 @@ def upsert_item(
         m, _image_cols(list(item), m.pk_source_columns(), seq_col, op_col,
                        old_prefix)
     )
+    low = _ci_view(item)
     cols: list[str] = []
     vals: list[Any] = []
     for tgt, src in colmap.items():
         if not _check_target(cfg, m.escape(tgt), target_columns):
             continue
         cols.append(tgt)
-        vals.append(_check_value(cfg, tgt, src, item.get(src)))
+        vals.append(_check_value(cfg, tgt, src, low.get(src.lower())))
 
     key_changed = False
     del_vals: list[Any] = []
     for tgt, src in m.target_pk.items():
         pk_src = src or tgt
-        old_val = item.get(old_prefix + pk_src)
-        if old_val is not None and old_val != item.get(pk_src):
+        old_val = low.get((old_prefix + pk_src).lower())
+        if old_val is not None and old_val != low.get(pk_src.lower()):
             key_changed = True
         # enum decode applies to PK PREDICATES too (reference runs
         # checkColumnValue inside getPkVal, PhoenixSyncService.java:
@@ -205,7 +216,7 @@ def upsert_item(
         del_vals.append(
             _check_value(
                 cfg, tgt, pk_src,
-                old_val if old_val is not None else item.get(pk_src),
+                old_val if old_val is not None else low.get(pk_src.lower()),
             )
         )
     if key_changed:
@@ -223,8 +234,9 @@ def delete_item(
     through the enum decode like every other PK predicate
     (checkColumnValue in getPkVal, PhoenixSyncService.java:589)."""
     m = cfg.db_mapping
+    low = _ci_view(item)
     vals = [
-        _check_value(cfg, tgt, src or tgt, item.get(src or tgt))
+        _check_value(cfg, tgt, src or tgt, low.get((src or tgt).lower()))
         for tgt, src in m.target_pk.items()
     ]
     executor.execute(delete_sql(m), vals)
@@ -288,12 +300,12 @@ def apply_partition(
     tcols = {c.lower() for c in target_columns} if target_columns is not None else None
     executed = 0
 
-    def apply_all() -> int:
+    def apply_all(allow_flush: bool = True) -> int:
         n = 0
         for item in items:
             sync_item(executor, cfg, item, tcols, seq_col, op_col, old_prefix)
             n += 1
-            if commit_batch and executor.idx >= commit_batch:
+            if allow_flush and commit_batch and executor.idx >= commit_batch:
                 executor.commit()
         return n
 
@@ -307,12 +319,18 @@ def apply_partition(
                 raise
             # heal succeeded: replay once (java :118-127). The whole
             # replay — statements AND final commit — rolls back on any
-            # failure: guarding only the commit would close the
+            # failure, so commit_batch flushes are SUPPRESSED during
+            # the replay: a mid-replay commit would persist a prefix
+            # (including any TRUNCATE in it) past the final
+            # rollback-and-raise, silently breaking the documented
+            # second-failure contract (r10 review). A replayed
+            # partition is one transaction. Guarding only the commit
+            # would also close the
             # connection with an open transaction when a replayed
             # STATEMENT raises (the documented second-failure contract
             # is rollback-and-raise).
             try:
-                executed = apply_all()
+                executed = apply_all(allow_flush=False)
                 executor.commit()
             except Exception:
                 executor.rollback()

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_phoenix_adapter_spark.config import MappingConfig
-from canal_phoenix_adapter_spark.operators.merge import _NO_PRESCAN, merge_cdc
+from canal_phoenix_adapter_spark.operators.merge import (
+    _NO_PRESCAN,
+    merge_cdc,
+    old_key_exprs,
+    truncate_seq_expr,
+)
 from canal_phoenix_adapter_spark.sources.events import (
     DML_ENVELOPE,
     explode_dml,
@@ -121,17 +126,25 @@ class _CommitPointer:
 
     def _merge_commit_nonempty(
         self, batch_df: DataFrame, pk: list[str], version: int, epoch_id: int,
-        trunc_seq: object = _NO_PRESCAN,
+        trunc_seq: object = _NO_PRESCAN, broadcast_changes: bool = True,
     ) -> tuple[DataFrame, set[str] | None]:
         """Full-snapshot read-merge-rewrite for a batch the caller has
         PROVEN non-empty — the pruned store's TRUNCATE and heal/DDL
         fallbacks enter here so neither the pre-scan's count nor its
         truncate seq is re-derived with extra jobs per fallback epoch
-        (``trunc_seq`` forwards the pre-scan result to merge_cdc)."""
+        (``trunc_seq`` forwards the pre-scan result to merge_cdc).
+
+        ``broadcast_changes`` default True: the PLAIN store has no
+        pre-scan row count and assumes micro-batch-sized changes (its
+        documented operating envelope); the pruned store's fallback
+        paths forward their measured heuristic so a backfill-sized
+        TRUNCATE/heal epoch does not pin millions of touched keys in
+        every executor (r10 review)."""
         state = self.read()
         prev_cols = None if state is None else {c.lower() for c in state.columns}
         new_state = merge_cdc(state, batch_df, pk, old_prefix="old_",
-                              known_trunc_seq=trunc_seq)
+                              known_trunc_seq=trunc_seq,
+                              broadcast_changes=broadcast_changes)
         self._write_unlocked(new_state, version, epoch_id=epoch_id)
         return new_state, prev_cols
 
@@ -548,21 +561,19 @@ class PrunedParquetStateStore(ParquetStateStore):
         broadcast-heuristic row count into the same pass keeps the
         pre-scan at one job/epoch; assumes apply_cdc_epoch's seq/op
         column contract."""
+        # truncate_seq_expr / old_key_exprs come from merge.py — the
+        # pre-scan is AUTHORITATIVE (check_truncate=False downstream),
+        # so a hand-maintained copy drifting from collapse_changes
+        # would be unguarded (r10 review)
         aggs = [
             F.collect_set(
                 self._bucket_of([F.col(k) for k in pk])
             ).alias("nb"),
-            F.max(
-                F.when(F.upper(F.col("op")) == "TRUNCATE", F.col("seq"))
-            ).alias("tr"),
+            truncate_seq_expr("seq", "op").alias("tr"),
             F.count(F.lit(1)).alias("n"),
         ]
         if any(f"old_{k}" in batch_df.columns for k in pk):
-            old_key = [
-                F.coalesce(F.col(f"old_{k}"), F.col(k))
-                if f"old_{k}" in batch_df.columns else F.col(k)
-                for k in pk
-            ]
+            old_key = old_key_exprs(batch_df.columns, pk, "old_")
             aggs.append(F.collect_set(self._bucket_of(old_key)).alias("ob"))
         row = batch_df.agg(*aggs).first()
         touched = set(row["nb"]) | set(row["ob"] if "ob" in row.__fields__ else [])
@@ -593,7 +604,8 @@ class PrunedParquetStateStore(ParquetStateStore):
             # already proved the batch non-empty AND found the truncate
             # seq, so skip both the isEmpty() job and the re-scan
             return super()._merge_commit_nonempty(
-                batch_df, pk, version, epoch_id, trunc_seq=trunc_seq
+                batch_df, pk, version, epoch_id, trunc_seq=trunc_seq,
+                broadcast_changes=n_rows <= self.broadcast_threshold_rows,
             )
         manifest = self._manifest(cur)
         self._check_modulus(manifest)
@@ -614,7 +626,8 @@ class PrunedParquetStateStore(ParquetStateStore):
             # heal/DDL epoch: rewrite all buckets onto the new schema
             # (non-empty and no-TRUNCATE already proven by the pre-scan)
             return super()._merge_commit_nonempty(
-                batch_df, pk, version, epoch_id, trunc_seq=None
+                batch_df, pk, version, epoch_id, trunc_seq=None,
+                broadcast_changes=n_rows <= self.broadcast_threshold_rows,
             )
         self._commit_touched(merged, version, manifest, set(touched),
                              merged.schema, epoch_id)
@@ -718,16 +731,24 @@ def typed_changes(
     typed image columns (+ old_<pk> for PK-changes)."""
     rows = explode_dml(route(dml, cfg))
     m = cfg.db_mapping
+    # try_element_at, never element_at: the engine invariant
+    # (session.py NOTE) — on an ANSI Spark 3.x session a plain
+    # element_at THROWS on a missing map key (the 'old' map normally
+    # carries only changed columns), which would wedge the stream in
+    # an epoch-replay loop (r10 review; Spark 4 returns NULL either
+    # way, so behavior here is unchanged)
     cols = [F.col("seq"), F.col("op")]
     for f in value_schema.fields:
         cols.append(
-            F.element_at(F.col("data"), f.name).try_cast(f.dataType.simpleString()).alias(f.name)
+            F.try_element_at(F.col("data"), F.lit(f.name))
+            .try_cast(f.dataType.simpleString()).alias(f.name)
         )
     for tgt, src in m.target_pk.items():
         pk_src = src or tgt
         dt = value_schema[pk_src].dataType.simpleString()
         cols.append(
-            F.element_at(F.col("old"), pk_src).try_cast(dt).alias(f"old_{pk_src}")
+            F.try_element_at(F.col("old"), F.lit(pk_src))
+            .try_cast(dt).alias(f"old_{pk_src}")
         )
     return rows.select(*cols)
 
@@ -866,12 +887,22 @@ def run_cdc_stream(
     hook = notify_hook if notify_hook is not None else make_notifier(cfg)
     on_change = (lambda: hook(notify_payload(cfg))) if hook is not None else None
 
+    # Prune cadence counts COMMITTING epochs, not epoch ids: empty
+    # epochs never prune, so "epoch_id % N == 0" starves GC whenever
+    # committing epochs systematically miss the multiples (r10 review)
+    # — snapshots then accumulate unboundedly, the exact failure
+    # retain_versions exists to prevent. Per-run counter: a restart
+    # resets it, which at worst prunes one epoch early.
+    n_committed = 0
+
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal n_committed
         committed = apply_cdc_epoch(
             store, batch_df, epoch_id, pk, on_schema_change=on_change
         )
         if committed and retain_versions is not None:
-            if epoch_id % max(1, prune_every) == 0:
+            n_committed += 1
+            if n_committed % max(1, prune_every) == 0:
                 store.prune(keep_last=retain_versions)
 
     stream = read_canal_stream(spark, source_path, max_files_per_trigger)
@@ -1160,19 +1191,29 @@ def state_changes(
     exchange."""
     old = store.read_version(from_version)
     new = store.read_version(to_version)
-    old_types = {f.name: f.dataType for f in old.schema.fields}
-    new_types = {f.name: f.dataType for f in new.schema.fields}
+    # Column identity is CASE-INSENSITIVE (the engine's reference
+    # identifier semantics, COVERAGE.md §2c note): merge_cdc heals
+    # common columns toward the batch's casing, so a heal epoch can
+    # re-case a state column between two snapshots — a case-sensitive
+    # union then emitted BOTH casings and the diff died with
+    # AMBIGUOUS_REFERENCE (r10 review, reproduced). Canonical spelling
+    # = the NEW snapshot's.
+    old_types = {f.name.lower(): f.dataType for f in old.schema.fields}
+    new_types = {f.name.lower(): f.dataType for f in new.schema.fields}
     types = dict(old_types)
     types.update(new_types)
-    val_cols = [
-        c for c in [*new.columns, *[c for c in old.columns if c not in new.columns]]
-        if c not in pk
+    pk_l = {p.lower() for p in pk}
+    val_cols = [c for c in new.columns if c.lower() not in pk_l] + [
+        c for c in old.columns
+        if c.lower() not in new_types and c.lower() not in pk_l
     ]
 
     def side(df: DataFrame, tag: str, flag: str) -> DataFrame:
+        have = {c2.lower(): c2 for c2 in df.columns}
         cols = []
         for c in val_cols:
-            src = F.col(c) if c in df.columns else F.lit(None).cast(types[c])
+            src = (F.col(have[c.lower()]) if c.lower() in have
+                   else F.lit(None).cast(types[c.lower()]))
             cols.append(src.alias(f"{c}__{tag}"))
         return df.select(*pk, *cols, F.lit(1).alias(flag))
 
@@ -1182,10 +1223,11 @@ def state_changes(
     changed = F.lit(False)
     for c in val_cols:
         b, a = F.col(f"{c}__before"), F.col(f"{c}__after")
+        cl = c.lower()
         if (
-            c in old_types
-            and c in new_types
-            and old_types[c] != new_types[c]
+            cl in old_types
+            and cl in new_types
+            and old_types[cl] != new_types[cl]
         ):
             # A heal/DDL epoch changed the column's TYPE between the
             # snapshots: a raw null-safe compare would either raise or
@@ -1205,14 +1247,14 @@ def state_changes(
             # canonically-spelled row — a full-table UPDATE storm over
             # a semantically lossless heal. Output keeps each side's
             # own type.
-            bc = b.try_cast(new_types[c])
+            bc = b.try_cast(new_types[cl])
             changed = (
                 changed
                 | ~bc.eqNullSafe(a)
                 | (b.isNotNull() & bc.isNull())
             )
-            if not isinstance(old_types[c], T.StringType):
-                ac = a.try_cast(old_types[c])
+            if not isinstance(old_types[cl], T.StringType):
+                ac = a.try_cast(old_types[cl])
                 changed = (
                     changed
                     | ~ac.eqNullSafe(b)

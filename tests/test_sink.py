@@ -577,3 +577,87 @@ def test_upsert_excludes_is_ddl_column():
     ups = [s for s in sqls_of(conn.log) if s.startswith("UPSERT")]
     assert len(ups) == 1
     assert "IS_DDL" not in ups[0].upper()
+
+
+def test_apply_loop_resolves_config_casing_against_row_casing():
+    """Config-cased source names (explicit targetColumns / targetPk
+    values) vs DataFrame column casing: Spark resolves these case-
+    insensitively everywhere upstream, so the executor-side dict
+    lookups must too — a case-sensitive item.get() silently UPSERTed
+    NULLs and bound NULL DELETE predicates (r10 review)."""
+    conn = FakeConnection()
+    cfg = MappingConfig(
+        destination="canal",
+        db_mapping=DbMapping(
+            database="d", table="t", target_table="d.t",
+            map_all=False,
+            target_columns={"ID": "Id", "NAME": "Name"},
+            target_pk={"ID": "Id"},
+        ),
+    )
+    n = apply_partition(
+        [
+            {"seq": 1, "op": "INSERT", "id": 7, "name": "alice"},
+            {"seq": 2, "op": "DELETE", "id": 7, "name": None},
+        ],
+        cfg,
+        lambda: conn,
+    )
+    assert n == 2
+    executes = [e for e in conn.log if e[0] == "execute"]
+    upsert_params = executes[0][2]
+    delete_params = executes[1][2]
+    assert 7 in upsert_params and "alice" in upsert_params  # not NULLs
+    assert delete_params == [7]                             # predicate bound
+
+
+def test_replay_suppresses_commit_batch_flushes():
+    """commit_batch flushes must NOT fire during the heal replay: a
+    flushed prefix (including any TRUNCATE in it) would survive the
+    final rollback-and-raise, breaking the documented second-failure
+    contract (r10 review). The replayed partition is ONE transaction."""
+    import pytest
+
+    class ReplayFailConn(FakeConnection):
+        def __init__(self):
+            super().__init__()
+            self.phase = 1
+
+        def cursor(self):
+            conn = self
+
+            class C(FakeCursor):
+                def execute(self, sql, params=None):
+                    if conn.phase == 1 and "UPSERT" in sql:
+                        raise TargetSchemaError("missing col")
+                    if conn.phase == 2 and "DELETE" in sql:
+                        raise RuntimeError("replay dies")
+                    conn.log.append(("execute", sql, list(params or [])))
+
+            return C(conn)
+
+    conn = ReplayFailConn()
+
+    def heal(c):
+        c.phase = 2
+        c.log.append(("heal",))
+        return True
+
+    with pytest.raises(RuntimeError, match="replay dies"):
+        apply_partition(
+            [
+                {"seq": 1, "op": "INSERT", "id": 1, "name": "a"},
+                {"seq": 2, "op": "INSERT", "id": 2, "name": "b"},
+                {"seq": 3, "op": "DELETE", "id": 9, "name": None},
+            ],
+            make_cfg(),
+            lambda: conn,
+            commit_batch=1,  # would flush after EVERY statement
+            heal=heal,
+        )
+    ops = ops_of(conn.log)
+    # first pass fails at the first UPSERT -> rollback, heal; replay
+    # executes two UPSERTs WITHOUT intermediate commits, dies on the
+    # DELETE -> rollback and raise. Zero commits anywhere.
+    assert "commit" not in ops
+    assert ops == ["rollback", "heal", "execute", "execute", "rollback", "close"]

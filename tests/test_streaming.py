@@ -949,6 +949,23 @@ def test_bootstrap_then_stream(spark, tmp_path, buckets):
     assert got == {**EXPECTED, 50: ("seed-only", 9.0)}
 
 
+def test_state_changes_across_column_recasing(spark, tmp_path):
+    """merge_cdc heals common columns toward the batch's casing, so a
+    heal epoch can RE-CASE a state column between snapshots; the diff
+    must treat 'Val' and 'val' as one column (r10 review: the case-
+    sensitive union emitted both and died with AMBIGUOUS_REFERENCE)."""
+    from canal_phoenix_adapter_spark.streaming.stream import state_changes
+
+    store = ParquetStateStore(spark, str(tmp_path / "cdfcase"))
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, Val string")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b2")], "id long, val string")
+    store.write(v0, 0)
+    store.write(v1, 1)
+    got = {r["id"]: (r["op"], r["val__before"], r["val__after"])
+           for r in state_changes(store, 0, 1, ["id"]).collect()}
+    assert got == {2: ("UPDATE", "b", "b2")}  # row 1 unchanged, excluded
+
+
 def test_state_changes_across_schema_change(spark, tmp_path):
     """A heal/DDL epoch between the two versions: added column shows
     before=NULL, dropped column shows after=NULL, diff still runs."""
