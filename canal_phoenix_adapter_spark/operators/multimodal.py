@@ -137,6 +137,14 @@ def ppm_decode(data: bytes) -> list[float]:
         raise NotImplementedError(
             f"only 1-byte-per-sample PPM supported (maxval {maxval})"
         )
+    # The spec demands exactly ONE whitespace byte between maxval and
+    # the raster. Anything else ('#', a stray byte) — and '\r', which
+    # in practice means a CRLF writer whose extra '\n' would shift the
+    # raster slice and silently corrupt every channel mean (r10
+    # ADVICE, verified) — fails loudly per the decoder's contract.
+    sep = data[i : i + 1]
+    if sep not in (b" ", b"\t", b"\n", b"\x0b", b"\f"):
+        raise ValueError(f"malformed separator {sep!r} after PPM maxval")
     px = data[i + 1 : i + 1 + 3 * w * h]
     if len(px) != 3 * w * h:
         raise ValueError(f"truncated PPM raster: {len(px)} of {3 * w * h} bytes")

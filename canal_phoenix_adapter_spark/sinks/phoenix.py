@@ -168,8 +168,14 @@ def _ci_view(item: dict) -> dict:
     DataFrame's column casing the way Spark's analyzer resolves them
     everywhere upstream — a case-sensitive item.get() silently wrote
     NULLs into every mapped column and made DELETE predicates match
-    nothing (r10 review)."""
-    return {k.lower(): v for k, v in item.items()}
+    nothing (r10 review). Two source columns differing only by case
+    would collapse to whichever iterates last — raise instead of
+    writing arbitrary values (r10 ADVICE)."""
+    view = {k.lower(): v for k, v in item.items()}
+    if len(view) != len(item):
+        clash = sorted(k for k in item if sum(j.lower() == k.lower() for j in item) > 1)
+        raise ValueError(f"columns collide case-insensitively: {clash}")
+    return view
 
 
 def upsert_item(

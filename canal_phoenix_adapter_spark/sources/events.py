@@ -156,7 +156,13 @@ def route(df: DataFrame, cfg: MappingConfig) -> DataFrame:
         # ConfigMonitor.configs_for) lowercases the whole key per the
         # reference (PhoenixAdapter.java:88-95) — a case-sensitive
         # filter here silently applied zero rows for envelopes
-        # configs_for had already matched (r10 review).
+        # configs_for had already matched (r10 review). DELIBERATE
+        # parity deviation: the reference compares destination
+        # case-SENSITIVELY (PhoenixAdapter.java:180 .equals), so an
+        # envelope whose destination differs only in case syncs here
+        # but drops there; internal consistency with routing_key wins
+        # (r10 ADVICE; pinned by
+        # test_route_matches_destination_and_group_case_insensitively).
         cond = cond & (F.lower(F.col("destination")) == cfg.destination.lower())
     if cfg.group_id:
         # route() runs on BOTH sides of explode_dml: the raw envelope

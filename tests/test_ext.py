@@ -399,6 +399,13 @@ def test_ppm_decode_pure():
         multimodal.ppm_decode(b"P6 0 0 255\n")
     with pytest.raises(ValueError, match="dimensions"):
         multimodal.ppm_decode(b"P6 -1 2 255\n" + bytes(6))
+    # CRLF after maxval shifted the raster slice one byte and silently
+    # corrupted every channel mean; '#' there did the same. Both now
+    # fail loudly per the decoder's contract (r10 ADVICE, verified).
+    with pytest.raises(ValueError, match="separator"):
+        multimodal.ppm_decode(b"P6 2 2 255\r\n" + bytes(12))
+    with pytest.raises(ValueError, match="separator"):
+        multimodal.ppm_decode(b"P6 2 2 255# c\n" + bytes(12))
 
 
 def test_decode_image_default_codec_end_to_end(spark):

@@ -611,6 +611,17 @@ def test_apply_loop_resolves_config_casing_against_row_casing():
     assert delete_params == [7]                             # predicate bound
 
 
+def test_ci_view_raises_on_case_colliding_columns():
+    """Two source columns differing only by case collapsed to
+    whichever dict order iterated last — arbitrary values written with
+    no signal. _ci_view now raises naming the clash (r10 ADVICE)."""
+    from canal_phoenix_adapter_spark.sinks.phoenix import _ci_view
+
+    assert _ci_view({"Id": 1, "name": "a"}) == {"id": 1, "name": "a"}
+    with pytest.raises(ValueError, match=r"\['ID', 'Id'\]"):
+        _ci_view({"Id": 1, "ID": 2, "name": "a"})
+
+
 def test_replay_suppresses_commit_batch_flushes():
     """commit_batch flushes must NOT fire during the heal replay: a
     flushed prefix (including any TRUNCATE in it) would survive the
