@@ -28,7 +28,7 @@ eviction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.functions.hashing import (
@@ -36,6 +36,7 @@ from canal_phoenix_adapter_spark.functions.hashing import (
     md5_long,
     minhash_perm_params,
 )
+from canal_phoenix_adapter_spark.jvm_shim import persistent_rdd_ids, release_rdds
 
 # Skew caps default ON: an unbounded LSH/shingle bucket shared by d
 # docs emits d^2 candidate-join rows, and AQE splits partitions, not
@@ -342,37 +343,66 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash per doc over whitespace tokens (with
+def _simhash(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
+    """Shared SimHash kernel over whitespace tokens (with
     multiplicity): bit i of the sketch is 1 iff the sum over tokens of
-    (+1 if bit i of md5_long(token) else -1) is >= 0.
+    (+1 if bit i of the token hash else -1) is >= 0.
 
-    Computed as 32 conditional-sum aggregates after one token explode:
-    a single shuffle keyed on the doc id; the sketch is a plain bigint
-    usable for bucketing / hamming-distance candidate search.
+    Computed as `width` conditional-sum aggregates after one token
+    explode: a single shuffle keyed on the doc id; the sketch is a
+    plain bigint usable for bucketing / hamming candidate search.
+    width=32 reads bits 0-31 of md5_long; width=64 extends to bits
+    0-59 of md5_long plus md5 hex digit 16 for bits 60-63 — both
+    constructions port verbatim to the DuckDB oracle via substr(md5).
 
-    The md5 hash is hoisted into the projection feeding the aggregate
-    (same treatment as minhash_signatures): each of the 32 bit-sums
-    then reads a plain bigint column instead of embedding its own copy
-    of the md5+conv tree in the partial-aggregate codegen."""
+    The hash is hoisted into the projection feeding the aggregate
+    (same treatment as minhash_signatures): each bit-sum then reads a
+    plain bigint column instead of embedding its own copy of the
+    md5+conv tree in the partial-aggregate codegen. The sketch is
+    OR-assembled from shiftleft terms: bit 63 is the sign bit, exact
+    under two's complement where a `* 2^63` sum would overflow-raise
+    in ANSI mode."""
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).where(F.col("tok") != "")
-    hashed = toks.select(F.col(id_col), md5_long(F.col("tok")).alias("h"))
+    cols = [md5_long(F.col("tok")).alias("h")]
+    if width == 64:
+        cols.append(
+            F.conv(F.substring(F.md5(F.col("tok").cast("string")), 16, 1), 16, 10)
+            .cast("long")
+            .alias("hx")
+        )
+    hashed = toks.select(F.col(id_col), *cols)
+
+    def _src(i: int) -> Column:
+        return F.shiftright(F.col("hx"), i - 60) if i >= 60 else F.shiftright(F.col("h"), i)
+
     aggs = [
         F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+            F.when(_src(i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(32)
+        for i in range(width)
     ]
     sums = hashed.groupBy(id_col).agg(*aggs)
-    sketch = None
-    for i in range(32):
-        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
-        sketch = bit if sketch is None else sketch + bit
-    return sums.select(F.col(id_col), sketch.cast("long").alias("simhash"))
+    sketch = F.lit(0).cast("long")
+    for i in range(width):
+        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sketch = sketch.bitwiseOR(F.shiftleft(bit, i))
+    return sums.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash. Fine below ~10^4 docs; beyond that its 8-bit
+    bands saturate (measured: SCALE.md r10) — prefer simhash64."""
+    return _simhash(df, id_col, text_col, 32)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash (r10 verdict task 1): same construction with
+    bits 60-63 sourced from md5 hex digit 16 (md5_long carries 60).
+    16-bit bands stay discriminative at corpus sizes where simhash32's
+    8-bit bands saturate and pairs collapse (measured ~50k docs)."""
+    return _simhash(df, id_col, text_col, 64)
 
 
 def simhash_hamming_pairs(
@@ -382,35 +412,42 @@ def simhash_hamming_pairs(
     max_dist: int = 3,
     bands: int = 4,
     max_bucket: int | None = DEFAULT_SIMHASH_MAX_BUCKET,
+    width: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_dist.
 
     The bucket cap is ON by default — an uncapped run is a deliberate
     opt-in (``max_bucket=None``); see the scale note below.
 
-    Pigeonhole blocking: split the 32-bit sketch into ``bands`` byte
-    bands; any pair within hamming distance bands-1 shares at least
-    one identical band, so the self-join is keyed on (band, value) —
-    buckets, never a cartesian product. Exact hamming (bit_count of
-    xor) filters candidates. Requires max_dist < bands.
+    Pigeonhole blocking: split the ``width``-bit sketch into ``bands``
+    equal bands; any pair within hamming distance bands-1 shares at
+    least one identical band, so the self-join is keyed on (band,
+    value) — buckets, never a cartesian product. Exact hamming
+    (bit_count of xor) filters candidates. Requires max_dist < bands.
 
-    At 100 TB: sketches are 4 bytes/doc, the band table is docs*bands
-    tiny rows, and ``max_bucket`` caps hot buckets (boilerplate docs
-    collapsing onto one band value) before the join — a dropped bucket
-    costs recall on near-identical boilerplate only, while an uncapped
-    one costs d^2 join rows (see _cap_bucket_size).
+    At 100 TB: sketches are one bigint/doc, the band table is
+    docs*bands tiny rows, and ``max_bucket`` caps hot buckets
+    (boilerplate docs collapsing onto one band value) before the join
+    — a dropped bucket costs recall on near-identical boilerplate
+    only, while an uncapped one costs d^2 join rows (see
+    _cap_bucket_size). Band selectivity is 2^(width/bands): 8-bit
+    bands (width=32, 4 bands) saturate around 10^4 docs — every
+    bucket overflows the cap and pairs COLLAPSE (measured, SCALE.md
+    r10) — so at scale use width=64 (16-bit bands, ~65k values).
     """
     if max_dist >= bands:
         raise ValueError("pigeonhole blocking needs max_dist < bands")
-    if 32 % bands:
+    if width not in (32, 64):
+        raise ValueError(f"simhash width must be 32 or 64, got {width}")
+    if width % bands:
         raise ValueError(
-            f"bands ({bands}) must divide the 32-bit simhash width "
+            f"bands ({bands}) must divide the {width}-bit simhash width "
             "(trailing bits would silently drop out of every band)"
         )
-    sk = simhash32(df, id_col, text_col).select(
+    sk = _simhash(df, id_col, text_col, width).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
     )
-    width = 32 // bands
+    width = width // bands
     band_vals = F.array(
         *[
             F.struct(
@@ -644,34 +681,22 @@ def dup_clusters(
     # the underlying RDD. A long-lived driver calling dup_clusters
     # repeatedly would accumulate every iteration's blocks, so this
     # function releases its intermediates EXPLICITLY: it diffs the
-    # SparkContext's persistent-RDD registry around each checkpoint
-    # and unpersists the ids it created once the next iteration has
+    # persistent-RDD registry (via jvm_shim — the package's one
+    # documented private-API seam; a no-op under Connect, where
+    # release falls back to session GC) around each checkpoint and
+    # unpersists the ids it created once the next iteration has
     # consumed them. Only the RETURNED labels' blocks survive —
     # caller-owned, freed on driver GC of the result (the module's
     # usual caller-owned-cache contract). The registry diff assumes
     # no concurrent persist from another driver thread mid-call.
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
 
-    def _persistent_ids() -> set[int]:
-        it = sc._jsc.sc().getPersistentRDDs().iterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next()._1())
-        return ids
-
-    def _release(ids: set[int]) -> None:
-        it = sc._jsc.sc().getPersistentRDDs().iterator()
-        while it.hasNext():
-            t = it.next()
-            if t._1() in ids:
-                t._2().unpersist(False)
-
-    seen = _persistent_ids()
+    seen = persistent_rdd_ids(spark)
 
     def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
         nonlocal seen
         out = df.localCheckpoint(eager=True)
-        new = _persistent_ids() - seen
+        new = persistent_rdd_ids(spark) - seen
         seen |= new
         return out, new
 
@@ -709,7 +734,7 @@ def dup_clusters(
         # The new checkpoint is eager, so the previous iteration's
         # blocks are no longer reachable through any returned plan —
         # free them now instead of waiting for driver GC.
-        _release(prev_ids)
+        release_rdds(spark, prev_ids)
         prev_ids = new_ids
         # labels only ever decrease, so the sum is a strict-progress
         # witness: unchanged sum == fixpoint reached.
@@ -723,14 +748,14 @@ def dup_clusters(
         # internally INCONSISTENT (a node can point at an intermediate
         # member, not the min), and keep_canonical over them silently
         # under-deduplicates. Refuse to return them.
-        _release(edges_ids | prev_ids)
+        release_rdds(spark, edges_ids | prev_ids)
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} iterations "
             "(a component's diameter exceeds the budget); raise "
             "max_iters — near-dup graphs this deep usually mean a "
             "pathological boilerplate chain worth inspecting."
         )
-    _release(edges_ids)
+    release_rdds(spark, edges_ids)
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -388,15 +388,25 @@ def ivf_train_codebook(
     def _q6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
+    # NULL vectors are untrainable rows, not data: unfiltered they
+    # poison a seed (float(None)) or land a NULL cell in the update
+    # step (int(None)) — both opaque crashes mid-train (r11 review).
+    # They are dropped here exactly as nonzero_vecs drops them at
+    # serving time. Fewer than k usable vectors cannot seed k cells.
+    vecs = df.where(F.col(vec_col).isNotNull())
     seeds = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"k={k} centroids need k non-null vectors, got {len(seeds)}"
+        )
     codebook = [[float(x) for x in r["v"]] for r in seeds]
     dim = len(codebook[0])
-    base = df.select(F.col(vec_col).alias("__v")).persist()
+    base = vecs.select(F.col(vec_col).alias("__v")).persist()
     view = f"__ivf_train_{id(base)}"
     base.createOrReplaceTempView(view)
 

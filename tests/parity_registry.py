@@ -156,6 +156,65 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document."""
     return dedup.simhash32(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash64_pairs_sql(max_dist: int = 3, bands: int = 4, max_bucket: int = 16) -> str:
+    """64-bit twin of entry._simhash_pairs_sql: bits 0-59 from the _H
+    md5 prefix, bits 60-63 from md5 hex digit 16; the sign bit (63) is
+    assembled as -2^63 (a `* 2^63` term would overflow BIGINT)."""
+    bit_sums = ",\n           ".join(
+        "sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            src="h" if i < 60 else "hx", sh=i if i < 60 else i - 60, i=i
+        )
+        for i in range(64)
+    )
+    terms = [f"(CASE WHEN b{i} >= 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(63)]
+    terms.append("(CASE WHEN b63 >= 0 THEN 1 ELSE 0 END) * (-9223372036854775808)")
+    sketch = " + ".join(terms)
+    bw = 64 // bands
+    mask = (1 << bw) - 1
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id AS id, {b} AS band, (simhash >> {b * bw}) & {mask} AS bv FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hs AS (SELECT doc_id, {_H.format(x='tok')} AS h,
+                  CAST(nullif(concat('0x', substr(md5(tok),16,1)), '0x') AS BIGINT) AS hx
+           FROM toks WHERE tok <> ''),
+    bits AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash FROM bits),
+    banded AS (
+        {band_rows}
+    ),
+    bsz AS (SELECT band, bv FROM banded GROUP BY band, bv HAVING count(1) <= {max_bucket}),
+    capped AS (SELECT id, banded.band, banded.bv FROM banded JOIN bsz USING (band, bv)),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM capped x JOIN capped y USING (band, bv)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON id_a = sa.doc_id
+    JOIN sig sb ON id_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_dist}
+    """
+
+
+@register_parity("dedup_simhash64_pairs", _simhash64_pairs_sql())
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (r10 verdict task 1): 16-bit
+    bands keep producing candidates at corpus sizes where the 32-bit
+    gate's byte bands saturate and pairs collapse (SCALE.md r10)."""
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=3, bands=4, max_bucket=16, width=64,
+    )
 @register_parity(
     "dedup_embedding_cosine",
     """

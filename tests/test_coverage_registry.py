@@ -78,3 +78,23 @@ def test_registries_documented_and_disjoint():
     assert not undocumented, (
         f"driver gates missing from COVERAGE.md: {undocumented}"
     )
+
+
+def test_no_private_jvm_api_outside_shim():
+    """jvm_shim.py is the package's ONE sanctioned private-API seam
+    (r10 verdict task 3): no other source file may touch `_jsc` or
+    `_jvm` — a new use must either go through the shim or justify a
+    second documented seam here."""
+    pkg = os.path.join(REPO, "canal_phoenix_adapter_spark")
+    hits = []
+    for root, _, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py") or f == "jvm_shim.py":
+                continue
+            path = os.path.join(root, f)
+            with open(path) as fh:
+                src = fh.read()
+            for pat in ("_jsc", "_jvm"):
+                if pat in src:
+                    hits.append(f"{path}: {pat}")
+    assert not hits, hits

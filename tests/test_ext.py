@@ -671,6 +671,24 @@ def test_frame_sample_plumbing(spark):
     assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129)}
 
 
+def test_ivf_train_codebook_null_vector_and_short_corpus_guards(spark):
+    """NULL embedding rows poisoned a seed (float(None)) or the update
+    step (int(None) on the NULL cell) with opaque crashes mid-train;
+    they now drop like nonzero_vecs drops them at serving time, and a
+    corpus with fewer than k usable vectors refuses loudly
+    (r11 review)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [4.0, 0.0]), (2, [0.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = similarity.ivf_train_codebook(df, k=2, iters=2)
+    assert len(cb) == 2 and all(len(c) == 2 for c in cb)
+    with pytest.raises(ValueError, match="non-null"):
+        similarity.ivf_train_codebook(df, k=3, iters=1)
+
+
 def test_ivf_trained_codebook_and_ann(spark):
     """Lloyd's k-means on separable data converges to the two blobs,
     assignment is deterministic, and the trained-codebook ANN finds

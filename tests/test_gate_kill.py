@@ -447,6 +447,16 @@ _pkill("dedup_simhash", "operators.dedup", "simhash32",
                      orig(df, id_col, text_col).withColumn(
                          "simhash", F.col("simhash").bitwiseXOR(F.lit(1)))),
        "bit-0 extraction inverted in the sketch")
+_pkill("dedup_simhash64_pairs", "operators.dedup", "_simhash",
+       lambda orig: (lambda df, id_col, text_col, width:
+                     orig(df, id_col, text_col, width).withColumn(
+                         "simhash",
+                         F.when(F.col(id_col) % 2 == 0,
+                                F.col("simhash").bitwiseXOR(F.lit(1 << 60)))
+                         .otherwise(F.col("simhash")))),
+       "hex-digit-16 high-bit path broken: bit 60 flipped on even-id "
+       "sketches — hamming drifts on the 8 mixed-parity pairs (a "
+       "uniform flip would cancel in xor and band values alike)")
 _pkill("dedup_embedding_cosine", "operators.dedup", "embedding_near_dup_pairs",
        *_kw({"threshold": 0.3}, "cosine threshold mis-set (0.4 -> 0.3)")),
 _pkill("sim_topk_cosine", "operators.similarity", "cosine_topk",

@@ -621,14 +621,10 @@ def test_dup_clusters_releases_checkpoint_storage(spark):
     """Iterative localCheckpoint blocks must not accumulate across
     calls (r3 ADVICE): after dup_clusters returns, only the returned
     labels' checkpoint may remain persisted."""
-    sc = spark.sparkContext
+    from canal_phoenix_adapter_spark.jvm_shim import persistent_rdd_ids
 
     def pids():
-        it = sc._jsc.sc().getPersistentRDDs().iterator()
-        out = set()
-        while it.hasNext():
-            out.add(it.next()._1())
-        return out
+        return persistent_rdd_ids(spark)
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],

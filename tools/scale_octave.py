@@ -43,6 +43,33 @@ TOP8 = [
     "dedup_simhash_pairs_capped", "analytics_salted_join",
     "dedup_minhash_lsh_capped",
 ]
+# r10 verdict task 2: the families the r10 octave never measured, plus
+# the two adjudication witnesses (simhash64 vs the measured simhash32
+# saturation; embedding LSH at a production threshold where output
+# stays tiny). SPARK_GRAFT_OCTAVE_QUERIES overrides either set.
+R11_SET = [
+    "text_features", "text_boilerplate_strip", "text_decontaminate_ngram",
+    "analytics_asof_join", "analytics_asof_tiebreak",
+    "sampling_pack_sequences", "mm_extract_features", "cdc_merge_full",
+    "dedup_simhash_pairs_capped", "dedup_simhash64_pairs",
+    "dedup_embedding_cosine_lsh_t09",
+]
+
+
+def _extra_queries():
+    """Octave-only variants with no registry entry of their own."""
+    from canal_phoenix_adapter_spark.operators import dedup
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+
+    return {
+        # production threshold: witnesses the r10 "output-bound, not
+        # plan decay" adjudication of the 8.6x cos>=0.4 reading
+        "dedup_embedding_cosine_lsh_t09": lambda spark, d:
+            dedup.embedding_near_dup_pairs_lsh(
+                load_table(spark, d, "embeddings"), threshold=0.9,
+                num_planes=16, bands=4, dim=64,
+            ).select("id_a", "id_b"),
+    }
 
 
 def synthesize(src: str, out: str) -> None:
@@ -102,8 +129,20 @@ def synthesize(src: str, out: str) -> None:
     pd.concat(lparts, ignore_index=True).to_parquet(f"{out}/lineitem.parquet")
     pd.concat(pparts, ignore_index=True).to_parquet(f"{out}/part.parquet")
 
+    # events: user_id/event_id domains offset per copy (per-key series
+    # and CDC per-key change-chains replicate; ts kept, so the asof
+    # time axis and keep-last ordering are preserved within each copy)
+    ev = pd.read_parquet(f"{src}/events.parquet")
+    eveparts = [ev]
+    for k in range(1, FACTOR):
+        c = ev.copy()
+        c["event_id"] += k * OFF
+        c["user_id"] += k * OFF
+        eveparts.append(c)
+    pd.concat(eveparts, ignore_index=True).to_parquet(f"{out}/events.parquet")
 
-SYNTH_TAG = "v3-signed-permutation"  # bump on ANY synthesize() change
+
+SYNTH_TAG = "v4-events"  # bump on ANY synthesize() change
 
 
 def main() -> None:
@@ -111,13 +150,16 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     out = "/tmp/sf1-octave"
     marker = f"{out}/_synth"
-    # The marker is written LAST and carries the synthesis version: a
-    # partial run, or a dir left by the retired v1/v2 syntheses, is
-    # regenerated instead of silently measured (r10 review). An
+    # The marker is written LAST and carries the synthesis version AND
+    # the source dir: a partial run, a dir left by a retired synthesis,
+    # OR a synth built from a DIFFERENT src (e.g. a smoke run at
+    # sf0.001 — r11 review: the tag-only marker silently measured it
+    # as sf1) is regenerated instead of silently measured. An
     # unreadable marker is just as stale (r10 fix-review).
+    stamp = f"{SYNTH_TAG}:{src}"
     try:
         with open(marker) as f:
-            stale = f.read() != SYNTH_TAG
+            stale = f.read() != stamp
     except OSError:
         stale = True
     if stale:
@@ -127,27 +169,39 @@ def main() -> None:
         t0 = time.time()
         synthesize(src, out)
         with open(marker, "w") as f:
-            f.write(SYNTH_TAG)
-        print(f"synthesized {out} ({SYNTH_TAG}) in {time.time() - t0:.1f}s",
+            f.write(stamp)
+        print(f"synthesized {out} ({stamp}) in {time.time() - t0:.1f}s",
               flush=True)
 
     from canal_phoenix_adapter_spark import entry as E
     from canal_phoenix_adapter_spark.session import get_spark
+    from tests.parity_registry import PARITY_QUERIES
+
+    run_tag = os.environ.get("SPARK_GRAFT_OCTAVE_TAG", "batch-octave")
+    names = [
+        q.strip()
+        for q in os.environ.get(
+            "SPARK_GRAFT_OCTAVE_QUERIES", ",".join(TOP8)
+        ).split(",")
+        if q.strip()
+    ]
+    resolve = {**_extra_queries(), **PARITY_QUERIES, **dict(E.QUERIES)}
+    queries = {q: resolve[q] for q in names}
 
     spark = get_spark("scale-octave")
-    cells: dict[str, dict] = {q: {"sf0.1": [], "sf1": [], "rows": {}} for q in TOP8}
+    cells: dict[str, dict] = {q: {"sf0.1": [], "sf1": [], "rows": {}} for q in names}
     for rep in range(reps):
-        for q in TOP8:
+        for q in names:
             for key, d in (("sf0.1", src), ("sf1", out)):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                n = E.QUERIES[q](spark, d).count()
+                n = queries[q](spark, d).count()
                 cells[q][key].append(round(time.time() - t0, 3))
                 cells[q]["rows"][key] = n
                 print(f"rep{rep} {q} {key}: {cells[q][key][-1]}s rows={n}",
                       flush=True)
     row = {
-        "run": "batch-octave-r10",
+        "run": run_tag,
         "app_id": spark.sparkContext.applicationId,
         "factor": FACTOR, "reps": reps,
         "queries": {
