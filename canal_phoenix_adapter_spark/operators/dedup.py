@@ -564,7 +564,7 @@ def embedding_near_dup_pairs_lsh(
     planes-per-band, so at fixed planes the candidate count (and wall
     time) grows quadratically with the corpus. Hold expected bucket
     SIZE constant instead: add ~2 planes per band per 4x corpus growth
-    (planes ∝ log2(n)). tools/scale_smoke.py measures exactly this —
+    (planes ∝ log2(n)). SCALE_SMOKE.json's stamped rows measure exactly this —
     fixed 16 planes go superlinear by 8x corpus while log-scaled
     planes stay near-linear.
 

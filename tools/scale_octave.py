@@ -69,6 +69,16 @@ def _extra_queries():
                 load_table(spark, d, "embeddings"), threshold=0.9,
                 num_planes=16, bands=4, dim=64,
             ).select("id_a", "id_b"),
+        # the sizing discipline's witness (planes ~ log2(n)): 24 planes
+        # = 6/band, sized for the 20k-vector sf1 synth — the r11 t09
+        # row measured FIXED 16 planes going 12x at 10x input (constant
+        # per-band collision rate => candidates ~ n^2), which is what
+        # this knob exists to hold flat
+        "dedup_embedding_cosine_lsh_t09_p24": lambda spark, d:
+            dedup.embedding_near_dup_pairs_lsh(
+                load_table(spark, d, "embeddings"), threshold=0.9,
+                num_planes=24, bands=4, dim=64,
+            ).select("id_a", "id_b"),
     }
 
 
