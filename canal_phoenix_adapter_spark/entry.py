@@ -1604,6 +1604,7 @@ def _minhash_lsh_incremental_sql(num_perm: int = 16, bands: int = 4) -> str:
     ib AS (SELECT * FROM buckets WHERE id % 2 = 0)
     SELECT DISTINCT nb.id AS new_id, ib.id AS index_id
     FROM nb JOIN ib USING (band, bh)
+    WHERE nb.id <> ib.id
     """
 
 

@@ -963,6 +963,11 @@ def minhash_lsh_incremental(
     return (
         nb.alias("x")
         .join(ib.alias("y"), on=["band", "bh"])
+        # a doc present on BOTH sides under the same id (a re-crawl of
+        # an already-indexed url) is trivially near-dup of itself —
+        # noise downstream cluster/keep logic would then carry
+        # (r11 review)
+        .where(F.col("x.id") != F.col("y.id"))
         .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("index_id"))
         .dropDuplicates()
     )

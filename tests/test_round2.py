@@ -415,6 +415,25 @@ def test_minhash_lsh_incremental_only_cross_pairs(spark):
     assert all(n in (1, 2) and i in (10, 11) for n, i in got)
 
 
+def test_minhash_lsh_incremental_drops_same_id_self_pair(spark):
+    """A doc present on BOTH sides under the same id (re-crawl of an
+    already-indexed url) emitted (id, id) — trivially near-dup of
+    itself, noise downstream cluster logic then carried (r11 review).
+    Cross pairs for the same doc under DIFFERENT ids still emit."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new_df = spark.createDataFrame([(1, base)], "id long, text string")
+    index_df = spark.createDataFrame(
+        [(1, base), (10, base)], "id long, text string"
+    )
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.minhash_lsh_incremental(
+            new_df, index_df, "id", "text", num_perm=16, bands=4, n=4
+        ).collect()
+    }
+    assert got == {(1, 10)}
+
+
 def test_minhash_lsh_incremental_max_bucket_drops_hot_index(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     new_df = spark.createDataFrame([(1, base)], "id long, text string")
