@@ -46,7 +46,11 @@ from canal_phoenix_adapter_spark.streaming.stream import (  # noqa: E402
     apply_cdc_epoch,
 )
 
-BASE_ROWS = 500_000
+# overridable so factor 1 can replicate the BENCH streaming drive's
+# tiny-state configuration (r10 verdict task 7: attribute its epoch
+# floor kernel-vs-streaming-machinery): EPOCH_SMOKE_BASE_ROWS=400
+# EPOCH_SMOKE_BATCH_ROWS=100 -> the drive's 32-bucket, 100-row epochs
+BASE_ROWS = int(os.environ.get("EPOCH_SMOKE_BASE_ROWS", "500000"))
 # overridable for the huge-batch regime experiment (SCALE.md r6): batch
 # rows past the threshold route the pruned merge off the broadcast path
 BATCH_ROWS = int(os.environ.get("EPOCH_SMOKE_BATCH_ROWS", "200"))
