@@ -98,3 +98,22 @@ def test_no_private_jvm_api_outside_shim():
                 if pat in src:
                     hits.append(f"{path}: {pat}")
     assert not hits, hits
+
+
+def test_jvm_shim_degrades_to_noop_without_spark_context():
+    """The Connect guard: a session object with no working
+    sparkContext (Connect raises on the attribute) must yield an empty
+    registry and a silent release no-op — correctness then rides on
+    session GC, the documented fallback."""
+    from canal_phoenix_adapter_spark.jvm_shim import (
+        persistent_rdd_ids,
+        release_rdds,
+    )
+
+    class NoCtx:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("not supported in Spark Connect")
+
+    assert persistent_rdd_ids(NoCtx()) == set()
+    release_rdds(NoCtx(), {1, 2})  # must not raise

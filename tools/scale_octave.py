@@ -1,11 +1,13 @@
 """One measured scale octave for the BATCH surface (r9 verdict #2):
 synthesize a 10x sf0.1 input ("sf1-equivalent": 6M lineitem / 50k
-documents / 20k embeddings) and run the top-8 most expensive batch
-queries at both scales, strictly interleaved in ONE stamped session,
-min-of-N per cell. Output: one JSON line appended to SCALE_SMOKE.json
-(run=batch-octave-r10) with wall mins, wall ratio, and output-row
-counts at both scales (rows context separates data-growth effects
-from engine scaling).
+documents / 20k embeddings / 1M events) and run a query set at both
+scales, strictly interleaved in ONE stamped session, min-of-N per
+cell. Defaults to the TOP8 cost set (the r10 run); select any driver/
+parity/octave-only queries with SPARK_GRAFT_OCTAVE_QUERIES and tag
+the output row with SPARK_GRAFT_OCTAVE_TAG (r11 ran R11_SET). Output:
+one JSON line appended to SCALE_SMOKE.json with wall mins, wall
+ratio, and output-row counts at both scales (rows context separates
+data-growth effects from engine scaling).
 
 Copies are made semantically DISTINCT, not replicated: document
 tokens get a per-copy suffix EXCEPT stopwords and language markers
