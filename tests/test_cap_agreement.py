@@ -101,9 +101,21 @@ def test_ngram_jaccard_cap_subset_and_dropped_hot(spark, corpus):
     _check_dropped_pairs_only_hot(shared, dropped, cap)
 
 
-def test_simhash_cap_subset_and_dropped_hot(spark, corpus):
+@pytest.mark.parametrize("sig_width", [32, 64])
+def test_simhash_cap_subset_and_dropped_hot(spark, corpus, sig_width):
     cap = 10
-    kw = dict(max_dist=3, bands=4)
+    # clone block: cap+2 IDENTICAL docs share every band value at ANY
+    # sketch width, guaranteeing an over-cap bucket even for 16-bit
+    # bands (the shared-boilerplate corpus alone saturates 8-bit band
+    # values but not 16-bit ones — that selectivity gap is exactly why
+    # simhash64 exists; without clones the 64-bit arm was vacuous)
+    clones = spark.createDataFrame(
+        [(200 + i, f"{BOILER} clone block identical payload")
+         for i in range(cap + 2)],
+        "doc_id bigint, text string",
+    )
+    corpus = corpus.unionByName(clones)
+    kw = dict(max_dist=3, bands=4, width=sig_width)
     uncapped = _pairs(
         dedup.simhash_hamming_pairs(
             corpus, "doc_id", "text", max_bucket=None, **kw
@@ -117,10 +129,10 @@ def test_simhash_cap_subset_and_dropped_hot(spark, corpus):
     assert capped <= uncapped
     dropped = uncapped - capped
 
-    sk = dedup.simhash32(corpus, "doc_id", "text").select(
+    sk = dedup._simhash(corpus, "doc_id", "text", sig_width).select(
         F.col("doc_id").alias("id"), F.col("simhash").alias("sig")
     )
-    width = 32 // 4
+    width = sig_width // 4
     banded = sk.select(
         "id",
         F.explode(

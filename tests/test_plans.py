@@ -119,7 +119,8 @@ def test_capped_band_joins_have_no_nested_loop(q):
     key; the bucket-size window must not change the join strategy."""
     from canal_phoenix_adapter_spark.plans.explain import explain_str
 
-    for name in ("dedup_minhash_lsh_capped", "dedup_simhash_pairs_capped"):
+    for name in ("dedup_minhash_lsh_capped", "dedup_simhash_pairs_capped",
+                 "dedup_simhash64_pairs"):
         text = explain_str(q(name))
         assert "BroadcastNestedLoopJoin" not in text, name
         assert "CartesianProduct" not in text, name
