@@ -127,19 +127,26 @@ def synthesize(src: str, out: str) -> None:
         }))
     pd.concat(eparts, ignore_index=True).to_parquet(f"{out}/embeddings.parquet")
 
-    li = pd.read_parquet(f"{src}/lineitem.parquet")
-    part = pd.read_parquet(f"{src}/part.parquet")
-    lparts, pparts = [li], [part]
-    for k in range(1, FACTOR):
-        c = li.copy()
-        c["l_orderkey"] += k * OFF
-        c["l_partkey"] += k * OFF
-        pc = part.copy()
-        pc["p_partkey"] += k * OFF
-        lparts.append(c)
-        pparts.append(pc)
-    pd.concat(lparts, ignore_index=True).to_parquet(f"{out}/lineitem.parquet")
-    pd.concat(pparts, ignore_index=True).to_parquet(f"{out}/part.parquet")
+    # facts scale; dims that stay small at 100 TB (nation/region/
+    # supplier) deliberately do NOT — the realistic shape. orderkey/
+    # custkey offsets are shared across lineitem/orders/customer so
+    # per-key join fan-out stays constant (r11: orders/customer added
+    # for the multi-table TPC-H shapes).
+    keys = {
+        "lineitem": ["l_orderkey", "l_partkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+    }
+    for tbl, cols in keys.items():
+        t = pd.read_parquet(f"{src}/{tbl}.parquet")
+        parts_t = [t]
+        for k in range(1, FACTOR):
+            c = t.copy()
+            for col in cols:
+                c[col] += k * OFF
+            parts_t.append(c)
+        pd.concat(parts_t, ignore_index=True).to_parquet(f"{out}/{tbl}.parquet")
 
     # events: user_id/event_id domains offset per copy (per-key series
     # and CDC per-key change-chains replicate; ts kept, so the asof
@@ -154,7 +161,7 @@ def synthesize(src: str, out: str) -> None:
     pd.concat(eveparts, ignore_index=True).to_parquet(f"{out}/events.parquet")
 
 
-SYNTH_TAG = "v4-events"  # bump on ANY synthesize() change
+SYNTH_TAG = "v5-orders-customer"  # bump on ANY synthesize() change
 
 
 def main() -> None:
