@@ -4,6 +4,7 @@ tables; these pin the edge behavior)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.operators import dedup, multimodal, similarity
@@ -469,6 +470,50 @@ def test_simhash_hamming_pairs_finds_identical_docs(spark):
     pairs = simhash_hamming_pairs(df, "doc_id", "text").collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     assert all(r["hamming"] == 0 for r in pairs if r["id_a"] == 1)
+
+
+@pytest.mark.parametrize("width", [32, 64])
+def test_simhash_uncapped_pairs_equal_bruteforce_hamming(spark, width):
+    """Pigeonhole completeness, witnessed INDEPENDENTLY of the banding
+    code (the DuckDB oracle replicates the engine's band extraction,
+    so a shared banding misconception would pass parity): with the cap
+    off, the operator's pairs must be EXACTLY the all-pairs set with
+    sketch hamming <= max_dist, computed driver-side from the engine's
+    own sketches. max_dist < bands guarantees no recall loss by the
+    pigeonhole principle; a band-extraction bug (wrong shift, mask,
+    trailing bits dropped) breaks that equality."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        base = [rng.choice(words) for _ in range(12)]
+        rows.append((2 * i, " ".join(base)))
+        if i % 3 == 0:  # exact duplicate: hamming 0 at ANY width
+            rows.append((2 * i + 1, " ".join(base)))
+        elif i % 3 == 1:  # one token swapped: small nonzero hamming
+            base[rng.randrange(12)] = rng.choice(words)
+            rows.append((2 * i + 1, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sk = {r["doc_id"]: r["simhash"]
+          for r in dedup._simhash(df, "doc_id", "text", width).collect()}
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sk), 2)
+        if bin((sk[a] ^ sk[b]) & ((1 << width) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_hamming_pairs(
+            df, "doc_id", "text", max_dist=3, bands=4,
+            max_bucket=None, width=width,
+        ).collect()
+    }
+    assert expected, "corpus produced no hamming<=3 pairs (vacuous)"
+    assert got == expected
 
 
 def test_simhash_hamming_pairs_rejects_bad_bands():
