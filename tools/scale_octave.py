@@ -38,7 +38,11 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FACTOR = 10
-OFF = 10_000_000  # per-copy id offset; clears the gates' witness-shard ranges
+# per-copy id offset; clears the gates' witness-shard ranges. A CHAINED
+# octave must widen it past the previous decade's id span (copy k of
+# copy j would otherwise collide with copy j+k): the r11 second-decade
+# run used 100_000_000.
+OFF = int(os.environ.get("SPARK_GRAFT_OCTAVE_OFF", "10000000"))
 TOP8 = [
     "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard_maxdf",
     "sim_ann_ivf_trained", "dedup_clusters", "pipeline_corpus_clean",
@@ -167,7 +171,9 @@ SYNTH_TAG = "v5-orders-customer"  # bump on ANY synthesize() change
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    out = "/tmp/sf1-octave"
+    # overridable so octaves CHAIN: src=/tmp/sf1-octave out=sf10-octave
+    # measures the NEXT decade (r11: simhash64's second decade)
+    out = os.environ.get("SPARK_GRAFT_OCTAVE_OUT", "/tmp/sf1-octave")
     marker = f"{out}/_synth"
     # The marker is written LAST and carries the synthesis version AND
     # the source dir: a partial run, a dir left by a retired synthesis,
