@@ -165,7 +165,8 @@ def contamination_hits(
     probe strings (eval-set n-grams, canary strings). The probe set is
     small by construction (an eval suite), so it broadcasts and the
     scan streams: contains() per (doc, probe) without ever shuffling
-    document text. Returns (doc_id, probe, n_hits aggregated per doc).
+    document text. Returns one row per contaminated doc:
+    (doc_id, n_probes_hit, first_probe).
 
     Substring semantics (`contains`), not token-boundary — the
     conservative choice for decontamination (over-matches rather than
