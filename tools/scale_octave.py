@@ -152,6 +152,13 @@ def synthesize(src: str, out: str) -> None:
             parts_t.append(c)
         pd.concat(parts_t, ignore_index=True).to_parquet(f"{out}/{tbl}.parquet")
 
+    # bounded dims: present verbatim (queries join them; they stay 1x
+    # at any corpus scale by definition — r11 parity-TPC-H batch)
+    import shutil
+
+    for tbl in ("region", "nation", "supplier"):
+        shutil.copyfile(f"{src}/{tbl}.parquet", f"{out}/{tbl}.parquet")
+
     # events: user_id/event_id domains offset per copy (per-key series
     # and CDC per-key change-chains replicate; ts kept, so the asof
     # time axis and keep-last ordering are preserved within each copy)
@@ -165,7 +172,7 @@ def synthesize(src: str, out: str) -> None:
     pd.concat(eveparts, ignore_index=True).to_parquet(f"{out}/events.parquet")
 
 
-SYNTH_TAG = "v5-orders-customer"  # bump on ANY synthesize() change
+SYNTH_TAG = "v6-bounded-dims"  # bump on ANY synthesize() change
 
 
 def main() -> None:
