@@ -305,6 +305,12 @@ def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
         return [DdlIntent("other")]
     intents: list[DdlIntent] = []
     for clause in re.split(r",(?![^()]*\))", s):
+        # COMMENT strings are opaque text: the lazy default scan read
+        # INTO them, so COMMENT 'default 5 used' backfilled 5 on a
+        # column whose DDL declares no default, and COMMENT 'no
+        # default here' captured a garbage token a string column would
+        # backfill verbatim (r11 review). Strip them before matching.
+        clause = re.sub(r"comment\s+'[^']*'", "", clause, flags=re.IGNORECASE)
         m = _ADD_RE.search(clause)
         if m:
             default = m.group(3) if m.group(3) is not None else m.group(4)

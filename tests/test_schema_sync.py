@@ -85,6 +85,22 @@ def test_parse_ddl_add_with_default():
     assert i.dtype == T.IntegerType() and i.default == "1"
 
 
+def test_parse_ddl_default_scan_ignores_comment_strings():
+    """The lazy default scan read INTO COMMENT strings: 'default 5
+    used' backfilled 5 on a no-default column, and 'no default here'
+    captured a garbage token a string column would backfill verbatim
+    (r11 review). A real DEFAULT next to a COMMENT still parses."""
+    cases = {
+        "ALTER TABLE t ADD COLUMN a INT COMMENT 'default 5 used'": None,
+        "ALTER TABLE t ADD COLUMN a INT COMMENT 'no default here'": None,
+        "ALTER TABLE t ADD COLUMN a INT DEFAULT 7 COMMENT 'default x'": "7",
+        "ALTER TABLE t ADD COLUMN a VARCHAR(10) DEFAULT 'hi' COMMENT 'c'": "hi",
+    }
+    for sql, want in cases.items():
+        (i,) = parse_ddl(sql)
+        assert (i.kind, i.column, i.default) == ("add", "a", want), sql
+
+
 def test_parse_ddl_multi_clause_and_drop():
     intents = parse_ddl(
         "alter table t add column a varchar(10), drop column b, add `c` decimal(8,2) default '0.5'"
