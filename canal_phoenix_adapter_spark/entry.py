@@ -600,7 +600,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     pairs = dedup.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        num_perm=16, bands=4, n=4,
+        num_perm=16, bands=4, n=4, max_bucket=None,
     )
     return dedup.dup_clusters(pairs).select(
         F.col("id").alias("doc_id"), F.col("cluster_id")
@@ -678,7 +678,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py)."""
     return dedup.embedding_near_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4,
-        num_planes=16, bands=4, dim=64,
+        num_planes=16, bands=4, dim=64, max_bucket=None,
     ).select("id_a", "id_b")
 
 
@@ -1495,7 +1495,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same IVF coarse cell, exact cosine >= 0.4 within cells. One
     equi-join on cell; a pair can meet at most once (no DISTINCT)."""
     return dedup.semantic_dup_pairs_ivf(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, max_bucket=None
     )
 
 
@@ -1589,7 +1589,7 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = split.where(F.col("split") == "train")
     eval_df = split.where(F.col("split") == "test")
     return dedup.ngram_overlap_contamination(
-        train, eval_df, "doc_id", "text", n=4
+        train, eval_df, "doc_id", "text", n=4, max_df=None
     )
 
 
@@ -1617,7 +1617,8 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     new_df = docs.where(F.col("doc_id") % 2 == 1)
     index_df = docs.where(F.col("doc_id") % 2 == 0)
     return dedup.minhash_lsh_incremental(
-        new_df, index_df, "doc_id", "text", num_perm=16, bands=4, n=4
+        new_df, index_df, "doc_id", "text", num_perm=16, bands=4, n=4,
+        max_bucket=None,
     )
 
 

@@ -38,14 +38,21 @@ from canal_phoenix_adapter_spark.functions.hashing import (
 )
 from canal_phoenix_adapter_spark.jvm_shim import persistent_rdd_ids, release_rdds
 
-# Skew caps default ON: an unbounded LSH/shingle bucket shared by d
-# docs emits d^2 candidate-join rows, and AQE splits partitions, not
-# single hot keys — so the uncapped variants are explicit opt-ins
-# (pass None). Values match the gated scale-path queries; production
-# corpora tune them per-corpus (they bound recall on boilerplate, not
-# on genuinely near-duplicate content).
+# Skew caps default ON across the WHOLE LSH family (r11 verdict task
+# 1): an unbounded bucket of d docs emits d^2 candidate-join rows and
+# AQE splits partitions, not single hot keys — uncapped is the
+# explicit None opt-in. The r11 octave measured the uncapped defaults
+# directly: 12.25x wall for 10x input with ZERO output. Values are
+# per-family: band buckets cap at 16 (>16 docs agreeing on a band
+# value is boilerplate; a drop costs recall on boilerplate only);
+# IVF cells are coarse BY DESIGN (expected size n/k), so 256 is a
+# degenerate-collapse guard; decontamination max_df is 10^4 because
+# dropping a genuinely-contaminated shingle defeats the operator
+# (only >10k-doc corpus boilerplate is cut).
 DEFAULT_SHINGLE_MAX_DF = 5
-DEFAULT_SIMHASH_MAX_BUCKET = 16
+DEFAULT_LSH_MAX_BUCKET = 16  # formerly DEFAULT_SIMHASH_MAX_BUCKET, now family-wide
+DEFAULT_IVF_MAX_CELL = 256
+DEFAULT_CONTAM_MAX_DF = 10_000
 
 
 # The whitespace tokenizer is shared with text.py (one definition;
@@ -265,6 +272,30 @@ def _cap_bucket_size(
     return df.join(bad, on=key_cols, how="left_anti")
 
 
+def _pair_join(
+    buckets: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """The LSH candidate stage shared by the minhash / simhash /
+    embedding band paths: persist the bucket table, drop over-cap
+    buckets, equi-join it to itself on the bucket keys, emit distinct
+    ordered (id_a, id_b) pairs. Persist happens at BOTH stages when
+    capping — pre-cap so the upstream sketch pipeline runs once for
+    the cap's two passes (size-aggregate + anti-join), post-cap so the
+    cap runs once for the self-join's two sides. Bucket rows are a few
+    longs each, safe to spill; cache lifecycle is caller-owned (module
+    docstring)."""
+    buckets = buckets.persist()
+    if max_bucket is not None:
+        buckets = _cap_bucket_size(buckets, keys, max_bucket).persist()
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on=keys)
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
@@ -310,7 +341,7 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     n: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: split the k-wide signature
     into `bands` bands of k/bands rows; docs sharing any band bucket
@@ -318,29 +349,13 @@ def minhash_lsh_candidates(
 
     Scale shape: the only shuffles are (a) the signature groupBy and
     (b) a self-join keyed on (band, band_hash) — buckets, not docs.
-    ``max_bucket`` is the 100 TB skew guard: buckets larger than it
+    ``max_bucket`` is the 100 TB skew guard, ON by default (uncapped
+    is the explicit ``None`` opt-in): buckets larger than it
     (boilerplate bands shared by huge doc populations) are dropped
     before the self-join, bounding every bucket's d^2 candidate cost
     (see _cap_bucket_size)."""
     buckets = minhash_band_buckets(df, id_col, text_col, num_perm, bands, n)
-    # Persist before AND after the cap: pre-cap so the signature
-    # pipeline (shingle explode + groupBy) runs once instead of twice
-    # (the cap reads the bucket table for its size-aggregate and again
-    # for the anti-join), post-cap so the cap itself runs once for the
-    # self-join's two sides. docs x bands tiny rows — safe to spill.
-    # Cache lifecycle: the handles stay referenced by the returned
-    # plan; callers running many dedup passes in one driver should
-    # spark.catalog.clearCache() between passes (see module docstring).
-    buckets = buckets.persist()
-    if max_bucket is not None:
-        buckets = _cap_bucket_size(buckets, ["band", "bh"], max_bucket).persist()
-    return (
-        buckets.alias("x")
-        .join(buckets.alias("y"), on=["band", "bh"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .dropDuplicates()
-    )
+    return _pair_join(buckets, ["band", "bh"], max_bucket)
 
 
 def _simhash(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
@@ -411,7 +426,7 @@ def simhash_hamming_pairs(
     text_col: str,
     max_dist: int = 3,
     bands: int = 4,
-    max_bucket: int | None = DEFAULT_SIMHASH_MAX_BUCKET,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
     width: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_dist.
@@ -465,18 +480,7 @@ def simhash_hamming_pairs(
     banded = sk.select("id", F.explode(band_vals).alias("bb")).select(
         "id", "bb.band", "bb.bv"
     )
-    if max_bucket is not None:
-        # banded recomputes cheaply from the cached sketch (one explode),
-        # but the cap itself (size-aggregate + anti-join) feeds the
-        # self-join's two sides — persist so it runs once.
-        banded = _cap_bucket_size(banded, ["band", "bv"], max_bucket).persist()
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bv"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .dropDuplicates()
-    )
+    cand = _pair_join(banded, ["band", "bv"], max_bucket)
     return (
         cand.join(sk.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
         .join(sk.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
@@ -526,15 +530,30 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_planes_for_corpus(expected_count: int, bands: int = 4) -> int:
+    """Total hyperplane count sized for a corpus of ``expected_count``
+    vectors: planes-per-band = round(log2(n)/2) - 1, floor 2 — the
+    planes ∝ log2(n) discipline with both constants anchored on
+    measured octave rows (SCALE_SMOKE.json): 16 planes (4/band) is the
+    gate config at n=2,000, and 24 planes (6/band) held n=20,000 to
+    1.89x wall where fixed 16 measured 12.25x. Holding planes fixed
+    holds the per-band collision RATE fixed, so candidates grow ~n^2;
+    this formula holds expected bucket SIZE roughly constant instead."""
+    from math import log2
+
+    return bands * max(2, round(log2(max(expected_count, 2)) / 2) - 1)
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 16,
+    num_planes: int | None = None,
     bands: int = 4,
     dim: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
+    expected_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, banded-LSH bucketed — the
     100 TB path.
@@ -562,19 +581,29 @@ def embedding_near_dup_pairs_lsh(
 
     SIZING ``num_planes``: the collision RATE per band is fixed by
     planes-per-band, so at fixed planes the candidate count (and wall
-    time) grows quadratically with the corpus. Hold expected bucket
-    SIZE constant instead: add ~2 planes per band per 4x corpus growth
-    (planes ∝ log2(n)). SCALE_SMOKE.json's stamped rows measure exactly this —
-    fixed 16 planes go superlinear by 8x corpus while log-scaled
-    planes stay near-linear.
-
-    ``dim`` is required pipeline config (see lsh_bucket_expr); no
-    Spark action runs during construction.
+    time) grows quadratically with the corpus — SCALE_SMOKE.json's
+    stamped rows measure exactly this (fixed 16 planes: 12.25x wall
+    for 10x input; log2-scaled: 1.89x). The DEFAULT path therefore
+    derives planes from ``expected_count`` via lsh_planes_for_corpus
+    (planes ∝ log2(n)); a FIXED ``num_planes`` is the explicit opt-in
+    for callers who sized it themselves, and calling with neither is
+    refused — there is no safe universal constant (r11 verdict task 1).
+    ``expected_count`` is caller-provided pipeline config, like
+    ``dim``: no Spark action (count) runs during construction.
     """
     from canal_phoenix_adapter_spark.operators.similarity import lsh_bucket_expr
 
     if dim is None:
         raise ValueError("embedding_near_dup_pairs_lsh requires dim")
+    if num_planes is None:
+        if expected_count is None:
+            raise ValueError(
+                "size the LSH: pass expected_count (planes derived "
+                "via lsh_planes_for_corpus, ∝ log2(n)) or an "
+                "explicitly-sized num_planes — fixed planes at "
+                "growing n is the measured ~n^2 candidate cliff"
+            )
+        num_planes = lsh_planes_for_corpus(expected_count, bands)
     if num_planes % bands:
         raise ValueError("bands must divide num_planes")
     rpb = num_planes // bands
@@ -592,20 +621,10 @@ def embedding_near_dup_pairs_lsh(
     banded = df.select(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    # The self-join reads the band table twice and each read would
-    # recompute num_planes dim-wide sign dot-products per vector;
-    # persist the (id, band, bucket) longs so the bucket math runs
-    # once. The vectors themselves are never in this table.
-    banded = banded.persist()
-    if max_bucket is not None:
-        banded = _cap_bucket_size(banded, ["band", "bucket"], max_bucket).persist()
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # _pair_join persists the (id, band, bucket) longs, so the
+    # num_planes dim-wide sign dot-products per vector run once; the
+    # vectors themselves are never in that table.
+    cand = _pair_join(banded, ["band", "bucket"], max_bucket)
     from canal_phoenix_adapter_spark.operators.similarity import _dot, nonzero_vecs
 
     # norms once per VECTOR in the scan projection, not per candidate
@@ -821,7 +840,7 @@ def semantic_dup_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_IVF_MAX_CELL,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup: route embeddings to IVF coarse
     cells, then exact-cosine check pairs WITHIN each cell (id_a <
@@ -833,7 +852,10 @@ def semantic_dup_pairs_ivf(
     Scale shape: cell assignment is a scan-side projection; the only
     shuffle is the equi-join on cell. ``max_bucket`` caps degenerate
     cells (all-similar corpora collapse into few cells) exactly like
-    the LSH band cap. With a trained codebook (ivf_train_codebook)
+    the LSH band cap, ON by default — but at 256, not 16: IVF cells
+    are coarse by design (expected size n/k), so the default is a
+    degenerate-collapse guard bounding a cell at 64k comparisons, not
+    a boilerplate filter. With a trained codebook (ivf_train_codebook)
     the same plan runs with cell := nearest centroid."""
     from canal_phoenix_adapter_spark.operators.similarity import (
         _dot,
@@ -871,7 +893,7 @@ def ngram_overlap_contamination(
     id_col: str,
     text_col: str,
     n: int = 8,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_CONTAM_MAX_DF,
 ) -> DataFrame:
     """N-gram-overlap decontamination (the GPT-3 appendix method, done
     set-oriented): flag every TRAIN document sharing at least one
@@ -890,9 +912,12 @@ def ngram_overlap_contamination(
     present in more than that many train docs BEFORE the join — the
     usual hot-bucket guard (a stopword-run shared with one eval doc
     would otherwise fan out to every train doc containing it, which
-    is exactly the d-fold blowup _cap_bucket_size exists for; for
-    decontamination max_df trades a little recall on boilerplate
-    n-grams for a bounded join)."""
+    is exactly the d-fold blowup _cap_bucket_size exists for). The
+    default is deliberately HIGH (10^4, not the Jaccard family's
+    5/16): dropping a genuinely-contaminated shingle loses the
+    operator's whole point, and an eval answer copied into even
+    thousands of train docs stays under it — only corpus boilerplate
+    (stopword runs in >10k docs) is cut."""
     t = (
         raw_shingles(train, id_col, text_col, n)
         .select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))
@@ -926,7 +951,7 @@ def minhash_lsh_incremental(
     num_perm: int = 16,
     bands: int = 4,
     n: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
     index_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: candidate pairs between NEW documents and

@@ -113,7 +113,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: 16 perms, 4 bands x 4 rows."""
     return dedup.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        num_perm=16, bands=4, n=4,
+        num_perm=16, bands=4, n=4, max_bucket=None,
     )
 def _keep_canonical_sql(num_perm: int = 16, bands: int = 4) -> str:
     """Corpus minus non-representative cluster members: the recursive
@@ -146,7 +146,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually ships: the deduplicated corpus."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_perm=16, bands=4, n=4
+        docs, "doc_id", "text", num_perm=16, bands=4, n=4, max_bucket=None
     )
     clusters = dedup.dup_clusters(pairs)
     return dedup.keep_canonical(docs, clusters, "doc_id").select(

@@ -896,3 +896,77 @@ def test_cosine_topk_negative_ids_are_candidates(spark):
     # id < num_queries admits -3 as a QUERY too; the regression under
     # test is the candidate side: -3 must show up as a neighbor
     assert -3 in {r["neighbor_id"] for r in got if r["query_id"] == 0}
+
+
+def test_lsh_family_defaults_are_scale_safe():
+    """r11 verdict task 1 governance pin: every LSH-family operator
+    defaults its bucket/df cap ON (uncapped is the explicit None
+    opt-in), and the embedding LSH defaults to DERIVED planes
+    (num_planes=None) rather than a fixed constant — the r11 octave
+    measured the old defaults (fixed 16 planes, no cap) at 12.25x
+    wall for 10x input with zero output."""
+    import inspect
+
+    def dflt(fn, name):
+        return inspect.signature(fn).parameters[name].default
+
+    assert dflt(dedup.minhash_lsh_candidates, "max_bucket") == dedup.DEFAULT_LSH_MAX_BUCKET
+    assert dflt(dedup.minhash_lsh_incremental, "max_bucket") == dedup.DEFAULT_LSH_MAX_BUCKET
+    assert dflt(dedup.simhash_hamming_pairs, "max_bucket") == dedup.DEFAULT_LSH_MAX_BUCKET
+    assert dflt(dedup.embedding_near_dup_pairs_lsh, "max_bucket") == dedup.DEFAULT_LSH_MAX_BUCKET
+    assert dflt(dedup.embedding_near_dup_pairs_lsh, "num_planes") is None
+    assert dflt(dedup.semantic_dup_pairs_ivf, "max_bucket") == dedup.DEFAULT_IVF_MAX_CELL
+    assert dflt(dedup.ngram_overlap_contamination, "max_df") == dedup.DEFAULT_CONTAM_MAX_DF
+    assert dflt(dedup.ngram_jaccard_pairs, "max_df") == dedup.DEFAULT_SHINGLE_MAX_DF
+    for v in (dedup.DEFAULT_LSH_MAX_BUCKET, dedup.DEFAULT_IVF_MAX_CELL,
+              dedup.DEFAULT_CONTAM_MAX_DF, dedup.DEFAULT_SHINGLE_MAX_DF):
+        assert isinstance(v, int) and v > 0
+
+
+def test_lsh_planes_for_corpus_anchors_and_monotone():
+    """The derivation reproduces BOTH measured octave anchors: 16
+    planes (4/band) at the n=2,000 gate corpus, 24 planes (6/band) at
+    the n=20,000 synth where fixed-16 measured 12.25x and 24 held
+    1.89x — and grows monotonically ~log2(n) with a floor of 2/band."""
+    assert dedup.lsh_planes_for_corpus(2_000) == 16
+    assert dedup.lsh_planes_for_corpus(20_000) == 24
+    assert dedup.lsh_planes_for_corpus(200_000) == 32
+    assert dedup.lsh_planes_for_corpus(1) == 8  # floor: 2 planes/band
+    prev = 0
+    for exp in range(1, 40):
+        p = dedup.lsh_planes_for_corpus(2 ** exp)
+        assert p >= prev and p % 4 == 0
+        prev = p
+    assert dedup.lsh_planes_for_corpus(2 ** 16, bands=8) % 8 == 0
+
+
+def test_embedding_lsh_refuses_unsized_and_derives_planes(spark):
+    with pytest.raises(ValueError, match="expected_count"):
+        dedup.embedding_near_dup_pairs_lsh(None, dim=4)
+    # expected_count path == the equivalent explicitly-sized call
+    df = vec_df(spark)
+    derived = dedup.embedding_near_dup_pairs_lsh(
+        df, threshold=0.95, dim=4, expected_count=4
+    )
+    explicit = dedup.embedding_near_dup_pairs_lsh(
+        df, threshold=0.95, dim=4,
+        num_planes=dedup.lsh_planes_for_corpus(4),
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_minhash_default_cap_drops_boilerplate_bucket(spark):
+    """20 identical docs overflow the default band cap (16): the
+    capped-by-default path emits nothing, the explicit None opt-in
+    emits all 190 pairs — the default is the safe one."""
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated in every single doc") for i in range(20)],
+        "doc_id long, text string",
+    )
+    kw = dict(num_perm=8, bands=4, n=2)
+    assert dedup.minhash_lsh_candidates(df, "doc_id", "text", **kw).count() == 0
+    assert dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", max_bucket=None, **kw
+    ).count() == 190

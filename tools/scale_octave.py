@@ -73,7 +73,7 @@ def _extra_queries():
         "dedup_embedding_cosine_lsh_t09": lambda spark, d:
             dedup.embedding_near_dup_pairs_lsh(
                 load_table(spark, d, "embeddings"), threshold=0.9,
-                num_planes=16, bands=4, dim=64,
+                num_planes=16, bands=4, dim=64, max_bucket=None,
             ).select("id_a", "id_b"),
         # the sizing discipline's witness (planes ~ log2(n)): 24 planes
         # = 6/band, sized for the 20k-vector sf1 synth — the r11 t09
@@ -83,7 +83,17 @@ def _extra_queries():
         "dedup_embedding_cosine_lsh_t09_p24": lambda spark, d:
             dedup.embedding_near_dup_pairs_lsh(
                 load_table(spark, d, "embeddings"), threshold=0.9,
-                num_planes=24, bands=4, dim=64,
+                num_planes=24, bands=4, dim=64, max_bucket=None,
+            ).select("id_a", "id_b"),
+        # r11 verdict task 1's done-criterion row: the DEFAULT call
+        # path (planes derived from expected_count, band cap ON) —
+        # expected_count is the table's actual row count, which a
+        # production caller knows as pipeline config
+        "dedup_embedding_cosine_lsh_t09_default": lambda spark, d:
+            dedup.embedding_near_dup_pairs_lsh(
+                load_table(spark, d, "embeddings"), threshold=0.9,
+                dim=64,
+                expected_count=load_table(spark, d, "embeddings").count(),
             ).select("id_a", "id_b"),
     }
 
