@@ -1612,7 +1612,12 @@ def _minhash_lsh_incremental_sql(num_perm: int = 16, bands: int = 4) -> str:
 def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: odd-id docs (the 'new batch') against
     even-id docs (the 'existing index') — the daily-ingest dedup shape
-    where only new-vs-index candidates are generated."""
+    where only new-vs-index candidates are generated. NOTE: the
+    odd/even split means no id can appear on both sides, so the
+    oracle's `nb.id <> ib.id` is vacuously true and this gate
+    structurally CANNOT witness the operator's same-id self-pair drop
+    — that behavior is pinned solely by
+    test_minhash_lsh_incremental_drops_same_id_self_pair (r12 ADVICE)."""
     docs = load_table(spark, sf_dir, "documents")
     new_df = docs.where(F.col("doc_id") % 2 == 1)
     index_df = docs.where(F.col("doc_id") % 2 == 0)

@@ -138,12 +138,19 @@ def ppm_decode(data: bytes) -> list[float]:
             f"only 1-byte-per-sample PPM supported (maxval {maxval})"
         )
     # The spec demands exactly ONE whitespace byte between maxval and
-    # the raster. Anything else ('#', a stray byte) — and '\r', which
-    # in practice means a CRLF writer whose extra '\n' would shift the
-    # raster slice and silently corrupt every channel mean (r10
-    # ADVICE, verified) — fails loudly per the decoder's contract.
+    # the raster. Anything else ('#', a stray byte) fails loudly per
+    # the decoder's contract. '\r' counts as whitespace in the netpbm
+    # spec, so a LONE CR is accepted (r12 ADVICE) — but CR followed by
+    # LF means a CRLF writer whose extra '\n' would shift the raster
+    # slice and silently corrupt every channel mean (r10 ADVICE,
+    # verified), so that pair still refuses. A genuine raster whose
+    # FIRST byte happens to be 0x0A after a lone-CR separator is
+    # byte-indistinguishable from a CRLF writer; refusing loudly is
+    # the safe side of that ambiguity (silent corruption is not).
     sep = data[i : i + 1]
-    if sep not in (b" ", b"\t", b"\n", b"\x0b", b"\f"):
+    if sep == b"\r" and data[i + 1 : i + 2] == b"\n":
+        raise ValueError("CRLF separator after PPM maxval would shift the raster")
+    if sep not in (b" ", b"\t", b"\n", b"\x0b", b"\f", b"\r"):
         raise ValueError(f"malformed separator {sep!r} after PPM maxval")
     px = data[i + 1 : i + 1 + 3 * w * h]
     if len(px) != 3 * w * h:

@@ -276,10 +276,47 @@ _ADD_RE = re.compile(
     r"add\s+(?:column\s+)?(?!" + _DDL_NON_COLUMN + r"\b)"
     r"`?(\w+)`?\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
     r"(?:\s+unsigned)?)"
-    r"(?:.*?default\s+(?:'([^']*)'|(\S+)))?",
+    r"(?:.*?default\s+(?:'((?:[^']|'')*)'|(\S+)))?",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_RE = re.compile(r"drop\s+(?:column\s+)?`?(\w+)`?", re.IGNORECASE)
+# SQL-escaped quotes ('') stay inside the string: comment 'it''s five'
+# must strip WHOLE, or the fragment ''s five'' re-exposes the very
+# garbage-default scan the strip exists to prevent (r12 ADVICE).
+_COMMENT_RE = re.compile(r"comment\s+'(?:[^']|'')*'", re.IGNORECASE)
+
+
+def _split_clauses(s: str) -> list[str]:
+    """Split an ALTER body on top-level commas only: commas inside
+    parens (DECIMAL(10,2)) or inside SQL string literals (COMMENT
+    'a, b' / DEFAULT 'x,y'; '' is an escaped quote) are part of the
+    clause — the old regex split fractured both string cases mid-
+    literal (r12 ADVICE + review)."""
+    out, cur, depth, instr = [], [], 0, False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if instr:
+            if c == "'" and s[i + 1 : i + 2] == "'":
+                cur.append("''")
+                i += 2
+                continue
+            instr = c != "'"
+        elif c == "'":
+            instr = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
 
 
 @dataclass
@@ -304,16 +341,20 @@ def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
     if not re.match(r"^alter\s+table\b", s, re.IGNORECASE):
         return [DdlIntent("other")]
     intents: list[DdlIntent] = []
-    for clause in re.split(r",(?![^()]*\))", s):
+    for clause in _split_clauses(s):
         # COMMENT strings are opaque text: the lazy default scan read
         # INTO them, so COMMENT 'default 5 used' backfilled 5 on a
         # column whose DDL declares no default, and COMMENT 'no
         # default here' captured a garbage token a string column would
         # backfill verbatim (r11 review). Strip them before matching.
-        clause = re.sub(r"comment\s+'[^']*'", "", clause, flags=re.IGNORECASE)
+        clause = _COMMENT_RE.sub("", clause)
         m = _ADD_RE.search(clause)
         if m:
-            default = m.group(3) if m.group(3) is not None else m.group(4)
+            if m.group(3) is not None:
+                # quoted literal: undo the SQL '' quote escape
+                default: object | None = m.group(3).replace("''", "'")
+            else:
+                default = m.group(4)
             if isinstance(default, str) and default.upper() in ("NULL",):
                 default = None
             intents.append(

@@ -388,12 +388,13 @@ def ivf_train_codebook(
     def _q6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-    # NULL vectors are untrainable rows, not data: unfiltered they
-    # poison a seed (float(None)) or land a NULL cell in the update
-    # step (int(None)) — both opaque crashes mid-train (r11 review).
-    # They are dropped here exactly as nonzero_vecs drops them at
-    # serving time. Fewer than k usable vectors cannot seed k cells.
-    vecs = df.where(F.col(vec_col).isNotNull())
+    # Untrainable rows drop under the SAME predicate nonzero_vecs
+    # applies at serving time (norm > 0): NULL vectors poison a seed
+    # (float(None)), element-NULL / empty arrays crash seeding the
+    # same way, and zero-norm vectors have no direction to train on —
+    # an isNotNull-only guard (r11) passed the latter three (r12
+    # ADVICE). Fewer than k usable vectors cannot seed k cells.
+    vecs = df.where(_norm(F.col(vec_col)) > 0)
     seeds = (
         vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
@@ -402,7 +403,7 @@ def ivf_train_codebook(
     )
     if len(seeds) < k:
         raise ValueError(
-            f"k={k} centroids need k non-null vectors, got {len(seeds)}"
+            f"k={k} centroids need k positive-norm vectors, got {len(seeds)}"
         )
     codebook = [[float(x) for x in r["v"]] for r in seeds]
     dim = len(codebook[0])

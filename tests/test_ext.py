@@ -407,6 +407,14 @@ def test_ppm_decode_pure():
         multimodal.ppm_decode(b"P6 2 2 255\r\n" + bytes(12))
     with pytest.raises(ValueError, match="separator"):
         multimodal.ppm_decode(b"P6 2 2 255# c\n" + bytes(12))
+    # but a LONE CR is spec-valid netpbm whitespace (r12 ADVICE): the
+    # raster starts immediately after it, nothing shifts. (A raster
+    # whose FIRST byte is 0x0A after a CR is byte-indistinguishable
+    # from a CRLF writer and still refuses — documented tradeoff.)
+    lone_cr = b"P6 2 1 255\r" + bytes([11, 20, 30, 40, 50, 60])
+    assert multimodal.ppm_decode(lone_cr) == [1.0, 2.0, 25.5, 35.0, 45.0]
+    with pytest.raises(ValueError, match="separator"):
+        multimodal.ppm_decode(b"P6 2 1 255\r" + bytes([10, 20, 30, 40, 50, 60]))
 
 
 def test_decode_image_default_codec_end_to_end(spark):
@@ -716,21 +724,22 @@ def test_frame_sample_plumbing(spark):
     assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129)}
 
 
-def test_ivf_train_codebook_null_vector_and_short_corpus_guards(spark):
-    """NULL embedding rows poisoned a seed (float(None)) or the update
-    step (int(None) on the NULL cell) with opaque crashes mid-train;
-    they now drop like nonzero_vecs drops them at serving time, and a
-    corpus with fewer than k usable vectors refuses loudly
-    (r11 review)."""
+def test_ivf_train_codebook_unusable_vector_and_short_corpus_guards(spark):
+    """Untrainable rows drop under nonzero_vecs' own predicate
+    (norm > 0): NULL vectors poisoned a seed (float(None)), and an
+    isNotNull-only guard still crashed on element-NULL / empty arrays
+    and trained on direction-less zero vectors (r11 review + r12
+    ADVICE). A corpus with fewer than k usable vectors refuses loudly."""
     import pytest
 
     df = spark.createDataFrame(
-        [(0, None), (1, [4.0, 0.0]), (2, [0.0, 4.0])],
+        [(0, None), (1, [4.0, 0.0]), (2, [0.0, 4.0]),
+         (3, [0.0, 0.0]), (4, []), (5, [None, 1.0])],
         "vec_id long, embedding array<double>",
     )
     cb = similarity.ivf_train_codebook(df, k=2, iters=2)
     assert len(cb) == 2 and all(len(c) == 2 for c in cb)
-    with pytest.raises(ValueError, match="non-null"):
+    with pytest.raises(ValueError, match="positive-norm"):
         similarity.ivf_train_codebook(df, k=3, iters=1)
 
 

@@ -207,3 +207,39 @@ def test_align_to_schema_malformed_value_nulls_not_crashes(spark):
     out = merge_cdc(state, changes, ["id"], check_truncate=False)
     got = {r["id"]: r["value"] for r in out.collect()}
     assert got == {1: None, 2: 7, 3: 5}
+
+
+def test_parse_ddl_escaped_quotes_in_comment_strip_whole_string():
+    """SQL-escaped quotes ('') are INSIDE the string: the old strip
+    stopped at the first quote of COMMENT 'it''s default 5', leaving
+    's default 5' behind for the lazy default scan to capture — the
+    same garbage-backfill class the r11 strip fixed (r12 ADVICE)."""
+    cases = {
+        "ALTER TABLE t ADD COLUMN a INT COMMENT 'it''s default 5'": None,
+        "ALTER TABLE t ADD COLUMN a INT COMMENT 'she said ''default 9'''": None,
+        "ALTER TABLE t ADD COLUMN a INT DEFAULT 3 COMMENT 'it''s fine'": "3",
+    }
+    for sql, want in cases.items():
+        (i,) = parse_ddl(sql)
+        assert (i.kind, i.column, i.default) == ("add", "a", want), sql
+
+
+def test_parse_ddl_commas_inside_strings_do_not_split_clauses():
+    """Commas inside COMMENT/DEFAULT string literals are not clause
+    boundaries: the old regex split fractured the statement mid-
+    literal, so the clause after the comma ('b here') parsed as
+    garbage and real intents were lost (r12 ADVICE + review)."""
+    intents = parse_ddl(
+        "ALTER TABLE t ADD COLUMN a INT COMMENT 'one, two, three', "
+        "ADD COLUMN b VARCHAR(20) DEFAULT 'x,y' COMMENT 'c, d', "
+        "DROP COLUMN old"
+    )
+    got = [(i.kind, i.column, i.default) for i in intents]
+    assert got == [
+        ("add", "a", None), ("add", "b", "x,y"), ("drop", "old", None)
+    ]
+
+
+def test_parse_ddl_quoted_default_unescapes_doubled_quotes():
+    (i,) = parse_ddl("ALTER TABLE t ADD COLUMN a VARCHAR(20) DEFAULT 'it''s'")
+    assert i.default == "it's"
