@@ -979,3 +979,91 @@ def test_minhash_default_cap_drops_boilerplate_bucket(spark):
     assert dedup.minhash_lsh_candidates(
         df, "doc_id", "text", max_bucket=None, **kw
     ).count() == 190
+
+
+def _minhash_witness_corpus(spark):
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        base = [rng.choice(words) for _ in range(12)]
+        rows.append((2 * i, " ".join(base)))
+        if i % 3 == 0:  # exact duplicate: every band collides
+            rows.append((2 * i + 1, " ".join(base)))
+        elif i % 3 == 1:  # one token swapped: some bands collide
+            b2 = list(base)
+            b2[rng.randrange(12)] = rng.choice(words)
+            rows.append((2 * i + 1, " ".join(b2)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _band_share(sig, rpb, bands):
+    def share(a, b):
+        return sum(
+            sig[a][k * rpb:(k + 1) * rpb] == sig[b][k * rpb:(k + 1) * rpb]
+            for k in range(bands)
+        )
+    return share
+
+
+def test_minhash_uncapped_candidates_equal_bruteforce_band_equality(spark):
+    """Banding completeness witnessed INDEPENDENTLY of the banding
+    code (r11 verdict task 3): the DuckDB oracle replicates the
+    engine's band-hash construction, so a shared banding misconception
+    (wrong slice offsets, dropped trailing perms, a non-injective band
+    hash) would pass parity. With the cap off, the operator's pairs
+    must EXACTLY equal the all-pairs set sharing >= 1 band of RAW
+    signature values, computed driver-side from the engine's own
+    minhash_signatures — no md5 band hash, no explode, no join."""
+    import itertools
+
+    df = _minhash_witness_corpus(spark)
+    sig = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+        for r in dedup.minhash_signatures(df, "doc_id", "text", num_perm=8, n=2).collect()
+    }
+    share = _band_share(sig, rpb=2, bands=4)
+    expected = {
+        (a, b) for a, b in itertools.combinations(sorted(sig), 2) if share(a, b)
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            df, "doc_id", "text", num_perm=8, bands=4, n=2, max_bucket=None
+        ).collect()
+    }
+    assert expected, "corpus produced no band-sharing pairs (vacuous)"
+    # the witness must exercise PARTIAL collisions, not just exact dups
+    assert any(0 < share(a, b) < 4 for a, b in expected), "all-or-nothing corpus"
+    assert got == expected
+
+
+def test_minhash_incremental_equals_cross_subset_of_bruteforce(spark):
+    """The incremental variant must be exactly the new-vs-index CROSS
+    subset of the same driver-side band-equality relation — same
+    oracle-independence rationale, plus: no new-vs-new or
+    index-vs-index pair may leak through."""
+    df = _minhash_witness_corpus(spark)
+    new_df = df.where(F.col("doc_id") % 2 == 1)
+    index_df = df.where(F.col("doc_id") % 2 == 0)
+    sig = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+        for r in dedup.minhash_signatures(df, "doc_id", "text", num_perm=8, n=2).collect()
+    }
+    share = _band_share(sig, rpb=2, bands=4)
+    expected = {
+        (a, b)
+        for a in sig if a % 2 == 1
+        for b in sig if b % 2 == 0 and share(a, b)
+    }
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.minhash_lsh_incremental(
+            new_df, index_df, "doc_id", "text",
+            num_perm=8, bands=4, n=2, max_bucket=None,
+        ).collect()
+    }
+    assert expected, "corpus produced no cross pairs (vacuous)"
+    assert got == expected
