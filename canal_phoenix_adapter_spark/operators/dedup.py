@@ -367,8 +367,12 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame
     explode: a single shuffle keyed on the doc id; the sketch is a
     plain bigint usable for bucketing / hamming candidate search.
     width=32 reads bits 0-31 of md5_long; width=64 extends to bits
-    0-59 of md5_long plus md5 hex digit 16 for bits 60-63 — both
-    constructions port verbatim to the DuckDB oracle via substr(md5).
+    0-59 of md5_long plus md5 hex digit 16 for bits 60-63; width=128
+    (r11 verdict task 4 — the step past simhash64's ~10^6-10^7-doc
+    band saturation) adds a second long from md5 hex digits 17-31
+    (bits 64-123) and digit 32 (bits 124-127), returned as
+    (simhash_lo, simhash_hi) — every construction ports verbatim to
+    the DuckDB oracle via substr(md5).
 
     The hash is hoisted into the projection feeding the aggregate
     (same treatment as minhash_signatures): each bit-sum then reads a
@@ -380,17 +384,26 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).where(F.col("tok") != "")
-    cols = [md5_long(F.col("tok")).alias("h")]
-    if width == 64:
-        cols.append(
-            F.conv(F.substring(F.md5(F.col("tok").cast("string")), 16, 1), 16, 10)
-            .cast("long")
-            .alias("hx")
+
+    def _hexbits(start: int, length: int, name: str) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("tok").cast("string")), start, length), 16, 10
+            ).cast("long").alias(name)
         )
+
+    cols = [md5_long(F.col("tok")).alias("h")]
+    if width >= 64:
+        cols.append(_hexbits(16, 1, "hx"))
+    if width == 128:
+        cols.append(_hexbits(17, 15, "h2"))
+        cols.append(_hexbits(32, 1, "hx2"))
     hashed = toks.select(F.col(id_col), *cols)
 
     def _src(i: int) -> Column:
-        return F.shiftright(F.col("hx"), i - 60) if i >= 60 else F.shiftright(F.col("h"), i)
+        for name, lo, hi in (("h", 0, 60), ("hx", 60, 64), ("h2", 64, 124), ("hx2", 124, 128)):
+            if i < hi:
+                return F.shiftright(F.col(name), i - lo)
 
     aggs = [
         F.sum(
@@ -399,11 +412,21 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame
         for i in range(width)
     ]
     sums = hashed.groupBy(id_col).agg(*aggs)
-    sketch = F.lit(0).cast("long")
-    for i in range(width):
-        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        sketch = sketch.bitwiseOR(F.shiftleft(bit, i))
-    return sums.select(F.col(id_col), sketch.alias("simhash"))
+
+    def _assemble(start: int, nbits: int) -> Column:
+        sketch = F.lit(0).cast("long")
+        for i in range(nbits):
+            bit = F.when(F.col(f"b{start + i}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            sketch = sketch.bitwiseOR(F.shiftleft(bit, i))
+        return sketch
+
+    if width == 128:
+        return sums.select(
+            F.col(id_col),
+            _assemble(0, 64).alias("simhash_lo"),
+            _assemble(64, 64).alias("simhash_hi"),
+        )
+    return sums.select(F.col(id_col), _assemble(0, width).alias("simhash"))
 
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -418,6 +441,15 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     16-bit bands stay discriminative at corpus sizes where simhash32's
     8-bit bands saturate and pairs collapse (measured ~50k docs)."""
     return _simhash(df, id_col, text_col, 64)
+
+
+def simhash128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """128-bit SimHash as (simhash_lo, simhash_hi) bigints (r11
+    verdict task 4): simhash64's own 4x16-bit bands saturate around
+    10^6-10^7 docs (measured trajectory at 500k: mean bucket 7.6/16 of
+    cap); 128 bits give 4x32-bit bands (~4x10^9 values) — band space
+    for corpora past 10^9 docs before the same saturation returns."""
+    return _simhash(df, id_col, text_col, 128)
 
 
 def simhash_hamming_pairs(
@@ -448,45 +480,74 @@ def simhash_hamming_pairs(
     _cap_bucket_size). Band selectivity is 2^(width/bands): 8-bit
     bands (width=32, 4 bands) saturate around 10^4 docs — every
     bucket overflows the cap and pairs COLLAPSE (measured, SCALE.md
-    r10) — so at scale use width=64 (16-bit bands, ~65k values).
+    r10) — so at scale use width=64 (16-bit bands, ~65k values), and
+    past simhash64's own ~10^6-10^7-doc saturation, width=128
+    (32-bit bands at bands=4 — see simhash128).
     """
     if max_dist >= bands:
         raise ValueError("pigeonhole blocking needs max_dist < bands")
-    if width not in (32, 64):
-        raise ValueError(f"simhash width must be 32 or 64, got {width}")
-    if width % bands:
+    if width not in (32, 64, 128):
+        raise ValueError(f"simhash width must be 32, 64 or 128, got {width}")
+    if width % bands or width // bands > 64:
         raise ValueError(
             f"bands ({bands}) must divide the {width}-bit simhash width "
-            "(trailing bits would silently drop out of every band)"
+            "into <=64-bit bands (trailing bits would silently drop "
+            "out of every band)"
         )
-    sk = _simhash(df, id_col, text_col, width).select(
-        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
-    )
-    width = width // bands
+    # The sketch is carried as (lo, hi) longs uniformly: hi is the
+    # constant 0 below width 128, so the banding and hamming exprs are
+    # width-agnostic and the hi terms constant-fold out of the plan.
+    sk = _simhash(df, id_col, text_col, width)
+    if width == 128:
+        sk = sk.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash_lo").alias("lo"), F.col("simhash_hi").alias("hi"),
+        )
+    else:
+        sk = sk.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("lo"), F.lit(0).cast("long").alias("hi"),
+        )
+    bw = width // bands
+    # A band never straddles the lo/hi longs: width's divisors are
+    # powers of two, so [b*bw, (b+1)*bw) lies wholly in one of them.
+    # bw=64 (width=128, bands=2) masks with -1 (all ones): (1<<64)-1
+    # overflows the long literal.
     band_vals = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("sig"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftright(F.col("lo" if b * bw < 64 else "hi"), (b * bw) % 64)
+                .bitwiseAND(F.lit((1 << bw) - 1 if bw < 64 else -1))
                 .alias("bv"),
             )
             for b in range(bands)
         ]
     )
     # sk feeds the band explode AND both hamming-check sides: persist
-    # so the token explode + 32-way aggregation runs once.
+    # so the token explode + width-way aggregation runs once.
     sk = sk.persist()
     banded = sk.select("id", F.explode(band_vals).alias("bb")).select(
         "id", "bb.band", "bb.bv"
     )
     cand = _pair_join(banded, ["band", "bv"], max_bucket)
     return (
-        cand.join(sk.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
-        .join(sk.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
+        cand.join(
+            sk.select(F.col("id").alias("id_a"),
+                      F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")),
+            on="id_a",
+        )
+        .join(
+            sk.select(F.col("id").alias("id_b"),
+                      F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")),
+            on="id_b",
+        )
         .withColumn(
             "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+            (
+                F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+                + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            ).cast("int"),
         )
         .where(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")

@@ -929,3 +929,80 @@ def analytics_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shape: HAVING subquery as aggregate + filter + join."""
     return analytics.q18_large_volume_customers(spark, sf_dir, threshold=300)
+
+
+def _simhash128_pairs_sql(max_dist: int = 3, bands: int = 4, max_bucket: int = 16) -> str:
+    """128-bit twin of _simhash64_pairs_sql (r11 verdict task 4): a
+    second sketch long from md5 hex digits 17-31 (bits 64-123) and
+    digit 32 (bits 124-127); 32-bit bands — two per long, never
+    straddling; hamming = bit_count(lo xor) + bit_count(hi xor)."""
+    srcs = (("h", 0, 60), ("hx", 60, 64), ("h2", 64, 124), ("hx2", 124, 128))
+
+    def bit_sums(lo: int, hi: int) -> str:
+        out = []
+        for i in range(lo, hi):
+            src, base, _ = next(s for s in srcs if i < s[2])
+            out.append(
+                f"sum(CASE WHEN ({src} >> {i - base}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+            )
+        return ",\n           ".join(out)
+
+    def sketch(lo: int) -> str:
+        terms = [
+            f"(CASE WHEN b{lo + i} >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+            for i in range(63)
+        ]
+        terms.append(
+            f"(CASE WHEN b{lo + 63} >= 0 THEN 1 ELSE 0 END) * (-9223372036854775808)"
+        )
+        return " + ".join(terms)
+
+    bw = 128 // bands
+    mask = (1 << bw) - 1
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id AS id, {b} AS band, "
+        f"({'lo' if b * bw < 64 else 'hi'} >> {(b * bw) % 64}) & {mask} AS bv FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hs AS (SELECT doc_id, {_H.format(x='tok')} AS h,
+                  CAST(nullif(concat('0x', substr(md5(tok),16,1)), '0x') AS BIGINT) AS hx,
+                  CAST(nullif(concat('0x', substr(md5(tok),17,15)), '0x') AS BIGINT) AS h2,
+                  CAST(nullif(concat('0x', substr(md5(tok),32,1)), '0x') AS BIGINT) AS hx2
+           FROM toks WHERE tok <> ''),
+    bits AS (SELECT doc_id, {bit_sums(0, 64)},
+           {bit_sums(64, 128)} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sketch(0)} AS BIGINT) AS lo,
+                   CAST({sketch(64)} AS BIGINT) AS hi FROM bits),
+    banded AS (
+        {band_rows}
+    ),
+    bsz AS (SELECT band, bv FROM banded GROUP BY band, bv HAVING count(1) <= {max_bucket}),
+    capped AS (SELECT id, banded.band, banded.bv FROM banded JOIN bsz USING (band, bv)),
+    cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM capped x JOIN capped y USING (band, bv)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON id_a = sa.doc_id
+    JOIN sig sb ON id_b = sb.doc_id
+    WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= {max_dist}
+    """
+
+
+@register_parity("dedup_simhash128_pairs", _simhash128_pairs_sql())
+def dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs (r11 verdict task 4): 4x32-bit
+    bands (~4x10^9 values/band) — the encoded step past simhash64's
+    measured ~10^6-10^7-doc band saturation (SCALE.md r11)."""
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=3, bands=4, max_bucket=16, width=128,
+    )

@@ -480,7 +480,7 @@ def test_simhash_hamming_pairs_finds_identical_docs(spark):
     assert all(r["hamming"] == 0 for r in pairs if r["id_a"] == 1)
 
 
-@pytest.mark.parametrize("width", [32, 64])
+@pytest.mark.parametrize("width", [32, 64, 128])
 def test_simhash_uncapped_pairs_equal_bruteforce_hamming(spark, width):
     """Pigeonhole completeness, witnessed INDEPENDENTLY of the banding
     code (the DuckDB oracle replicates the engine's band extraction,
@@ -506,8 +506,12 @@ def test_simhash_uncapped_pairs_equal_bruteforce_hamming(spark, width):
             rows.append((2 * i + 1, " ".join(base)))
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
 
-    sk = {r["doc_id"]: r["simhash"]
-          for r in dedup._simhash(df, "doc_id", "text", width).collect()}
+    raw = dedup._simhash(df, "doc_id", "text", width).collect()
+    if width == 128:  # two-long sketch: recombine driver-side
+        sk = {r["doc_id"]: (r["simhash_lo"] & (2 ** 64 - 1))
+              | ((r["simhash_hi"] & (2 ** 64 - 1)) << 64) for r in raw}
+    else:
+        sk = {r["doc_id"]: r["simhash"] for r in raw}
     expected = {
         (a, b)
         for a, b in itertools.combinations(sorted(sk), 2)

@@ -457,6 +457,15 @@ _pkill("dedup_simhash64_pairs", "operators.dedup", "_simhash",
        "hex-digit-16 high-bit path broken: bit 60 flipped on even-id "
        "sketches — hamming drifts on the 8 mixed-parity pairs (a "
        "uniform flip would cancel in xor and band values alike)")
+_pkill("dedup_simhash128_pairs", "operators.dedup", "_simhash",
+       lambda orig: (lambda df, id_col, text_col, width:
+                     orig(df, id_col, text_col, width).withColumn(
+                         "simhash_hi",
+                         F.when(F.col(id_col) % 2 == 0,
+                                F.col("simhash_hi").bitwiseXOR(F.lit(1 << 60)))
+                         .otherwise(F.col("simhash_hi")))),
+       "hex-digit-32 high-bit path broken: bit 124 flipped on even-id "
+       "sketches — same mixed-parity drift rationale as the 64-bit kill")
 _pkill("dedup_embedding_cosine", "operators.dedup", "embedding_near_dup_pairs",
        *_kw({"threshold": 0.3}, "cosine threshold mis-set (0.4 -> 0.3)")),
 _pkill("sim_topk_cosine", "operators.similarity", "cosine_topk",
