@@ -538,15 +538,20 @@ def _band_bucket_sql(num_perm: int, bands: int) -> str:
     return "\n        UNION ALL\n        ".join(band_selects)
 
 
+def _cap_cte_sql(table: str, keys: str, max_bucket: int | None) -> tuple[str, str]:
+    """Shared bucket-cap oracle fragment (engine twin: dedup.
+    _cap_bucket_size): returns (extra CTEs, source-table name)."""
+    if max_bucket is None:
+        return "", table
+    cols = ", ".join(f"{table}.{k.strip()}" for k in keys.split(","))
+    return (f""",
+    bsz AS (SELECT {keys} FROM {table} GROUP BY {keys} HAVING count(1) <= {max_bucket}),
+    capped AS (SELECT id, {cols} FROM {table} JOIN bsz USING ({keys}))""", "capped")
+
+
 def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, max_bucket: int | None = None) -> str:
     buckets = _band_bucket_sql(num_perm, bands)
-    cap_ctes = ""
-    src = "buckets"
-    if max_bucket is not None:
-        cap_ctes = f""",
-    bsz AS (SELECT band, bh FROM buckets GROUP BY band, bh HAVING count(1) <= {max_bucket}),
-    capped AS (SELECT id, buckets.band, buckets.bh FROM buckets JOIN bsz USING (band, bh))"""
-        src = "capped"
+    cap_ctes, src = _cap_cte_sql("buckets", "band, bh", max_bucket)
     return f"""
     WITH sig AS ({_minhash_sql(num_perm)}),
     buckets AS (
@@ -1072,13 +1077,7 @@ def _simhash_pairs_sql(max_dist: int = 3, bands: int = 4, max_bucket: int | None
         f"SELECT doc_id AS id, {b} AS band, (simhash >> {b * width}) & {mask} AS bv FROM sig"
         for b in range(bands)
     )
-    cap_ctes = ""
-    src = "banded"
-    if max_bucket is not None:
-        cap_ctes = f""",
-    bsz AS (SELECT band, bv FROM banded GROUP BY band, bv HAVING count(1) <= {max_bucket}),
-    capped AS (SELECT id, banded.band, banded.bv FROM banded JOIN bsz USING (band, bv))"""
-        src = "capped"
+    cap_ctes, src = _cap_cte_sql("banded", "band, bv", max_bucket)
     return f"""
     WITH sig AS ({_simhash_sql()}),
     banded AS (
@@ -1612,12 +1611,11 @@ def _minhash_lsh_incremental_sql(num_perm: int = 16, bands: int = 4) -> str:
 def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: odd-id docs (the 'new batch') against
     even-id docs (the 'existing index') — the daily-ingest dedup shape
-    where only new-vs-index candidates are generated. NOTE: the
-    odd/even split means no id can appear on both sides, so the
-    oracle's `nb.id <> ib.id` is vacuously true and this gate
-    structurally CANNOT witness the operator's same-id self-pair drop
-    — that behavior is pinned solely by
-    test_minhash_lsh_incremental_drops_same_id_self_pair (r12 ADVICE)."""
+    where only new-vs-index candidates are generated. NOTE: odd/even
+    means no id appears on both sides, so the oracle's `nb.id <>
+    ib.id` is vacuous — the same-id self-pair drop is witnessed solely
+    by test_minhash_lsh_incremental_drops_same_id_self_pair (r12
+    ADVICE), not by this gate."""
     docs = load_table(spark, sf_dir, "documents")
     new_df = docs.where(F.col("doc_id") % 2 == 1)
     index_df = docs.where(F.col("doc_id") % 2 == 0)

@@ -41,16 +41,15 @@ from canal_phoenix_adapter_spark.jvm_shim import persistent_rdd_ids, release_rdd
 # Skew caps default ON across the WHOLE LSH family (r11 verdict task
 # 1): an unbounded bucket of d docs emits d^2 candidate-join rows and
 # AQE splits partitions, not single hot keys — uncapped is the
-# explicit None opt-in. The r11 octave measured the uncapped defaults
-# directly: 12.25x wall for 10x input with ZERO output. Values are
-# per-family: band buckets cap at 16 (>16 docs agreeing on a band
-# value is boilerplate; a drop costs recall on boilerplate only);
-# IVF cells are coarse BY DESIGN (expected size n/k), so 256 is a
-# degenerate-collapse guard; decontamination max_df is 10^4 because
-# dropping a genuinely-contaminated shingle defeats the operator
-# (only >10k-doc corpus boilerplate is cut).
+# explicit None opt-in (the r11 octave measured the uncapped defaults
+# at 12.25x wall for 10x input with ZERO output). Per-family values:
+# band buckets cap at 16 (>16 docs on one band value is boilerplate;
+# a drop costs recall on boilerplate only); IVF cells are coarse BY
+# DESIGN (expected size n/k), so 256 is a degenerate-collapse guard;
+# decontamination max_df is 10^4 — dropping a genuinely-contaminated
+# shingle defeats the operator, only corpus boilerplate is cut.
 DEFAULT_SHINGLE_MAX_DF = 5
-DEFAULT_LSH_MAX_BUCKET = 16  # formerly DEFAULT_SIMHASH_MAX_BUCKET, now family-wide
+DEFAULT_LSH_MAX_BUCKET = 16  # ex-DEFAULT_SIMHASH_MAX_BUCKET; family-wide
 DEFAULT_IVF_MAX_CELL = 256
 DEFAULT_CONTAM_MAX_DF = 10_000
 
@@ -277,13 +276,11 @@ def _pair_join(
 ) -> DataFrame:
     """The LSH candidate stage shared by the minhash / simhash /
     embedding band paths: persist the bucket table, drop over-cap
-    buckets, equi-join it to itself on the bucket keys, emit distinct
-    ordered (id_a, id_b) pairs. Persist happens at BOTH stages when
-    capping — pre-cap so the upstream sketch pipeline runs once for
-    the cap's two passes (size-aggregate + anti-join), post-cap so the
-    cap runs once for the self-join's two sides. Bucket rows are a few
-    longs each, safe to spill; cache lifecycle is caller-owned (module
-    docstring)."""
+    buckets, equi-join it to itself on the keys, emit distinct ordered
+    (id_a, id_b) pairs. Persist at BOTH stages when capping — pre-cap
+    so the upstream sketch pipeline runs once for the cap's two passes,
+    post-cap so the cap runs once for the self-join's two sides. A few
+    longs per row, spillable; cache is caller-owned (module docstring)."""
     buckets = buckets.persist()
     if max_bucket is not None:
         buckets = _cap_bucket_size(buckets, keys, max_bucket).persist()
@@ -444,11 +441,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash128(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """128-bit SimHash as (simhash_lo, simhash_hi) bigints (r11
-    verdict task 4): simhash64's own 4x16-bit bands saturate around
-    10^6-10^7 docs (measured trajectory at 500k: mean bucket 7.6/16 of
-    cap); 128 bits give 4x32-bit bands (~4x10^9 values) — band space
-    for corpora past 10^9 docs before the same saturation returns."""
+    """128-bit SimHash as (simhash_lo, simhash_hi) bigints (r11 task
+    4): simhash64's 4x16-bit bands saturate ~10^6-10^7 docs (measured,
+    SCALE.md r11); 4x32-bit bands (~4x10^9 values) carry past 10^9."""
     return _simhash(df, id_col, text_col, 128)
 
 
@@ -592,14 +587,12 @@ def embedding_near_dup_pairs(
 
 
 def lsh_planes_for_corpus(expected_count: int, bands: int = 4) -> int:
-    """Total hyperplane count sized for a corpus of ``expected_count``
-    vectors: planes-per-band = round(log2(n)/2) - 1, floor 2 — the
-    planes ∝ log2(n) discipline with both constants anchored on
-    measured octave rows (SCALE_SMOKE.json): 16 planes (4/band) is the
-    gate config at n=2,000, and 24 planes (6/band) held n=20,000 to
-    1.89x wall where fixed 16 measured 12.25x. Holding planes fixed
-    holds the per-band collision RATE fixed, so candidates grow ~n^2;
-    this formula holds expected bucket SIZE roughly constant instead."""
+    """Planes-per-band = round(log2(n)/2) - 1, floor 2: the planes ∝
+    log2(n) discipline, both constants anchored on measured octave rows
+    (SCALE_SMOKE.json — 16 planes fit the n=2,000 gate corpus; 24 held
+    n=20,000 to 1.89x wall where fixed 16 measured 12.25x). Fixed
+    planes fix the per-band collision RATE, so candidates grow ~n^2;
+    this holds expected bucket SIZE roughly constant instead."""
     from math import log2
 
     return bands * max(2, round(log2(max(expected_count, 2)) / 2) - 1)
@@ -640,17 +633,13 @@ def embedding_near_dup_pairs_lsh(
     ``max_bucket`` additionally drops degenerate hot buckets (e.g. a
     mass of near-zero vectors agreeing on every sign) before the join.
 
-    SIZING ``num_planes``: the collision RATE per band is fixed by
-    planes-per-band, so at fixed planes the candidate count (and wall
-    time) grows quadratically with the corpus — SCALE_SMOKE.json's
-    stamped rows measure exactly this (fixed 16 planes: 12.25x wall
-    for 10x input; log2-scaled: 1.89x). The DEFAULT path therefore
-    derives planes from ``expected_count`` via lsh_planes_for_corpus
-    (planes ∝ log2(n)); a FIXED ``num_planes`` is the explicit opt-in
-    for callers who sized it themselves, and calling with neither is
-    refused — there is no safe universal constant (r11 verdict task 1).
-    ``expected_count`` is caller-provided pipeline config, like
-    ``dim``: no Spark action (count) runs during construction.
+    SIZING: the DEFAULT path derives planes from ``expected_count``
+    via lsh_planes_for_corpus (planes ∝ log2(n)); a FIXED
+    ``num_planes`` is the explicit opt-in for callers who sized it
+    themselves, and calling with neither is refused — there is no safe
+    universal constant (r11 verdict task 1; the measured cost of fixed
+    planes is in lsh_planes_for_corpus's docstring). ``expected_count``
+    is caller config, like ``dim``: no Spark action at construction.
     """
     from canal_phoenix_adapter_spark.operators.similarity import lsh_bucket_expr
 
@@ -660,9 +649,8 @@ def embedding_near_dup_pairs_lsh(
         if expected_count is None:
             raise ValueError(
                 "size the LSH: pass expected_count (planes derived "
-                "via lsh_planes_for_corpus, ∝ log2(n)) or an "
-                "explicitly-sized num_planes — fixed planes at "
-                "growing n is the measured ~n^2 candidate cliff"
+                "∝ log2(n)) or an explicitly-sized num_planes — fixed "
+                "planes at growing n is the measured ~n^2 cliff"
             )
         num_planes = lsh_planes_for_corpus(expected_count, bands)
     if num_planes % bands:
@@ -682,9 +670,8 @@ def embedding_near_dup_pairs_lsh(
     banded = df.select(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    # _pair_join persists the (id, band, bucket) longs, so the
-    # num_planes dim-wide sign dot-products per vector run once; the
-    # vectors themselves are never in that table.
+    # _pair_join persists the (id, band, bucket) longs, so the dim-wide
+    # sign dot-products run once; vectors are never in that table.
     cand = _pair_join(banded, ["band", "bucket"], max_bucket)
     from canal_phoenix_adapter_spark.operators.similarity import _dot, nonzero_vecs
 

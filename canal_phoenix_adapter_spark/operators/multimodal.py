@@ -137,16 +137,12 @@ def ppm_decode(data: bytes) -> list[float]:
         raise NotImplementedError(
             f"only 1-byte-per-sample PPM supported (maxval {maxval})"
         )
-    # The spec demands exactly ONE whitespace byte between maxval and
-    # the raster. Anything else ('#', a stray byte) fails loudly per
-    # the decoder's contract. '\r' counts as whitespace in the netpbm
-    # spec, so a LONE CR is accepted (r12 ADVICE) — but CR followed by
-    # LF means a CRLF writer whose extra '\n' would shift the raster
-    # slice and silently corrupt every channel mean (r10 ADVICE,
-    # verified), so that pair still refuses. A genuine raster whose
-    # FIRST byte happens to be 0x0A after a lone-CR separator is
-    # byte-indistinguishable from a CRLF writer; refusing loudly is
-    # the safe side of that ambiguity (silent corruption is not).
+    # Exactly ONE whitespace byte follows maxval; anything else ('#',
+    # a stray byte) refuses loudly. A lone CR is spec-valid whitespace
+    # (r12 ADVICE), but CR+LF means a CRLF writer whose extra '\n'
+    # would shift the raster and silently corrupt every channel mean
+    # (r10 ADVICE, verified) — refused, even though a genuine raster
+    # whose first byte is 0x0A is indistinguishable: loud beats silent.
     sep = data[i : i + 1]
     if sep == b"\r" and data[i + 1 : i + 2] == b"\n":
         raise ValueError("CRLF separator after PPM maxval would shift the raster")

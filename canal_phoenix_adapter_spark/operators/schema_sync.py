@@ -198,8 +198,9 @@ def align_to_schema(
 # --------------------------------------------------------------------------
 # DDL-intent parsing (C12). The reference runs Druid's full MySQL parser
 # (PhoenixSyncService.java:183-190) but only ever acts on ALTER TABLE
-# ADD/DROP/MODIFY COLUMN and TRUNCATE (:256-362). We parse exactly that
-# restricted grammar with regexes — not a general SQL parser.
+# ADD/DROP COLUMN items and TRUNCATE (:280-299 — no MODIFY branch
+# exists). We parse exactly that restricted grammar with regexes — not
+# a general SQL parser.
 # --------------------------------------------------------------------------
 
 def apply_ddl(
@@ -272,14 +273,19 @@ _DDL_NON_COLUMN = (
     r"(?:index|key|primary|unique|constraint|fulltext|spatial|foreign"
     r"|check|partition)"
 )
+# Backticked names take EVERYTHING to the closing backtick (MySQL
+# allows spaces/keywords inside): `?(\w+)`? stopped at the space,
+# parsing `my col` INT as a WRONG column "my" col (r12 review).
+_IDENT = r"(?:`([^`]+)`|(\w+))"
 _ADD_RE = re.compile(
     r"add\s+(?:column\s+)?(?!" + _DDL_NON_COLUMN + r"\b)"
-    r"`?(\w+)`?\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    + _IDENT
+    + r"\s+([a-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
     r"(?:\s+unsigned)?)"
     r"(?:.*?default\s+(?:'((?:[^']|'')*)'|(\S+)))?",
     re.IGNORECASE | re.DOTALL,
 )
-_DROP_RE = re.compile(r"drop\s+(?:column\s+)?`?(\w+)`?", re.IGNORECASE)
+_DROP_RE = re.compile(r"drop\s+(?:column\s+)?" + _IDENT, re.IGNORECASE)
 # SQL-escaped quotes ('') stay inside the string: comment 'it''s five'
 # must strip WHOLE, or the fragment ''s five'' re-exposes the very
 # garbage-default scan the strip exists to prevent (r12 ADVICE).
@@ -350,16 +356,16 @@ def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
         clause = _COMMENT_RE.sub("", clause)
         m = _ADD_RE.search(clause)
         if m:
-            if m.group(3) is not None:
+            if m.group(4) is not None:
                 # quoted literal: undo the SQL '' quote escape
-                default: object | None = m.group(3).replace("''", "'")
+                default: object | None = m.group(4).replace("''", "'")
             else:
-                default = m.group(4)
+                default = m.group(5)
             if isinstance(default, str) and default.upper() in ("NULL",):
                 default = None
             intents.append(
-                DdlIntent("add", m.group(1), mysql_type_to_spark(m.group(2), limit=limit),
-                          default)
+                DdlIntent("add", m.group(1) or m.group(2),
+                          mysql_type_to_spark(m.group(3), limit=limit), default)
             )
             continue
         m = _DROP_RE.search(clause)
@@ -369,5 +375,5 @@ def parse_ddl(sql: str, limit: bool = True) -> list[DdlIntent]:
         if m and not re.search(
             r"drop\s+" + _DDL_NON_COLUMN + r"\b", clause, re.IGNORECASE
         ):
-            intents.append(DdlIntent("drop", m.group(1)))
+            intents.append(DdlIntent("drop", m.group(1) or m.group(2)))
     return intents or [DdlIntent("other")]

@@ -2,7 +2,13 @@
 filters pushed into the scan, columns pruned, dimensions broadcast,
 no accidental extra shuffles. Used by tests/test_plans.py so a perf
 regression (e.g. a filter that stops reaching parquet) fails CI, not
-just the benchmark."""
+just the benchmark.
+
+Lived at canal_phoenix_adapter_spark/plans/explain.py through r11;
+relocated to tests/ in r12 because its ONLY consumers are the plan-
+shape tests (grep: zero package-side references) — test infrastructure
+belongs with the tests (same rule as the parity registry's oracle
+SQL)."""
 
 from __future__ import annotations
 

@@ -692,7 +692,7 @@ def test_salted_join_spreads_hot_key(spark):
         default_salt,
         salted_join,
     )
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     fact = spark.createDataFrame(
         [(0, i, f"v{i}") for i in range(64)], "k long, seq long, payload string"

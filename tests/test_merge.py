@@ -205,7 +205,7 @@ def test_merge_cdc_nobroadcast_agrees_with_broadcast(spark):
     nested loop."""
     import re
 
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     state = spark.createDataFrame(
         [(k, f"s{k}", float(k)) for k in range(40)],

@@ -1,4 +1,4 @@
-"""Physical-plan shape tests (plans/explain.py helpers).
+"""Physical-plan shape tests (plan_helpers.py).
 
 Correctness tests prove the numbers match; these prove the PLAN is the
 one we designed for 100 TB: filters reach the parquet scan, scans read
@@ -15,7 +15,7 @@ import re
 import pytest
 
 from canal_phoenix_adapter_spark import entry as E
-from canal_phoenix_adapter_spark.plans.explain import (
+from plan_helpers import (
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
@@ -90,7 +90,7 @@ def test_cdc_merge_is_aggregate_not_window(q):
     per map partition crosses the exchange). A Window node here means
     the rewrite regressed to shuffling the full timeline and sorting
     every row per key."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     for name in ("cdc_merge_full", "cdc_keep_last"):
         df = q(name)
@@ -107,7 +107,7 @@ def test_embedding_lsh_near_dup_has_no_nested_loop(q):
     """The scale path for embedding near-dup must be an EQUI-join on
     the LSH bucket: a BroadcastNestedLoopJoin / CartesianProduct here
     means the O(n^2) all-pairs plan regressed back in."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     text = explain_str(q("dedup_embedding_cosine_lsh"))
     assert "BroadcastNestedLoopJoin" not in text, "nested-loop join in LSH near-dup"
@@ -117,7 +117,7 @@ def test_embedding_lsh_near_dup_has_no_nested_loop(q):
 def test_capped_band_joins_have_no_nested_loop(q):
     """Capped LSH/SimHash candidate joins stay equi-joins on the band
     key; the bucket-size window must not change the join strategy."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     for name in ("dedup_minhash_lsh_capped", "dedup_simhash_pairs_capped",
                  "dedup_simhash64_pairs"):
@@ -131,7 +131,7 @@ def test_shingle_generator_has_no_split_in_lambda(q):
     array: `slice(split(text), i, n)` inside the transform lambda
     re-runs the regex split once per element — O(tokens^2) per doc
     (measured ~6x wall on dedup_ngram_jaccard_maxdf at sf0.1)."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     for name in ("dedup_ngram_jaccard_maxdf", "dedup_minhash_signatures",
                  "text_repetition"):
@@ -161,7 +161,7 @@ def test_semijoin_and_antijoin_shapes(q):
     """Q4 must plan a LeftSemi (EXISTS short-circuit, not inner+
     distinct); Q22 a LeftAnti with its date filter pushed to the
     orders scan."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     assert "LeftSemi" in explain_str(q("analytics_q4_semijoin"))
     anti = q("analytics_q22_antijoin")
@@ -172,7 +172,7 @@ def test_semijoin_and_antijoin_shapes(q):
 def test_rollup_is_single_expand_not_union(q):
     """ROLLUP must plan one Expand over one scan — a 3-way union of
     separate aggregations would read the fact table three times."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     import re
 
@@ -208,7 +208,7 @@ def test_no_nested_loop_or_row_udf_anywhere(q):
 
     Covers BOTH registries: the driver gates and the r4-folded parity
     queries (folding must not drop the audit)."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     from tests.parity_registry import PARITY_QUERIES
 
@@ -235,7 +235,7 @@ def test_q19_disjunction_pushes_partial_conjuncts(q):
     and not an unpushed post-join filter."""
     import re
 
-    from canal_phoenix_adapter_spark.plans.explain import explain_str, pushed_filters
+    from plan_helpers import explain_str, pushed_filters
 
     df = q("analytics_q19_disjunctive")
     text = explain_str(df)
@@ -250,7 +250,7 @@ def test_asof_gate_query_single_wide_shuffle(q):
     """The as-of join gate query: no join operator at all (union-merge
     window), no nested loop; the only wide exchanges are the key
     hash-partition for the window and the click pre-collapse."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     text = explain_str(q("analytics_asof_join"))
     assert "BroadcastNestedLoopJoin" not in text
@@ -262,7 +262,7 @@ def test_scan_side_ops_have_zero_shuffles(q):
     """PII scrub and stratified sampling are scan-side projections/
     filters: ANY exchange beyond the load path's size-gated fan-out
     means the op stopped pipelining with the parquet read."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
     import re
 
     for name in ("text_pii_scrub", "sampling_stratified"):
@@ -308,7 +308,7 @@ def test_chunk_crossdoc_keyed_exchanges_never_carry_text(q):
     (the load path's size-gated round-robin fan-out legitimately ships
     the scanned row once; hash partitioning is where a text leak would
     multiply cost at scale)."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
     import re
 
     text = explain_str(q("dedup_chunk_crossdoc"))
@@ -335,7 +335,7 @@ def test_cc_iteration_plan_one_join_one_aggregate(spark):
     import re
 
     from canal_phoenix_adapter_spark.operators.dedup import _cc_iterate
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (1, 1), (2, 2)], "src long, dst long"
@@ -362,7 +362,7 @@ def test_ivf_train_iteration_plan_one_scan_one_aggregate(spark):
     from canal_phoenix_adapter_spark.operators.similarity import (
         _train_iteration_sql,
     )
-    from canal_phoenix_adapter_spark.plans.explain import explain_str, shuffle_count
+    from plan_helpers import explain_str, shuffle_count
 
     df = spark.createDataFrame(
         [(float(i), float(i + 1)) for i in range(4)], "a double, b double"
@@ -387,7 +387,7 @@ def test_pipeline_corpus_clean_single_join(q):
     and docs.lang) for columns the pipeline already held."""
     import re
 
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
 
     # simple mode: one line per physical operator (formatted mode lists
     # every operator twice — tree + details — and names logical nodes)
@@ -407,7 +407,7 @@ def test_pushed_filters_survives_in_and_multiarg_filters(spark, sf_dir, tmp_path
     A filter listed after the In must still be visible."""
     from pyspark.sql import functions as F
 
-    from canal_phoenix_adapter_spark.plans.explain import pushed_filters
+    from plan_helpers import pushed_filters
     from canal_phoenix_adapter_spark.sources.tables import load_table
 
     df = (
@@ -428,7 +428,7 @@ def test_read_schema_columns_survives_nested_types(spark, tmp_path):
     pruning assertion would false-PASS (r9 review, reproduced)."""
     from pyspark.sql import functions as F
 
-    from canal_phoenix_adapter_spark.plans.explain import read_schema_columns
+    from plan_helpers import read_schema_columns
 
     path = str(tmp_path / "nested")
     spark.range(10).select(
@@ -444,7 +444,7 @@ def test_read_schema_columns_survives_nested_types(spark, tmp_path):
 
 
 def test_split_top_level_respects_bracket_depth():
-    from canal_phoenix_adapter_spark.plans.explain import _split_top_level
+    from plan_helpers import _split_top_level
 
     assert _split_top_level(
         "IsNotNull(x), In(id, [1,2,3]), GreaterThan(x,0)", "([", ")]"
@@ -466,7 +466,7 @@ def test_balanced_regions_raises_on_truncated_plan_text():
     assertion then 'verifies' (r9 fix-review, reproduced)."""
     import pytest as _pytest
 
-    from canal_phoenix_adapter_spark.plans.explain import _balanced_regions
+    from plan_helpers import _balanced_regions
 
     with _pytest.raises(ValueError, match="truncated"):
         _balanced_regions(

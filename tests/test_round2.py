@@ -81,7 +81,7 @@ def test_asof_suffixes_colliding_columns(spark):
 def test_asof_single_shuffle_no_nested_loop(spark):
     left, right = _asof_fixture(spark)
     out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
-    from canal_phoenix_adapter_spark.plans.explain import explain_str, shuffle_count
+    from plan_helpers import explain_str, shuffle_count
 
     text = explain_str(out)
     assert "BroadcastNestedLoopJoin" not in text

@@ -243,3 +243,40 @@ def test_parse_ddl_commas_inside_strings_do_not_split_clauses():
 def test_parse_ddl_quoted_default_unescapes_doubled_quotes():
     (i,) = parse_ddl("ALTER TABLE t ADD COLUMN a VARCHAR(20) DEFAULT 'it''s'")
     assert i.default == "it's"
+
+
+def test_parse_ddl_backticked_identifiers_with_spaces_and_keywords():
+    """Backticked names take everything to the closing backtick: the
+    old `?(\\w+)`? stopped at a space, so ADD COLUMN `my col` INT
+    parsed as a silently WRONG string column named 'my' with dtype
+    'col' (r12 review). Keyword names stay accepted; bare ADD
+    INDEX/DROP KEY stay rejected."""
+    intents = parse_ddl(
+        "ALTER TABLE t ADD COLUMN `my col` INT DEFAULT 5, "
+        "DROP COLUMN `their col`, ADD COLUMN `index` INT, "
+        "ADD INDEX idx (c), DROP KEY k2"
+    )
+    got = [(i.kind, i.column, i.default) for i in intents]
+    assert got == [
+        ("add", "my col", "5"), ("drop", "their col", None),
+        ("add", "index", None),
+    ]
+    assert intents[0].dtype == T.IntegerType()
+
+
+def test_load_config_dir_loads_yaml_registry(tmp_path):
+    """load_config_dir mirrors the adapter's conf-directory registry
+    (PhoenixAdapter.java:84-102); it had no test (r12 review)."""
+    import pytest
+
+    yaml = pytest.importorskip("yaml")  # noqa: F841 - gate like load_config
+    from canal_phoenix_adapter_spark.config import load_config_dir
+
+    (tmp_path / "a.yml").write_text(
+        "destination: canal\ndbMapping:\n  database: d\n  table: t\n"
+        "  targetTable: x.t\n", encoding="utf-8"
+    )
+    (tmp_path / "skip.txt").write_text("not yaml", encoding="utf-8")
+    out = load_config_dir(str(tmp_path))
+    assert list(out) == ["a.yml"]
+    assert out["a.yml"].db_mapping.table == "t"

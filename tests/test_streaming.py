@@ -804,7 +804,7 @@ def test_kafka_value_projection_contract(spark, tmp_path):
     typed_changes — and must land the identical typed rows and schema
     as the file-source path over the same envelopes; both projections
     stay exchange-free (pure scan-side pipelines)."""
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
     from canal_phoenix_adapter_spark.sources.events import DML_ENVELOPE
     from canal_phoenix_adapter_spark.streaming.stream import typed_changes
 
@@ -1781,7 +1781,7 @@ def test_pruned_nobroadcast_merge_plan_reads_only_touched(spark, tmp_path):
     touched bucket dirs — so what shuffles is O(touched-bucket state +
     batch), never O(state), even in the huge-batch regime."""
     from canal_phoenix_adapter_spark.operators.merge import merge_cdc
-    from canal_phoenix_adapter_spark.plans.explain import explain_str
+    from plan_helpers import explain_str
     from canal_phoenix_adapter_spark.streaming.stream import apply_cdc_epoch
 
     n_buckets = 8

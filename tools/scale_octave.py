@@ -85,10 +85,9 @@ def _extra_queries():
                 load_table(spark, d, "embeddings"), threshold=0.9,
                 num_planes=24, bands=4, dim=64, max_bucket=None,
             ).select("id_a", "id_b"),
-        # r11 verdict task 1's done-criterion row: the DEFAULT call
-        # path (planes derived from expected_count, band cap ON) —
-        # expected_count is the table's actual row count, which a
-        # production caller knows as pipeline config
+        # r11 task 1's done-criterion row: the DEFAULT path (planes
+        # derived from expected_count, band cap ON); a production
+        # caller knows the corpus size as pipeline config
         "dedup_embedding_cosine_lsh_t09_default": lambda spark, d:
             dedup.embedding_near_dup_pairs_lsh(
                 load_table(spark, d, "embeddings"), threshold=0.9,
