@@ -1071,3 +1071,56 @@ def test_minhash_incremental_equals_cross_subset_of_bruteforce(spark):
     }
     assert expected, "corpus produced no cross pairs (vacuous)"
     assert got == expected
+
+
+def test_embedding_lsh_uncapped_pairs_equal_bruteforce_banding(spark):
+    """Hyperplane-banding completeness witnessed INDEPENDENTLY of
+    lsh_bucket_expr (the DuckDB oracle embeds the same plane_sign
+    coefficients into the same band construction, so a shared
+    misconception — wrong first_plane offset, bit order, sign
+    convention — would pass parity; same rationale as the simhash and
+    minhash witnesses). With the cap off and the cosine cut vacuous
+    (threshold=-1), the operator's pairs must EXACTLY equal the
+    all-pairs set sharing >= 1 band bucket, recomputed driver-side in
+    pure Python from plane_sign (hashlib) and float dot products."""
+    import itertools
+    import random
+
+    from canal_phoenix_adapter_spark.operators.similarity import plane_sign
+
+    rng = random.Random(13)
+    dim, n, planes, bands = 8, 40, 8, 4
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    rpb = planes // bands
+
+    def bucket(v, first):
+        b = 0
+        for j in range(rpb):
+            dot = sum(x * plane_sign(first + j, d) for d, x in enumerate(v))
+            assert abs(dot) > 1e-6, "fixture dot too close to the sign boundary"
+            b |= (1 if dot >= 0 else 0) << j
+        return b
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if any(
+            bucket(vecs[a], k * rpb) == bucket(vecs[b], k * rpb)
+            for k in range(bands)
+        )
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_lsh(
+            df, threshold=-1.0, num_planes=planes, bands=bands, dim=dim,
+            max_bucket=None,
+        ).collect()
+    }
+    assert expected and expected != set(
+        itertools.combinations(sorted(vecs), 2)
+    ), "vacuous fixture: every pair (or none) collides"
+    assert got == expected
