@@ -594,7 +594,6 @@ def lsh_planes_for_corpus(expected_count: int, bands: int = 4) -> int:
     planes fix the per-band collision RATE, so candidates grow ~n^2;
     this holds expected bucket SIZE roughly constant instead."""
     from math import log2
-
     return bands * max(2, round(log2(max(expected_count, 2)) / 2) - 1)
 
 

@@ -388,12 +388,10 @@ def ivf_train_codebook(
     def _q6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-    # Untrainable rows drop under the SAME predicate nonzero_vecs
-    # applies at serving time (norm > 0): NULL vectors poison a seed
-    # (float(None)), element-NULL / empty arrays crash seeding the
-    # same way, and zero-norm vectors have no direction to train on —
-    # an isNotNull-only guard (r11) passed the latter three (r12
-    # ADVICE). Fewer than k usable vectors cannot seed k cells.
+    # Untrainable rows drop under nonzero_vecs' own serving predicate
+    # (norm > 0): NULL / element-NULL / empty arrays crash seeding and
+    # zero-norm vectors have no direction — an isNotNull-only guard
+    # passed the latter three (r12 ADVICE). Need k usable seeds.
     vecs = df.where(_norm(F.col(vec_col)) > 0)
     seeds = (
         vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

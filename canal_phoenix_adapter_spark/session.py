@@ -67,6 +67,9 @@ def get_spark(app_name: str = "canal-phoenix-adapter-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # default 100 silently drops >100-field operators out of whole-
+        # stage codegen: simhash128's 129-field aggregate, unfused at r12
+        .config("spark.sql.codegen.maxFields", "160")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

@@ -472,3 +472,41 @@ def test_balanced_regions_raises_on_truncated_plan_text():
         _balanced_regions(
             "ReadSchema: struct<a:int,b:str", "ReadSchema: struct<", "<", ">"
         )
+
+
+def test_simhash128_aggregate_stays_in_codegen(spark, sf_dir):
+    """The 128-bit sketch's bit-sum aggregate emits 129 fields — past
+    the default spark.sql.codegen.maxFields=100, Spark SILENTLY drops
+    the operator out of WholeStageCodegen (no warning, interpreted
+    eval; measured r12: widths 32/64 fused, 128 did not). session.py
+    raises maxFields so every width fuses; this pins it (AQE hides the
+    star markers, so it is toggled off just for the explain)."""
+    import inspect
+
+    from canal_phoenix_adapter_spark import session as session_mod
+    from canal_phoenix_adapter_spark.operators import dedup
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+    from plan_helpers import explain_str
+
+    # (a) the engine's session builder ships the raised limit
+    src = inspect.getsource(session_mod.get_spark)
+    assert '"spark.sql.codegen.maxFields", "160"' in src
+    # (b) with that limit, every width's aggregate fuses (the conftest
+    # session is deliberately driver-default, so set it here)
+    old = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.codegen.maxFields")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.maxFields", "160")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        for width in (32, 64, 128):
+            plan = explain_str(
+                dedup._simhash(docs, "doc_id", "text", width), "simple"
+            )
+            aggs = [l for l in plan.splitlines() if "HashAggregate" in l]
+            assert aggs and all("*(" in l for l in aggs), (width, aggs)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
