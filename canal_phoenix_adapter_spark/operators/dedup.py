@@ -275,12 +275,11 @@ def _pair_join(
     buckets: DataFrame, keys: list[str], max_bucket: int | None
 ) -> DataFrame:
     """The LSH candidate stage shared by the minhash / simhash /
-    embedding band paths: persist the bucket table, drop over-cap
-    buckets, equi-join it to itself on the keys, emit distinct ordered
-    (id_a, id_b) pairs. Persist at BOTH stages when capping — pre-cap
-    so the upstream sketch pipeline runs once for the cap's two passes,
-    post-cap so the cap runs once for the self-join's two sides. A few
-    longs per row, spillable; cache is caller-owned (module docstring)."""
+    embedding band paths: persist the bucket table (at BOTH stages
+    when capping — pre-cap so the upstream sketch runs once for the
+    cap's two passes, post-cap so the cap runs once for the join's two
+    sides), drop over-cap buckets, equi-join on the keys, emit distinct
+    ordered (id_a, id_b) pairs. Cache is caller-owned (module doc)."""
     buckets = buckets.persist()
     if max_bucket is not None:
         buckets = _cap_bucket_size(buckets, keys, max_bucket).persist()
@@ -902,8 +901,9 @@ def semantic_dup_pairs_ivf(
     the LSH band cap, ON by default — but at 256, not 16: IVF cells
     are coarse by design (expected size n/k), so the default is a
     degenerate-collapse guard bounding a cell at 64k comparisons, not
-    a boilerplate filter. With a trained codebook (ivf_train_codebook)
-    the same plan runs with cell := nearest centroid."""
+    a boilerplate filter. SIZING: over-cap cells DROP (recall falls,
+    cost never goes n^2) — once n/k nears the cap, grow k with the
+    corpus (ivf_train_codebook, k ∝ n); same plan, cell := centroid."""
     from canal_phoenix_adapter_spark.operators.similarity import (
         _dot,
         ivf_cell_expr,
