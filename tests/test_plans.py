@@ -499,6 +499,12 @@ def test_simhash128_aggregate_stays_in_codegen(spark, sf_dir):
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.codegen.maxFields", "160")
+    # Another test that PLANNED a simhash pair query registered its
+    # persisted sketch with the CacheManager; a fresh _simhash plan
+    # then matches that (never-materialized) entry and is rewritten
+    # through InMemoryRelation, hiding the fusion markers this test
+    # counts (reproduced: plan-construction alone flips it).
+    spark.catalog.clearCache()
     try:
         docs = load_table(spark, sf_dir, "documents")
         for width in (32, 64, 128):
