@@ -272,15 +272,21 @@ def _cap_bucket_size(
 
 
 def _pair_join(
-    buckets: DataFrame, keys: list[str], max_bucket: int | None
+    buckets: DataFrame, keys: list[str], max_bucket: int | None,
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """The LSH candidate stage shared by the minhash / simhash /
     embedding band paths: persist the bucket table (at BOTH stages
     when capping — pre-cap so the upstream sketch runs once for the
     cap's two passes, post-cap so the cap runs once for the join's two
     sides), drop over-cap buckets, equi-join on the keys, emit distinct
-    ordered (id_a, id_b) pairs. Cache is caller-owned (module doc)."""
-    buckets = buckets.persist()
+    ordered (id_a, id_b) pairs. Cache is caller-owned (module doc).
+    ``persist_buckets=False`` skips the PRE-cap persist for callers
+    whose bucket table is a cheap explode of an already-persisted
+    sketch (simhash persists ``sk`` upstream; caching the explode too
+    just grows caller-owned memory — r13 ADVICE)."""
+    if persist_buckets:
+        buckets = buckets.persist()
     if max_bucket is not None:
         buckets = _cap_bucket_size(buckets, keys, max_bucket).persist()
     return (
@@ -524,7 +530,8 @@ def simhash_hamming_pairs(
     banded = sk.select("id", F.explode(band_vals).alias("bb")).select(
         "id", "bb.band", "bb.bv"
     )
-    cand = _pair_join(banded, ["band", "bv"], max_bucket)
+    cand = _pair_join(banded, ["band", "bv"], max_bucket,
+                      persist_buckets=False)
     return (
         cand.join(
             sk.select(F.col("id").alias("id_a"),

@@ -139,12 +139,17 @@ def ppm_decode(data: bytes) -> list[float]:
         )
     # Exactly ONE whitespace byte follows maxval; anything else ('#',
     # a stray byte) refuses loudly. A lone CR is spec-valid whitespace
-    # (r12 ADVICE), but CR+LF means a CRLF writer whose extra '\n'
-    # would shift the raster and silently corrupt every channel mean
-    # (r10 ADVICE, verified) — refused, even though a genuine raster
-    # whose first byte is 0x0A is indistinguishable: loud beats silent.
+    # (r12 ADVICE), but CR+LF usually means a CRLF writer whose extra
+    # '\n' would shift the raster and silently corrupt every channel
+    # mean (r10 ADVICE, verified). The one valid input that collides —
+    # a lone-CR file whose raster genuinely begins with 0x0A — is
+    # disambiguated by LENGTH (r13 ADVICE): accept the CR reading only
+    # when it yields exactly 3*w*h raster bytes (the CRLF reading is
+    # then one byte short, so the two parses can't both be valid);
+    # any other length keeps the loud CRLF refusal.
     sep = data[i : i + 1]
-    if sep == b"\r" and data[i + 1 : i + 2] == b"\n":
+    if (sep == b"\r" and data[i + 1 : i + 2] == b"\n"
+            and len(data) - (i + 1) != 3 * w * h):
         raise ValueError("CRLF separator after PPM maxval would shift the raster")
     if sep not in (b" ", b"\t", b"\n", b"\x0b", b"\f", b"\r"):
         raise ValueError(f"malformed separator {sep!r} after PPM maxval")

@@ -294,11 +294,12 @@ _COMMENT_RE = re.compile(r"comment\s+'(?:[^']|'')*'", re.IGNORECASE)
 
 def _split_clauses(s: str) -> list[str]:
     """Split an ALTER body on top-level commas only: commas inside
-    parens (DECIMAL(10,2)) or inside SQL string literals (COMMENT
-    'a, b' / DEFAULT 'x,y'; '' is an escaped quote) are part of the
-    clause — the old regex split fractured both string cases mid-
-    literal (r12 ADVICE + review)."""
-    out, cur, depth, instr = [], [], 0, False
+    parens (DECIMAL(10,2)), SQL string literals (COMMENT 'a, b' /
+    DEFAULT 'x,y'; '' is an escaped quote), or backticked identifiers
+    (ADD COLUMN `a,b` INT is legal MySQL; `` is an escaped backtick,
+    and a quote inside backticks is just a name character) are part
+    of the clause (r12+r13 ADVICE)."""
+    out, cur, depth, instr, inbt = [], [], 0, False, False
     i = 0
     while i < len(s):
         c = s[i]
@@ -308,8 +309,16 @@ def _split_clauses(s: str) -> list[str]:
                 i += 2
                 continue
             instr = c != "'"
+        elif inbt:
+            if c == "`" and s[i + 1 : i + 2] == "`":
+                cur.append("``")
+                i += 2
+                continue
+            inbt = c != "`"
         elif c == "'":
             instr = True
+        elif c == "`":
+            inbt = True
         elif c == "(":
             depth += 1
         elif c == ")":

@@ -156,6 +156,22 @@ def test_simhash_pairs_max_bucket_drops_hot_buckets(spark):
     assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == set()
 
 
+def test_simhash_pairs_persist_only_sketch_and_capped_buckets(spark):
+    """The simhash path persists exactly TWO tables per call — the
+    sketch and the post-cap bucket table. The pre-cap band explode
+    recomputes cheaply from the cached sketch, so the shared
+    _pair_join must not add a third caller-owned cache handle for it
+    (r13 ADVICE: memory growth per call, not correctness)."""
+    from canal_phoenix_adapter_spark.jvm_shim import persistent_rdd_ids
+
+    spark.catalog.clearCache()
+    before = persistent_rdd_ids(spark)
+    dedup.simhash_hamming_pairs(
+        docs_df(spark), "doc_id", "text", max_dist=3, bands=4, max_bucket=2
+    ).count()
+    assert len(persistent_rdd_ids(spark) - before) == 2
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
@@ -408,13 +424,19 @@ def test_ppm_decode_pure():
     with pytest.raises(ValueError, match="separator"):
         multimodal.ppm_decode(b"P6 2 2 255# c\n" + bytes(12))
     # but a LONE CR is spec-valid netpbm whitespace (r12 ADVICE): the
-    # raster starts immediately after it, nothing shifts. (A raster
-    # whose FIRST byte is 0x0A after a CR is byte-indistinguishable
-    # from a CRLF writer and still refuses — documented tradeoff.)
+    # raster starts immediately after it, nothing shifts.
     lone_cr = b"P6 2 1 255\r" + bytes([11, 20, 30, 40, 50, 60])
     assert multimodal.ppm_decode(lone_cr) == [1.0, 2.0, 25.5, 35.0, 45.0]
-    with pytest.raises(ValueError, match="separator"):
-        multimodal.ppm_decode(b"P6 2 1 255\r" + bytes([10, 20, 30, 40, 50, 60]))
+    # a lone-CR raster whose FIRST byte is genuinely 0x0A is byte-
+    # ambiguous with a CRLF writer; LENGTH disambiguates (r13 ADVICE):
+    # exactly 3wh bytes after the CR means the CRLF reading is one
+    # byte short, so the CR reading is the only valid parse — accepted
+    assert multimodal.ppm_decode(
+        b"P6 2 1 255\r" + bytes([10, 20, 30, 40, 50, 60])
+    ) == [1.0, 2.0, 25.0, 35.0, 45.0]
+    # while a true CRLF writer (3wh bytes AFTER the \n) stays refused
+    with pytest.raises(ValueError, match="CRLF"):
+        multimodal.ppm_decode(b"P6 2 1 255\r\n" + bytes([10] * 6))
 
 
 def test_decode_image_default_codec_end_to_end(spark):

@@ -264,6 +264,24 @@ def test_parse_ddl_backticked_identifiers_with_spaces_and_keywords():
     assert intents[0].dtype == T.IntegerType()
 
 
+def test_parse_ddl_commas_and_quotes_inside_backticked_names():
+    """_split_clauses tracks backticked spans like string literals: a
+    legal MySQL name containing a top-level comma (ADD COLUMN `a,b`
+    INT) was split mid-identifier, and a single quote inside a
+    backticked name flipped the string-literal state so the rest of
+    the statement misparsed silently (r13 ADVICE)."""
+    intents = parse_ddl(
+        "ALTER TABLE t ADD COLUMN `a,b` INT, "
+        "ADD COLUMN `it's` VARCHAR(10) DEFAULT 'x,y', "
+        "DROP COLUMN `c,d`"
+    )
+    got = [(i.kind, i.column, i.default) for i in intents]
+    assert got == [
+        ("add", "a,b", None), ("add", "it's", "x,y"),
+        ("drop", "c,d", None),
+    ]
+
+
 def test_load_config_dir_loads_yaml_registry(tmp_path):
     """load_config_dir mirrors the adapter's conf-directory registry
     (PhoenixAdapter.java:84-102); it had no test (r12 review)."""

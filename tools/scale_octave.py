@@ -62,6 +62,19 @@ R11_SET = [
 ]
 
 
+_EMB_N: dict[str, int] = {}
+
+
+def _emb_count(spark, d: str) -> int:
+    """Memoized embeddings row count, prewarmed in main() BEFORE the
+    timed loop so the t09_default row times only the dedup plan, not a
+    second table load + count action (r13 ADVICE)."""
+    if d not in _EMB_N:
+        from canal_phoenix_adapter_spark.sources.tables import load_table
+        _EMB_N[d] = load_table(spark, d, "embeddings").count()
+    return _EMB_N[d]
+
+
 def _extra_queries():
     """Octave-only variants with no registry entry of their own."""
     from canal_phoenix_adapter_spark.operators import dedup
@@ -91,8 +104,7 @@ def _extra_queries():
         "dedup_embedding_cosine_lsh_t09_default": lambda spark, d:
             dedup.embedding_near_dup_pairs_lsh(
                 load_table(spark, d, "embeddings"), threshold=0.9,
-                dim=64,
-                expected_count=load_table(spark, d, "embeddings").count(),
+                dim=64, expected_count=_emb_count(spark, d),
             ).select("id_a", "id_b"),
     }
 
@@ -230,6 +242,9 @@ def main() -> None:
     queries = {q: resolve[q] for q in names}
 
     spark = get_spark("scale-octave")
+    if any("_default" in q for q in names):
+        for d in (src, out):
+            _emb_count(spark, d)
     cells: dict[str, dict] = {q: {"sf0.1": [], "sf1": [], "rows": {}} for q in names}
     for rep in range(reps):
         for q in names:
