@@ -1875,7 +1875,8 @@ def sampling_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = sampling.hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    q = sampling.group_quantiles(docs, "lang", "n_chars", [0.5, 0.9])
+    q = sampling.group_quantiles(docs, "lang", "n_chars", [0.5, 0.9],
+                                 exact=True)
     return split.join(F.broadcast(q), on="lang").select(
         "doc_id", "lang", "split", "q_50", "q_90",
         F.when(F.col("n_chars") >= F.col("q_50"), F.lit(1))

@@ -166,8 +166,14 @@ def asof_join(
     # NULL-key left row would fabricate a match against NULL-key right
     # rows. Dropping NULL-key RIGHT rows leaves NULL-key left rows in
     # a partition with no right rows -> matched stays NULL (left-join
-    # behavior), exactly like pandas merge_asof / SQL.
-    r_src = right
+    # behavior), exactly like pandas merge_asof / SQL. A NULL right_ts
+    # is the same class (r13 review, reproduced): `right_ts <= left_ts`
+    # is NULL -> no match in SQL, but on the merged timeline a NULL ts
+    # sorts NULLS FIRST — "before everything" — so an unknown-time
+    # right row was matched by every left row it preceded. (NULL
+    # left_ts rows already behave: sorted first, nothing precedes
+    # them, match stays NULL.)
+    r_src = right.where(F.col(right_ts).isNotNull())
     for k in on:
         r_src = r_src.where(F.col(k).isNotNull())
     r = r_src.select(

@@ -555,6 +555,23 @@ def simhash_hamming_pairs(
     )
 
 
+def _ab_cosine_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, cosine) with cosine >= threshold, from a join of
+    two nonzero_vecs sides aliased "a"/"b" — the exact-cosine tail
+    shared by the all-pairs, IVF-cell and band-LSH variants (one
+    definition so a threshold/alias change cannot half-apply)."""
+    from canal_phoenix_adapter_spark.operators.similarity import _dot
+
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -572,23 +589,14 @@ def embedding_near_dup_pairs(
     equi-joins on an LSH bucket and runs the identical exact cosine
     check within buckets.
     """
-    from canal_phoenix_adapter_spark.operators.similarity import _dot, nonzero_vecs
+    from canal_phoenix_adapter_spark.operators.similarity import nonzero_vecs
 
     v = nonzero_vecs(df, id_col, vec_col)
     if max_id is not None:
         v = v.where(F.col("id") < max_id)
-    return (
-        v.alias("a")
-        .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    return _ab_cosine_pairs(
+        v.alias("a").join(v.alias("b"), F.col("a.id") < F.col("b.id")),
+        threshold,
     )
 
 
@@ -678,23 +686,15 @@ def embedding_near_dup_pairs_lsh(
     # _pair_join persists the (id, band, bucket) longs, so the dim-wide
     # sign dot-products run once; vectors are never in that table.
     cand = _pair_join(banded, ["band", "bucket"], max_bucket)
-    from canal_phoenix_adapter_spark.operators.similarity import _dot, nonzero_vecs
+    from canal_phoenix_adapter_spark.operators.similarity import nonzero_vecs
 
     # norms once per VECTOR in the scan projection, not per candidate
     # pair — bit-identical value (same fold), ~1/3 of the pair math
     vecs = nonzero_vecs(df, id_col, vec_col)
-    return (
+    return _ab_cosine_pairs(
         cand.join(vecs.alias("a"), F.col("id_a") == F.col("a.id"))
-        .join(vecs.alias("b"), F.col("id_b") == F.col("b.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        .join(vecs.alias("b"), F.col("id_b") == F.col("b.id")),
+        threshold,
     )
 
 
@@ -894,6 +894,7 @@ def semantic_dup_pairs_ivf(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     max_bucket: int | None = DEFAULT_IVF_MAX_CELL,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup: route embeddings to IVF coarse
     cells, then exact-cosine check pairs WITHIN each cell (id_a <
@@ -910,14 +911,21 @@ def semantic_dup_pairs_ivf(
     degenerate-collapse guard bounding a cell at 64k comparisons, not
     a boilerplate filter. SIZING: over-cap cells DROP (recall falls,
     cost never goes n^2) — once n/k nears the cap, grow k with the
-    corpus (ivf_train_codebook, k ∝ n); same plan, cell := centroid."""
+    corpus: ``codebook`` is that SIZED path (k = ivf_k_for_corpus(n),
+    trained via ivf_train_codebook); same plan, cell := centroid."""
     from canal_phoenix_adapter_spark.operators.similarity import (
-        _dot,
         ivf_cell_expr,
         nonzero_vecs,
+        with_codebook_cells,
     )
 
-    v = nonzero_vecs(df, id_col, vec_col, ivf_cell_expr(vec_col).alias("cell"))
+    if codebook is None:
+        v = nonzero_vecs(df, id_col, vec_col,
+                         ivf_cell_expr(vec_col).alias("cell"))
+    else:
+        v = with_codebook_cells(
+            nonzero_vecs(df, id_col, vec_col), codebook, "v", "cell"
+        )
     if max_bucket is not None:
         # broadcast_hot: the cell universe is bounded by the quantizer
         # (2*dim ids), so the hot-cell anti-join side is a genuinely
@@ -925,20 +933,11 @@ def semantic_dup_pairs_ivf(
         # filtered in place, never shuffled (the cap's aggregate reads
         # a cell-only projection — vectors pruned).
         v = _cap_bucket_size(v, ["cell"], max_bucket, broadcast_hot=True)
-    return (
-        v.alias("a")
-        .join(v.alias("b"), on="cell")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
-    )
+    return _ab_cosine_pairs(
+        v.alias("a").join(v.alias("b"), on="cell")
+        .where(F.col("a.id") < F.col("b.id")),
+        threshold,
+    ).select("id_a", "id_b")
 
 
 def ngram_overlap_contamination(

@@ -50,30 +50,36 @@ def group_quantiles(
     group_col: str,
     value_col: str,
     quantiles: list[float],
+    exact: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Per-group EXACT discrete quantiles (percentile_disc semantics):
-    the q-quantile is the value at 1-based rank ceil(q * n) in the
-    group's sort order. Window rank + ceil positions — deterministic
-    and engine-agnostic, where interpolating percentiles (Spark
-    `percentile`) would emit IEEE-order-dependent doubles.
+    """Per-group discrete quantiles: one row per group with a
+    `q_<pct>` column per requested quantile, values always drawn FROM
+    the group's data (never interpolated doubles).
 
-    One shuffle on the group key; output one row per group with a
-    `q_<pct>` column per requested quantile.
+    DEFAULT (exact=False): ``percentile_approx`` — a single hash
+    aggregate with full map-side partial combine and a bounded
+    (``accuracy``-sized) per-group summary, so the plan has NO window
+    and NO per-group single-task sort; rank error is bounded by
+    n/accuracy. This is the 100 TB path: the exact mode's rank window
+    funnels each group's full value set through ONE task, measured
+    compounding at ~6.4x wall per data decade on a real corpus (r12
+    verdict; SCALE.md decade rows) — correct, and unusable at corpus
+    scale, so approx is the governed default and exact the explicit
+    opt-in, the same defaults discipline as the LSH family caps.
 
-    Scale bound, by construction of EXACT quantiles: the rank window
-    sorts each group inside one task, so the cost ceiling is the
-    hottest group's row count (a corpus that is 80% one language
-    sorts 80% of its rows in one partition — a spill-heavy sort, not
-    a failure). That is the price of driver-exact, engine-agnostic
-    thresholds; when a corpus-scale hot group makes it unacceptable,
-    `F.percentile_approx` (t-digest, fully map-side-combining) is the
-    drop-in at the cost of oracle-exact values. Quantiles that round to
-    the same whole percent (e.g. 0.115 and 0.125, or any two
-    sub-percent values) would silently alias to one column name —
-    rejected up front instead of emitting a DataFrame with duplicate
-    columns that throws AMBIGUOUS_REFERENCE on first use.
+    EXACT (exact=True): percentile_disc semantics — the q-quantile is
+    the value at 1-based rank ceil(q * n) in the group's sort order,
+    deterministic and engine-agnostic (the oracle-parity config; the
+    gates pin it). Cost ceiling is the hottest group's row count
+    sorted in one task — acceptable when groups are known-small.
 
-    NULL values are EXCLUDED before ranking (standard
+    Quantiles that round to the same whole percent (e.g. 0.115 and
+    0.125) would silently alias to one column name — rejected up
+    front instead of emitting a DataFrame with duplicate columns that
+    throws AMBIGUOUS_REFERENCE on first use.
+
+    NULL values are EXCLUDED up front in both modes (standard
     percentile_disc semantics): engines disagree on where NULL sorts
     (Spark windows default NULLS FIRST ascending, DuckDB NULLS
     LAST), so a NULL inside the ranked set would both desynchronize
@@ -85,8 +91,22 @@ def group_quantiles(
             f"quantiles {quantiles} collide on column names {names}; "
             "q_<pct> naming needs quantiles at least a whole percent apart"
         )
+    vals = df.where(F.col(value_col).isNotNull())
+    if not exact:
+        # ONE summary per group (array percentage), not one agg per
+        # quantile — K percentile_approx calls would build K summaries
+        qs = vals.groupBy(group_col).agg(
+            F.percentile_approx(
+                F.col(value_col), [float(q) for q in quantiles], accuracy
+            ).alias("__qs")
+        )
+        return qs.select(
+            group_col,
+            *[F.element_at("__qs", i + 1).alias(nm)
+              for i, nm in enumerate(names)],
+        )
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    ranked = df.where(F.col(value_col).isNotNull()).select(
+    ranked = vals.select(
         F.col(group_col),
         F.col(value_col),
         F.row_number().over(w).alias("__rk"),

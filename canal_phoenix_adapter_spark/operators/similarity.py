@@ -87,6 +87,13 @@ def _keyed_ann_topk(
     query side broadcast, candidates restricted by an equi-join on
     the key, exact cosine ranking via _rank_topk."""
     base = nonzero_vecs(df, id_col, vec_col, key_expr.alias("__key"))
+    return _ann_from_base(base, num_queries, k)
+
+
+def _ann_from_base(base: DataFrame, num_queries: int, k: int) -> DataFrame:
+    """_keyed_ann_topk from a prepared (id, v, nrm, __key) base — the
+    entry point for quantizers that need a join to attach the key
+    (_join_cells' large-k codebook) instead of a key expression."""
     queries = base.where(F.col("id") < num_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("__key"),
@@ -114,19 +121,15 @@ def cosine_topk(
     other vector. Negative ids are full candidates but also land below
     the cut — signed-id corpora need a caller-side query filter, since
     the broadcast is sized by this cut. Returns (query_id,
-    neighbor_id, rank) with rank 1..k, ties broken by id."""
-    base = nonzero_vecs(df, id_col, vec_col)
-    queries = base.where(F.col("id") < num_queries).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
+    neighbor_id, rank) with rank 1..k, ties broken by id.
+
+    The keyed body with ONE universal bucket (constant key — Catalyst
+    folds it away and plans the same allowed O(q*n) broadcast nested
+    loop as the previous explicit form, q constant): one body for all
+    top-k variants (r13 fold)."""
+    return _keyed_ann_topk(
+        df, id_col, vec_col, F.lit(0).cast("long"), num_queries, k
     )
-    pairs = F.broadcast(queries).join(base, F.col("query_id") != F.col("id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("id").alias("neighbor_id"),
-        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
-    )
-    return _rank_topk(scored, k)
 
 
 def plane_sign(plane: int, dim: int) -> int:
@@ -308,34 +311,70 @@ def assign_cells(vec_col: str, codebook: list[list[float]]) -> F.Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
 
 
-def _train_iteration_sql(view: str, codebook: list[list[float]], dim: int) -> str:
-    """ONE Lloyd's assignment+update pass as a single SQL statement
-    over the persisted vector view: a scan-local argmin projection
-    feeding one grouped aggregate (k x (dim+1) partial-combined
-    doubles per map partition) — no join, no second scan, exactly one
-    exchange. This per-iteration cost model is pinned as a plan-shape
-    test (tests/test_plans.py); see ivf_train_codebook's docstring
-    for why it is SQL text rather than Column composition."""
-    # CAST('<repr>' AS DOUBLE) literals: repr() is shortest round-trip
-    # decimal, so the JVM parses back the exact same double —
-    # bit-identical to the F.lit() path in assign_cells.
-    lits = [
-        ", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in centroid)
-        for centroid in codebook
-    ]
-    dists = ", ".join(
-        f"aggregate(zip_with(__v, array({ls}), "
-        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        for ls in lits
-    )
-    sums = ", ".join(f"sum(CAST(__v[{i}] AS DOUBLE)) AS s{i}" for i in range(dim))
-    return (
-        f"SELECT array_position(__d, array_min(__d)) - 1 AS cell, "
-        f"count(1) AS n, {sums} "
-        f"FROM (SELECT __v, array({dists}) AS __d FROM {view}) "
-        f"GROUP BY cell"
-    )
+LITERAL_CODEBOOK_MAX = 64  # measured: F.lit-array construction 2.2 s
+# at k=64 but 7.8 s at k=256 and 37 s at k=1024 (driver-side literal
+# conversion is O(k*dim)); past this, the codebook travels as DATA.
+
+
+def _join_cells(
+    df: DataFrame, codebook: list[list[float]], vec_col: str, cell_col: str
+) -> DataFrame:
+    """Argmin-of-codebook cell via a ONE-ROW broadcast join: the
+    codebook ships as data (one createDataFrame row — no per-literal
+    py4j round-trips, no O(k*dim) plan text), every task reads it from
+    the broadcast, and the argmin is a transform fold over the array —
+    the plan stays O(1) nodes at ANY k. Bit-identical cells to
+    assign_cells (same left-to-right (x-c)^2 fold, same first-min
+    array_position; unit-witnessed), so the two strategies are
+    interchangeable. Same 1-row-broadcast shape as
+    etl.range_split_stats' bounds attach."""
+    cb = F.broadcast(df.sparkSession.createDataFrame(
+        [(codebook,)], "__cb array<array<double>>"
+    ))
+    dists = F.transform(F.col("__cb"), lambda cv: F.aggregate(
+        F.zip_with(F.col(vec_col), cv,
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    return df.join(cb).withColumn(cell_col, cell).drop("__cb")
+
+
+def with_codebook_cells(
+    df: DataFrame, codebook: list[list[float]],
+    vec_col: str, cell_col: str = "cell",
+) -> DataFrame:
+    """Attach the trained-quantizer cell, strategy by k: below
+    LITERAL_CODEBOOK_MAX the codebook rides into the plan as literal
+    fold expressions (scan-local projection, no join — fuses with the
+    scan); above it, the one-row broadcast join (_join_cells). Both
+    produce bit-identical cells; the switch is pure construction
+    cost/plan size."""
+    if len(codebook) <= LITERAL_CODEBOOK_MAX:
+        return df.withColumn(cell_col, assign_cells(vec_col, codebook))
+    return _join_cells(df, codebook, vec_col, cell_col)
+
+
+def ivf_k_for_corpus(expected_count: int, max_cell: int | None = None) -> int:
+    """k ∝ n for the IVF quantizer: k = ceil(2n / max_cell), floor 8 —
+    targets a MEAN cell of max_cell/2 (2x skew headroom under the
+    cap). The anchors are measured (SCALE_SMOKE/SCALE.md r12): at
+    FIXED k the uncapped within-cell pair cost is ~n^2/k (static
+    2*dim quantizer measured 7.29x wall at 103x output over one
+    decade), and with the cap ON recall silently decays once cells
+    grow past max_cell — so k must grow with n, exactly as
+    dedup.lsh_planes_for_corpus grows planes with log2(n). The sized
+    path composes caller-side (training is a Spark action, never run
+    inside plan construction): k = ivf_k_for_corpus(n); codebook =
+    ivf_train_codebook(df, k=k); then pass codebook to
+    semantic_dup_pairs_ivf / ann_topk_ivf_trained / knn_join_ivf.
+    Its own boundary, also measured: flat Lloyd's assignment is
+    O(n*k) per pass, quadratic when k ∝ n — past the octave-measured
+    wall the log-cost route is the hyperplane-LSH family (planes ∝
+    log2 n), with IVF-derived-k as the recall-quality middle ground."""
+    if max_cell is None:
+        from canal_phoenix_adapter_spark.operators.dedup import DEFAULT_IVF_MAX_CELL
+        max_cell = DEFAULT_IVF_MAX_CELL
+    return max(8, -(-2 * expected_count // max_cell))
 
 
 def ivf_train_codebook(
@@ -362,15 +401,14 @@ def ivf_train_codebook(
     blocks vs re-reading the source each pass); the persist is
     released before returning.
 
-    Each iteration's assignment+update is submitted as ONE SQL string
-    over a temp view rather than composed through the Column API:
-    the Column build of k distance folds x dim component sums costs
-    ~0.8 s of driver-side Py4J round-trips PER ITERATION (measured —
-    it dominated training wall time on a 2 k-row table), while the
-    JVM parses the equivalent SQL text in milliseconds. Same
-    expression tree either way; only the construction path differs.
-    Serving (``assign_cells``) keeps the Column form — it is built
-    once, and composes with arbitrary caller DataFrames.
+    Each iteration is ONE job: the codebook attaches as a one-row
+    broadcast (_join_cells — the codebook is DATA, so construction is
+    one createDataFrame, not k x dim literal round-trips; the r3-r12
+    SQL-text form avoided the same py4j cost but carried an O(k*dim)
+    plan-text boundary that refused the sized path's k ∝ n), then the
+    argmin projection feeds the grouped aggregate directly. Serving
+    (``assign_cells``) keeps the literal Column form below
+    LITERAL_CODEBOOK_MAX — built once, fuses with the scan.
 
     Determinism: seeds are the k lowest-id vectors (TakeOrdered), and
     every subsequent step is deterministic arithmetic — same data,
@@ -406,21 +444,24 @@ def ivf_train_codebook(
     codebook = [[float(x) for x in r["v"]] for r in seeds]
     dim = len(codebook[0])
     base = vecs.select(F.col(vec_col).alias("__v")).persist()
-    view = f"__ivf_train_{id(base)}"
-    base.createOrReplaceTempView(view)
-
     try:
         for _ in range(iters):
-            stats = base.sparkSession.sql(
-                _train_iteration_sql(view, codebook, dim)
-            ).collect()
+            stats = (
+                _join_cells(base, codebook, "__v", "__cell")
+                .groupBy("__cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("__v")[i].cast("double")).alias(f"s{i}")
+                      for i in range(dim)],
+                )
+                .collect()
+            )
             for r in stats:
                 n = r["n"]
-                codebook[int(r["cell"])] = [
+                codebook[int(r["__cell"])] = [
                     _q6(r[f"s{i}"] / n) for i in range(dim)
                 ]
     finally:
-        base.sparkSession.catalog.dropTempView(view)
         base.unpersist()
     return codebook
 
@@ -436,12 +477,20 @@ def ann_topk_ivf_trained(
     """ann_topk_ivf with a TRAINED codebook: identical topology (cell
     computed inline with the scan, candidate join keyed on the cell,
     exact cosine ranking within the cell) — only the quantizer
-    changed, exactly as ivf_cell_expr's docstring promises."""
-    return _keyed_ann_topk(
-        df, id_col, vec_col,
-        assign_cells(vec_col, codebook),
-        num_queries, k,
+    changed, exactly as ivf_cell_expr's docstring promises. Past
+    LITERAL_CODEBOOK_MAX the cell attaches via the one-row broadcast
+    instead of literal folds (same cells — the sized path's k ∝ n
+    must not hit the literal plan-size wall)."""
+    if len(codebook) <= LITERAL_CODEBOOK_MAX:
+        return _keyed_ann_topk(
+            df, id_col, vec_col,
+            assign_cells(vec_col, codebook),
+            num_queries, k,
+        )
+    base = _join_cells(
+        nonzero_vecs(df, id_col, vec_col), codebook, "v", "__key"
     )
+    return _ann_from_base(base, num_queries, k)
 
 
 def knn_join_ivf(
@@ -450,6 +499,7 @@ def knn_join_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     max_bucket: int | None = None,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN: top-k cosine neighbors for EVERY vector
     (not a fixed query set), candidates restricted to the vector's IVF
@@ -465,8 +515,18 @@ def knn_join_ivf(
     not a join to execute).
 
     Ties: equal cosine resolves by ascending neighbor id — total
-    order, engine-portable."""
-    base = nonzero_vecs(df, id_col, vec_col, ivf_cell_expr(vec_col).alias("cell"))
+    order, engine-portable.
+
+    ``codebook``: the SIZED path — a trained quantizer (k from
+    ivf_k_for_corpus) replaces the static 2*dim cell, keeping mean
+    cell size bounded as the corpus grows."""
+    if codebook is None:
+        base = nonzero_vecs(df, id_col, vec_col,
+                            ivf_cell_expr(vec_col).alias("cell"))
+    else:
+        base = with_codebook_cells(
+            nonzero_vecs(df, id_col, vec_col), codebook, "v", "cell"
+        )
     if max_bucket is not None:
         from canal_phoenix_adapter_spark.operators.dedup import _cap_bucket_size
 

@@ -2,7 +2,7 @@
 queries() entry and its oracle_sql() on the same parquet tables,
 compare row-count + schema + order-insensitive values.
 
-Usage: python tools/check_correctness.py [--parity] [sf_dir] [name ...]
+Usage: python tests/check_correctness.py [--parity] [sf_dir] [name ...]
 
 ``--parity`` additionally includes the folded-gate registry
 (tests/parity_registry.py) — the queries verified by pytest's

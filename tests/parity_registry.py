@@ -620,7 +620,8 @@ def sampling_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language EXACT discrete length quantiles (ceil-rank
     percentile_disc semantics — no interpolated doubles)."""
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.group_quantiles(docs, "lang", "n_chars", [0.5, 0.9])
+    return sampling.group_quantiles(docs, "lang", "n_chars", [0.5, 0.9],
+                                    exact=True)
 _PROBES = ["merge batch", "window spark", "key agg row", "zz-never-present"]
 @register_parity(
     "text_contamination",
@@ -725,7 +726,7 @@ def text_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text_ops.quality_features(docs, "doc_id", "text").join(
         docs.select("doc_id", "lang"), on="doc_id"
     )
-    cut = sampling.group_quantiles(q, "lang", "quality", [0.1])
+    cut = sampling.group_quantiles(q, "lang", "quality", [0.1], exact=True)
     return (
         q.join(F.broadcast(cut), on="lang")
         .where(F.col("quality") >= F.col("q_10"))
@@ -1006,3 +1007,79 @@ def dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         max_dist=3, bands=4, max_bucket=16, width=128,
     )
+
+
+# ---------------------------------------------------------------------------
+# Octave-only queries (tools/scale_octave.py): measurement variants
+# with no gate of their own — they live HERE with the other non-driver
+# query definitions (the registry the octave harness already resolves
+# against), keeping tools/ to the harness mechanics.
+# ---------------------------------------------------------------------------
+
+_EMB_N: dict[str, int] = {}
+
+
+def emb_count(spark: SparkSession, d: str) -> int:
+    """Memoized embeddings row count, prewarmed by scale_octave.main()
+    BEFORE the timed loop so sized/default rows time only the plan,
+    not a second table load + count action (r13 ADVICE)."""
+    if d not in _EMB_N:
+        _EMB_N[d] = load_table(spark, d, "embeddings").count()
+    return _EMB_N[d]
+
+
+def _adaptive_filter_default(spark: SparkSession, d: str) -> DataFrame:
+    # the text_adaptive_filter pipeline with group_quantiles' DEFAULT
+    # (percentile_approx) — the r13 task-1 octave row, vs the exact
+    # config's measured 6.44x/decade single-task sort
+    docs = load_table(spark, d, "documents")
+    q = text_ops.quality_features(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    cut = sampling.group_quantiles(q, "lang", "quality", [0.1])
+    return (
+        q.join(F.broadcast(cut), on="lang")
+        .where(F.col("quality") >= F.col("q_10"))
+        .select("doc_id", "lang")
+    )
+
+
+def _semantic_ivf_sized(spark: SparkSession, d: str) -> DataFrame:
+    # the FULL sized path, training included (derive k ∝ n, train,
+    # serve) — the r13 task-3 octave row at the scale where the
+    # static 2*dim quantizer measured 7.29x at 103x output
+    emb = load_table(spark, d, "embeddings")
+    k = similarity.ivf_k_for_corpus(emb_count(spark, d))
+    cb = similarity.ivf_train_codebook(emb, k=k)
+    return dedup.semantic_dup_pairs_ivf(emb, threshold=0.4, codebook=cb)
+
+
+OCTAVE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # production threshold: witnesses the r10 "output-bound, not
+    # plan decay" adjudication of the 8.6x cos>=0.4 reading
+    "dedup_embedding_cosine_lsh_t09": lambda spark, d:
+        dedup.embedding_near_dup_pairs_lsh(
+            load_table(spark, d, "embeddings"), threshold=0.9,
+            num_planes=16, bands=4, dim=64, max_bucket=None,
+        ).select("id_a", "id_b"),
+    # the sizing discipline's witness (planes ~ log2(n)): 24 planes
+    # = 6/band, sized for the 20k-vector sf1 synth — the r11 t09 row
+    # measured FIXED 16 planes going 12x at 10x input (constant
+    # per-band collision rate => candidates ~ n^2), which is what
+    # this knob exists to hold flat
+    "dedup_embedding_cosine_lsh_t09_p24": lambda spark, d:
+        dedup.embedding_near_dup_pairs_lsh(
+            load_table(spark, d, "embeddings"), threshold=0.9,
+            num_planes=24, bands=4, dim=64, max_bucket=None,
+        ).select("id_a", "id_b"),
+    # r11 task 1's done-criterion row: the DEFAULT path (planes
+    # derived from expected_count, band cap ON); a production
+    # caller knows the corpus size as pipeline config
+    "dedup_embedding_cosine_lsh_t09_default": lambda spark, d:
+        dedup.embedding_near_dup_pairs_lsh(
+            load_table(spark, d, "embeddings"), threshold=0.9,
+            dim=64, expected_count=emb_count(spark, d),
+        ).select("id_a", "id_b"),
+    "text_adaptive_filter_approx": _adaptive_filter_default,
+    "dedup_semantic_ivf_sized": _semantic_ivf_sized,
+}

@@ -750,6 +750,68 @@ def test_frame_sample_plumbing(spark):
     assert got == {(2, 0, 1), (5, 0, 1), (5, 4, 65), (5, 8, 129)}
 
 
+def test_ivf_k_for_corpus_anchors():
+    """The sized-k rule, pinned at the measured anchor scales
+    (SCALE.md r12: static-k uncapped measured 7.29x wall at 103x
+    output over the 20k->200k embedding decade; capped recall decays
+    past k*max_cell): k = ceil(2n/256) floor 8 -> mean cell 128 with
+    2x skew headroom under the 256 cap. A drifted constant (the
+    default-switch mutation) moves every anchor."""
+    assert similarity.ivf_k_for_corpus(100) == 8          # floor
+    assert similarity.ivf_k_for_corpus(2_000) == 16       # gate corpus
+    assert similarity.ivf_k_for_corpus(20_000) == 157     # sf1 octave
+    assert similarity.ivf_k_for_corpus(200_000) == 1563   # 7.29x probe scale
+    assert similarity.ivf_k_for_corpus(2_000, max_cell=16) == 250
+
+
+def test_join_cells_bit_identical_to_literal_assign(spark):
+    """The one-row-broadcast codebook attach must produce the SAME
+    cell as the literal fold expressions — same (x-c)^2 left-to-right
+    fold, same first-min argmin — or the LITERAL_CODEBOOK_MAX switch
+    would silently change assignments at the size boundary."""
+    cb = [[float((i * 7 + j * 3) % 11) / 7.0 for j in range(8)]
+          for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, [((i * 31 + j) % 17) / 3.0 for j in range(8)])
+         for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    lit = {r["vec_id"]: r["cell"] for r in df.select(
+        "vec_id", similarity.assign_cells("embedding", cb).alias("cell")
+    ).collect()}
+    joined = {r["vec_id"]: r["cell"] for r in similarity._join_cells(
+        df, cb, "embedding", "cell").select("vec_id", "cell").collect()}
+    assert lit == joined and len(set(lit.values())) > 1
+
+
+def test_sized_ivf_codebook_threads_through_consumers(spark, monkeypatch):
+    """The sized path end-to-end on a fixture: derived k, trained
+    codebook, and all three consumers accept it. Forcing the join
+    branch (LITERAL_CODEBOOK_MAX=0) must not change any result —
+    kills a mutation that breaks the large-k branch only."""
+    rows = [(i, [5.0 if i % 2 else -5.0] * 4) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.ivf_train_codebook(df, k=2, iters=2)
+
+    sem = {(r["id_a"], r["id_b"]) for r in dedup.semantic_dup_pairs_ivf(
+        df, threshold=0.9, codebook=cb).collect()}
+    ann = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.ann_topk_ivf_trained(df, cb, num_queries=2, k=3).collect()}
+    knn = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.knn_join_ivf(df, k=2, codebook=cb).collect()}
+    assert (1, 3) in sem and (0, 1) not in sem
+    assert all((q - n) % 2 == 0 for q, n in ann | knn)
+    monkeypatch.setattr(similarity, "LITERAL_CODEBOOK_MAX", 0)
+    assert {(r["id_a"], r["id_b"]) for r in dedup.semantic_dup_pairs_ivf(
+        df, threshold=0.9, codebook=cb).collect()} == sem
+    assert {(r["query_id"], r["neighbor_id"]) for r in
+            similarity.ann_topk_ivf_trained(df, cb, num_queries=2, k=3)
+            .collect()} == ann
+    assert {(r["query_id"], r["neighbor_id"]) for r in
+            similarity.knn_join_ivf(df, k=2, codebook=cb)
+            .collect()} == knn
+
+
 def test_ivf_train_codebook_unusable_vector_and_short_corpus_guards(spark):
     """Untrainable rows drop under nonzero_vecs' own predicate
     (norm > 0): NULL vectors poisoned a seed (float(None)), and an
@@ -829,7 +891,8 @@ def test_group_quantiles_exact_rank_at_representable_targets(spark):
 
     rows = [("g", v) for v in range(1, 101)]  # values 1..100, rank == value
     df = spark.createDataFrame(rows, "grp string, val long")
-    out = group_quantiles(df, "grp", "val", [0.07, 0.29, 0.55]).collect()[0]
+    out = group_quantiles(df, "grp", "val", [0.07, 0.29, 0.55],
+                          exact=True).collect()[0]
     assert out["q_7"] == 7 and out["q_29"] == 29 and out["q_55"] == 55
 
 
@@ -915,7 +978,7 @@ def test_bundle_gates_degenerate_inputs(spark):
         "doc_id long, lang string, n_chars long",
     )
     split = sampling.hash_split(d3, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    q = sampling.group_quantiles(d3, "lang", "n_chars", [0.5])
+    q = sampling.group_quantiles(d3, "lang", "n_chars", [0.5], exact=True)
     got = {r["doc_id"]: r["q_50"] for r in
            split.join(F.broadcast(q), on="lang").collect()}
     assert got == {1: 10, 3: 10}  # NULL-lang doc 2 drops; NULL n_chars rides

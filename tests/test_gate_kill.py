@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from canal_phoenix_adapter_spark import entry as E  # noqa: E402
 from tests.parity_registry import PARITY_ORACLE, PARITY_QUERIES  # noqa: E402
-from tools.check_correctness import TABLES, canon  # noqa: E402
+from tests.check_correctness import TABLES, canon  # noqa: E402
 
 ALL_QUERIES = {**dict(E.QUERIES), **PARITY_QUERIES}
 ALL_ORACLES = {**dict(E.ORACLE), **PARITY_ORACLE}
@@ -491,9 +491,10 @@ _pkill("text_contamination", "operators.sampling", "contamination_hits",
                          "probe", F.upper(F.col("probe"))), **kw)),
        "probe normalization bug: uppercased probes match nothing")
 _pkill("text_adaptive_filter", "operators.sampling", "group_quantiles",
-       # group_quantiles is called positionally — mirror the signature
-       lambda orig: (lambda df, group_col, value_col, quantiles:
-                     orig(df, group_col, value_col, [q * 2 for q in quantiles])),
+       # positional through quantiles; exact=True arrives as a kwarg
+       lambda orig: (lambda df, group_col, value_col, quantiles, **kw:
+                     orig(df, group_col, value_col,
+                          [q * 2 for q in quantiles], **kw)),
        "per-group cut quantile doubled (p10 -> p20): twice the docs "
        "filtered")
 _pkill("mm_payload_stats", "operators.multimodal", "MEDIA_TYPES",
@@ -507,8 +508,9 @@ _pkill("mm_thumbnail", "operators.multimodal", "thumbnail_plan",
 _pkill("sampling_hash_split", "operators.sampling", "hash_split",
        *_kw({"salt": "spl1t"}, "split salt drift")),
 _pkill("sampling_group_quantiles", "operators.sampling", "group_quantiles",
-       lambda orig: (lambda df, group_col, value_col, quantiles:
-                     orig(df, group_col, value_col, quantiles[:-1] + [0.8])),
+       lambda orig: (lambda df, group_col, value_col, quantiles, **kw:
+                     orig(df, group_col, value_col,
+                          quantiles[:-1] + [0.8], **kw)),
        "quantile set mis-set (p90 -> p80)")
 _pkill("analytics_q1_pricing", "operators.analytics", "q1_pricing_summary",
        *_bump("count_order", "group count off by one (value-compare "

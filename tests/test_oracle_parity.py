@@ -23,7 +23,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.parity_registry import PARITY_ORACLE, PARITY_QUERIES  # noqa: E402
-from tools.check_correctness import TABLES, canon  # noqa: E402
+from tests.check_correctness import TABLES, canon  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 

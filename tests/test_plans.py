@@ -352,31 +352,39 @@ def test_cc_iteration_plan_one_join_one_aggregate(spark):
 
 def test_ivf_train_iteration_plan_one_scan_one_aggregate(spark):
     """Pin ivf_train_codebook's per-iteration cost model (r3 VERDICT
-    #6): a scan-local argmin projection feeding ONE grouped aggregate
-    — no join, one exchange carrying k x (dim+1) partial-combined
-    doubles. A refactor that quadratic-ifies an iteration (second
-    scan, join against the codebook, posexplode of components) fails
-    here, not in a benchmark three rounds later."""
+    #6, reshaped r13): the codebook attaches as a ONE-ROW broadcast
+    (BroadcastNestedLoopJoin against model parameters, not data — the
+    r13 form that removed the SQL-text path's O(k*dim) plan-size
+    boundary so the sized path's k ∝ n can train), then a scan-local
+    argmin projection feeds ONE grouped aggregate — exactly one
+    SHUFFLE exchange carrying k x (dim+1) partial-combined doubles. A
+    refactor that quadratic-ifies an iteration (second scan of the
+    DATA, a data-sized join, posexplode of components) fails here,
+    not in a benchmark three rounds later."""
     import re
 
-    from canal_phoenix_adapter_spark.operators.similarity import (
-        _train_iteration_sql,
-    )
+    from canal_phoenix_adapter_spark.operators.similarity import _join_cells
+    from pyspark.sql import functions as F
     from plan_helpers import explain_str, shuffle_count
 
     df = spark.createDataFrame(
         [(float(i), float(i + 1)) for i in range(4)], "a double, b double"
     ).selectExpr("array(a, b) AS __v")
-    df.createOrReplaceTempView("__ivf_plan_pin")
-    try:
-        it = spark.sql(_train_iteration_sql("__ivf_plan_pin", [[0.0, 0.0], [9.0, 9.0]], 2))
-        text = explain_str(it)
-        assert not re.findall(r"\(\d+\) [A-Za-z]*Join\w*", text), text
-        aggs = re.findall(r"\(\d+\) \w*Aggregate\w*", text)
-        assert 1 <= len(aggs) <= 2, aggs
-        assert shuffle_count(it) <= 1
-    finally:
-        spark.catalog.dropTempView("__ivf_plan_pin")
+    it = (
+        _join_cells(df, [[0.0, 0.0], [9.0, 9.0]], "__v", "__cell")
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n"),
+             *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(2)])
+    )
+    text = explain_str(it)
+    joins = re.findall(r"\(\d+\) [A-Za-z]*Join\w*", text)
+    # the one-row codebook broadcast is the ONLY join, and it is the
+    # broadcast form (a shuffled/sort-merge join here would mean the
+    # codebook stopped broadcasting — a data-sized exchange per iter)
+    assert len(joins) == 1 and "BroadcastNestedLoopJoin" in joins[0], joins
+    aggs = re.findall(r"\(\d+\) \w*Aggregate\w*", text)
+    assert 1 <= len(aggs) <= 2, aggs
+    assert shuffle_count(it) <= 1
 
 
 def test_pipeline_corpus_clean_single_join(q):

@@ -57,6 +57,24 @@ def test_asof_backward_picks_latest_at_or_before(spark):
     assert out.count() == left.count()  # left join: every left row kept
 
 
+def test_asof_null_right_ts_matches_nothing(spark):
+    """A NULL right_ts row has UNKNOWN time: `right_ts <= left_ts` is
+    NULL -> no match in SQL/DuckDB ASOF. On the merged timeline it
+    sorted NULLS FIRST ("before everything"), so every left row with
+    no earlier real right row matched the ghost (r13 review,
+    reproduced). NULL left_ts keeps its no-match behavior."""
+    left = spark.createDataFrame([(1, 5, "l1"), (1, None, "lnull")],
+                                 "k long, lts long, lval string")
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 4, "real"), (1, 10, "late")],
+        "k long, rts long, rval string",
+    )
+    out = {r["lval"]: (r["rval"], r["rts"]) for r in
+           asof_join(left, right, on=["k"], left_ts="lts",
+                     right_ts="rts").collect()}
+    assert out == {"l1": ("real", 4), "lnull": (None, None)}
+
+
 def test_asof_forward_picks_earliest_at_or_after(spark):
     left, right = _asof_fixture(spark)
     out = asof_join(

@@ -40,7 +40,7 @@ def test_group_quantiles_exact(spark):
         "g string, v long",
     )
     out = {r["g"]: (r["q_50"], r["q_90"]) for r in
-           sampling.group_quantiles(df, "g", "v", [0.5, 0.9]).collect()}
+           sampling.group_quantiles(df, "g", "v", [0.5, 0.9], exact=True).collect()}
     # ceil-rank percentile_disc: q50 of 1..10 -> rank 5 -> 5; q90 -> rank 9 -> 9
     assert out["a"] == (5, 9)
     assert out["b"] == (42, 42)  # singleton group: every quantile = the value
@@ -57,10 +57,45 @@ def test_group_quantiles_ignores_nulls(spark):
         "g string, v long",
     )
     out = {r["g"]: r["q_50"] for r in
-           sampling.group_quantiles(df, "g", "v", [0.5]).collect()}
+           sampling.group_quantiles(df, "g", "v", [0.5], exact=True).collect()}
     # 4 non-null values, rank ceil(0.5*4)=2 -> 2 (a NULLS FIRST rank
     # over 5 rows would land rank 3 -> wrong value or NULL)
     assert out == {"a": 2}
+
+
+def test_group_quantiles_default_is_approx_no_window(spark):
+    """The DEFAULT path is percentile_approx (r12 verdict: the exact
+    rank window sorts each group in ONE task, measured compounding
+    ~6.4x wall/decade — approx is the governed default, exact the
+    explicit opt-in). Kill: flipping the default back to exact puts a
+    Window (single-task per-group sort) into the default plan; the
+    approx plan must have NONE, and must carry the summary aggregate."""
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [("b", 42), ("b", None)],
+        "g string, v long",
+    )
+    from tests.plan_helpers import explain_str
+
+    default = sampling.group_quantiles(df, "g", "v", [0.5, 0.9])
+    plan = explain_str(default)
+    assert "Window" not in plan and "percentile_approx" in plan
+    exact_plan = explain_str(
+        sampling.group_quantiles(df, "g", "v", [0.5, 0.9], exact=True)
+    )
+    assert "Window" in exact_plan
+    # on small groups the GK summary is exact: same values, same
+    # column names, same group-presence semantics as the exact path
+    out = {r["g"]: (r["q_50"], r["q_90"]) for r in default.collect()}
+    assert out == {"a": (5, 9), "b": (42, 42)}
+
+
+def test_group_quantiles_default_all_null_group_yields_no_row(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None)], "g string, v long"
+    )
+    out = {r["g"]: r["q_50"] for r in
+           sampling.group_quantiles(df, "g", "v", [0.5]).collect()}
+    assert out == {"a": 1}
 
 
 def test_group_quantiles_rejects_colliding_aliases(spark):

@@ -62,53 +62,6 @@ R11_SET = [
 ]
 
 
-_EMB_N: dict[str, int] = {}
-
-
-def _emb_count(spark, d: str) -> int:
-    """Memoized embeddings row count, prewarmed in main() BEFORE the
-    timed loop so the t09_default row times only the dedup plan, not a
-    second table load + count action (r13 ADVICE)."""
-    if d not in _EMB_N:
-        from canal_phoenix_adapter_spark.sources.tables import load_table
-        _EMB_N[d] = load_table(spark, d, "embeddings").count()
-    return _EMB_N[d]
-
-
-def _extra_queries():
-    """Octave-only variants with no registry entry of their own."""
-    from canal_phoenix_adapter_spark.operators import dedup
-    from canal_phoenix_adapter_spark.sources.tables import load_table
-
-    return {
-        # production threshold: witnesses the r10 "output-bound, not
-        # plan decay" adjudication of the 8.6x cos>=0.4 reading
-        "dedup_embedding_cosine_lsh_t09": lambda spark, d:
-            dedup.embedding_near_dup_pairs_lsh(
-                load_table(spark, d, "embeddings"), threshold=0.9,
-                num_planes=16, bands=4, dim=64, max_bucket=None,
-            ).select("id_a", "id_b"),
-        # the sizing discipline's witness (planes ~ log2(n)): 24 planes
-        # = 6/band, sized for the 20k-vector sf1 synth — the r11 t09
-        # row measured FIXED 16 planes going 12x at 10x input (constant
-        # per-band collision rate => candidates ~ n^2), which is what
-        # this knob exists to hold flat
-        "dedup_embedding_cosine_lsh_t09_p24": lambda spark, d:
-            dedup.embedding_near_dup_pairs_lsh(
-                load_table(spark, d, "embeddings"), threshold=0.9,
-                num_planes=24, bands=4, dim=64, max_bucket=None,
-            ).select("id_a", "id_b"),
-        # r11 task 1's done-criterion row: the DEFAULT path (planes
-        # derived from expected_count, band cap ON); a production
-        # caller knows the corpus size as pipeline config
-        "dedup_embedding_cosine_lsh_t09_default": lambda spark, d:
-            dedup.embedding_near_dup_pairs_lsh(
-                load_table(spark, d, "embeddings"), threshold=0.9,
-                dim=64, expected_count=_emb_count(spark, d),
-            ).select("id_a", "id_b"),
-    }
-
-
 def synthesize(src: str, out: str) -> None:
     from canal_phoenix_adapter_spark.operators.text import LANG_MARKERS, STOPWORDS
 
@@ -228,7 +181,7 @@ def main() -> None:
 
     from canal_phoenix_adapter_spark import entry as E
     from canal_phoenix_adapter_spark.session import get_spark
-    from tests.parity_registry import PARITY_QUERIES
+    from tests.parity_registry import OCTAVE_QUERIES, PARITY_QUERIES, emb_count
 
     run_tag = os.environ.get("SPARK_GRAFT_OCTAVE_TAG", "batch-octave")
     names = [
@@ -238,13 +191,13 @@ def main() -> None:
         ).split(",")
         if q.strip()
     ]
-    resolve = {**_extra_queries(), **PARITY_QUERIES, **dict(E.QUERIES)}
+    resolve = {**OCTAVE_QUERIES, **PARITY_QUERIES, **dict(E.QUERIES)}
     queries = {q: resolve[q] for q in names}
 
     spark = get_spark("scale-octave")
-    if any("_default" in q for q in names):
-        for d in (src, out):
-            _emb_count(spark, d)
+    if any(q.endswith(("_default", "_sized")) for q in names):
+        for d in (src, out):  # prewarm: keep the count out of timed cells
+            emb_count(spark, d)
     cells: dict[str, dict] = {q: {"sf0.1": [], "sf1": [], "rows": {}} for q in names}
     for rep in range(reps):
         for q in names:
