@@ -21,6 +21,9 @@ with the LSH buckets before ranking.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the (stringified)
+# pd.Series type hints against module globals at decoration time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -339,19 +342,65 @@ def _join_cells(
     return df.join(cb).withColumn(cell_col, cell).drop("__cb")
 
 
+def _arrow_cells(
+    df: DataFrame, codebook: list[list[float]], vec_col: str, cell_col: str
+) -> DataFrame:
+    """Argmin assignment as an Arrow-batched numpy kernel: one
+    (batch x dim) @ (dim x k) BLAS matmul per Arrow batch instead of
+    k interpreted HOF folds per ROW. This is the repo's one deliberate
+    dense-linear-algebra pandas_udf (Arrow-vectorized — NOT a
+    row-at-a-time Python UDF): at k=1563 x 200k vectors the fold
+    kernel measured 921.9 s where this kernel serves in seconds
+    (SCALE.md r13) — flat-IVF assignment is a dense matmul, and no
+    Column-fold formulation competes with BLAS on it. Distances
+    expand as |x|^2 - 2 x.c + |c|^2 and |x|^2 is argmin-invariant, so
+    only -2 x.c + |c|^2 is computed. Ulp caveat: BLAS summation order
+    differs from the folds' left-to-right, so an EXACT distance tie
+    may assign differently than the fold kernels (measure-zero on
+    q6-quantized codebooks and real data; agreement is unit-pinned on
+    fixtures) — the fold paths remain the bit-pinned oracle
+    reference. NULL vectors map to NULL cells; element-NULL / ragged
+    vectors are the caller's contract (route through nonzero_vecs)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.asarray(codebook, dtype=np.float64)
+    c2 = (m * m).sum(axis=1)
+
+    @pandas_udf("long")
+    def _cell(v: pd.Series) -> pd.Series:
+        out = pd.array([None] * len(v), dtype="Int64")
+        mask = v.notna()
+        if mask.any():
+            x = np.asarray([np.asarray(e, dtype=np.float64) for e in v[mask]])
+            d = c2[None, :] - 2.0 * (x @ m.T)
+            out[np.flatnonzero(mask.to_numpy())] = np.argmin(d, axis=1)
+        return pd.Series(out, dtype="Int64")
+
+    return df.withColumn(cell_col, _cell(F.col(vec_col)))
+
+
 def with_codebook_cells(
     df: DataFrame, codebook: list[list[float]],
     vec_col: str, cell_col: str = "cell",
+    kernel: str | None = None,
 ) -> DataFrame:
     """Attach the trained-quantizer cell, strategy by k: below
     LITERAL_CODEBOOK_MAX the codebook rides into the plan as literal
     fold expressions (scan-local projection, no join — fuses with the
-    scan); above it, the one-row broadcast join (_join_cells). Both
-    produce bit-identical cells; the switch is pure construction
-    cost/plan size."""
+    scan, bit-pinned against the oracle); above it, the Arrow BLAS
+    kernel (_arrow_cells — assignment cost is a dense matmul, where
+    interpreted folds measured ~100x slower at k ∝ n scale).
+    ``kernel``: None = that auto; 'fold' forces the fold reference
+    (literal or one-row-broadcast join by size); 'arrow' forces the
+    BLAS kernel."""
+    if kernel == "arrow":
+        return _arrow_cells(df, codebook, vec_col, cell_col)
     if len(codebook) <= LITERAL_CODEBOOK_MAX:
         return df.withColumn(cell_col, assign_cells(vec_col, codebook))
-    return _join_cells(df, codebook, vec_col, cell_col)
+    if kernel == "fold":
+        return _join_cells(df, codebook, vec_col, cell_col)
+    return _arrow_cells(df, codebook, vec_col, cell_col)
 
 
 def ivf_k_for_corpus(expected_count: int, max_cell: int | None = None) -> int:
@@ -383,6 +432,7 @@ def ivf_train_codebook(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    kernel: str | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
@@ -444,10 +494,17 @@ def ivf_train_codebook(
     codebook = [[float(x) for x in r["v"]] for r in seeds]
     dim = len(codebook[0])
     base = vecs.select(F.col(vec_col).alias("__v")).persist()
+    # assignment strategy mirrors with_codebook_cells: the fold join is
+    # the bit-pinned reference (the oracle-gated k=8 training), the
+    # Arrow BLAS kernel takes over at sized k where folds measured
+    # ~100x slower; ``kernel`` forces either.
+    if kernel is None:
+        kernel = "fold" if k <= LITERAL_CODEBOOK_MAX else "arrow"
+    attach = _join_cells if kernel == "fold" else _arrow_cells
     try:
         for _ in range(iters):
             stats = (
-                _join_cells(base, codebook, "__v", "__cell")
+                attach(base, codebook, "__v", "__cell")
                 .groupBy("__cell")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
@@ -487,7 +544,7 @@ def ann_topk_ivf_trained(
             assign_cells(vec_col, codebook),
             num_queries, k,
         )
-    base = _join_cells(
+    base = with_codebook_cells(
         nonzero_vecs(df, id_col, vec_col), codebook, "v", "__key"
     )
     return _ann_from_base(base, num_queries, k)

@@ -721,11 +721,20 @@ def text_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_features -> exact per-lang quantile (ceil-rank) -> join +
     filter; the cutoff table is one row per language, broadcastable.
     Doubles compare safely because both engines build the identical
-    quality expression (text_quality hash-matches bit-for-bit)."""
+    quality expression (text_quality hash-matches bit-for-bit).
+
+    The scored table q is PERSISTED (narrow: doc_id, lang, quality —
+    never the text): it feeds BOTH the cut aggregation and the final
+    filter, and without the persist the regex-tokenizing quality pass
+    ran TWICE — measured as the DOMINANT decade-2 cost (r13: the
+    unpersisted exact and approx variants both rode ~8-12x at 500k
+    docs, within noise of each other, refuting r12's sort
+    attribution; SCALE.md r13). Cache is caller-owned, _pair_join
+    convention."""
     docs = load_table(spark, sf_dir, "documents")
     q = text_ops.quality_features(docs, "doc_id", "text").join(
         docs.select("doc_id", "lang"), on="doc_id"
-    )
+    ).persist()
     cut = sampling.group_quantiles(q, "lang", "quality", [0.1], exact=True)
     return (
         q.join(F.broadcast(cut), on="lang")
@@ -1030,12 +1039,12 @@ def emb_count(spark: SparkSession, d: str) -> int:
 
 def _adaptive_filter_default(spark: SparkSession, d: str) -> DataFrame:
     # the text_adaptive_filter pipeline with group_quantiles' DEFAULT
-    # (percentile_approx) — the r13 task-1 octave row, vs the exact
-    # config's measured 6.44x/decade single-task sort
+    # (percentile_approx) — the r13 task-1 octave row; persists the
+    # scored table exactly like the parity gate (see its docstring)
     docs = load_table(spark, d, "documents")
     q = text_ops.quality_features(docs, "doc_id", "text").join(
         docs.select("doc_id", "lang"), on="doc_id"
-    )
+    ).persist()
     cut = sampling.group_quantiles(q, "lang", "quality", [0.1])
     return (
         q.join(F.broadcast(cut), on="lang")
@@ -1047,11 +1056,29 @@ def _adaptive_filter_default(spark: SparkSession, d: str) -> DataFrame:
 def _semantic_ivf_sized(spark: SparkSession, d: str) -> DataFrame:
     # the FULL sized path, training included (derive k ∝ n, train,
     # serve) — the r13 task-3 octave row at the scale where the
-    # static 2*dim quantizer measured 7.29x at 103x output
+    # static 2*dim quantizer measured 7.29x at 103x output. Training
+    # is flat Lloyd's at O(n*k) per pass — quadratic when k ∝ n, the
+    # documented one-time boundary (ivf_k_for_corpus docstring); the
+    # _serve twin below isolates the RECURRING cost.
     emb = load_table(spark, d, "embeddings")
     k = similarity.ivf_k_for_corpus(emb_count(spark, d))
     cb = similarity.ivf_train_codebook(emb, k=k)
     return dedup.semantic_dup_pairs_ivf(emb, threshold=0.4, codebook=cb)
+
+
+_CODEBOOK: dict[str, list] = {}
+
+
+def sized_codebook(spark: SparkSession, d: str) -> list:
+    """Memoized derived-k trained codebook per dir — prewarmed by
+    scale_octave.main() so the _serve row times ONLY the recurring
+    serving plan (cell attach + capped within-cell pairs); training is
+    the one-time per-corpus-snapshot cost the full _sized row carries."""
+    if d not in _CODEBOOK:
+        emb = load_table(spark, d, "embeddings")
+        _CODEBOOK[d] = similarity.ivf_train_codebook(
+            emb, k=similarity.ivf_k_for_corpus(emb_count(spark, d)))
+    return _CODEBOOK[d]
 
 
 OCTAVE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1082,4 +1109,9 @@ OCTAVE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ).select("id_a", "id_b"),
     "text_adaptive_filter_approx": _adaptive_filter_default,
     "dedup_semantic_ivf_sized": _semantic_ivf_sized,
+    "dedup_semantic_ivf_sized_serve": lambda spark, d:
+        dedup.semantic_dup_pairs_ivf(
+            load_table(spark, d, "embeddings"), threshold=0.4,
+            codebook=sized_codebook(spark, d),
+        ),
 }

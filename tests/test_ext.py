@@ -784,11 +784,38 @@ def test_join_cells_bit_identical_to_literal_assign(spark):
     assert lit == joined and len(set(lit.values())) > 1
 
 
+def test_arrow_cells_agree_with_fold_kernels(spark):
+    """The Arrow BLAS assignment must agree with BOTH fold kernels
+    (literal expressions and one-row-broadcast join) away from exact
+    distance ties — same argmin, first-min tie rule; and a NULL
+    vector maps to a NULL cell instead of crashing the batch."""
+    cb = [[float((i * 7 + j * 3) % 11) / 7.0 for j in range(8)]
+          for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, [((i * 31 + j) % 17) / 3.0 for j in range(8)])
+         for i in range(60)] + [(99, None)],
+        "vec_id long, embedding array<float>",
+    )
+    arrow = {r["vec_id"]: r["cell"] for r in similarity.with_codebook_cells(
+        df, cb, "embedding", kernel="arrow").select("vec_id", "cell").collect()}
+    fold = {r["vec_id"]: r["cell"] for r in similarity._join_cells(
+        df.where("embedding IS NOT NULL"), cb, "embedding", "cell"
+    ).select("vec_id", "cell").collect()}
+    assert arrow[99] is None
+    assert {i: c for i, c in arrow.items() if i != 99} == fold
+    # training through the arrow kernel reproduces the fold-trained
+    # codebook on tie-free data (q6 quantization absorbs sum order)
+    vecs = df.where("vec_id < 24 AND embedding IS NOT NULL")
+    assert similarity.ivf_train_codebook(vecs, k=2, iters=2, kernel="arrow") \
+        == similarity.ivf_train_codebook(vecs, k=2, iters=2, kernel="fold")
+
+
 def test_sized_ivf_codebook_threads_through_consumers(spark, monkeypatch):
     """The sized path end-to-end on a fixture: derived k, trained
-    codebook, and all three consumers accept it. Forcing the join
-    branch (LITERAL_CODEBOOK_MAX=0) must not change any result —
-    kills a mutation that breaks the large-k branch only."""
+    codebook, and all three consumers accept it. Forcing the large-k
+    branch (LITERAL_CODEBOOK_MAX=0 -> the Arrow kernel under the auto
+    policy) must not change any result — kills a mutation that breaks
+    the large-k branch only."""
     rows = [(i, [5.0 if i % 2 else -5.0] * 4) for i in range(24)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cb = similarity.ivf_train_codebook(df, k=2, iters=2)

@@ -195,9 +195,14 @@ def main() -> None:
     queries = {q: resolve[q] for q in names}
 
     spark = get_spark("scale-octave")
-    if any(q.endswith(("_default", "_sized")) for q in names):
+    if any(q.endswith(("_default", "_sized", "_serve")) for q in names):
         for d in (src, out):  # prewarm: keep the count out of timed cells
             emb_count(spark, d)
+    if any(q.endswith("_serve") for q in names):
+        from tests.parity_registry import sized_codebook
+
+        for d in (src, out):  # prewarm: train once, untimed (see fn doc)
+            sized_codebook(spark, d)
     cells: dict[str, dict] = {q: {"sf0.1": [], "sf1": [], "rows": {}} for q in names}
     for rep in range(reps):
         for q in names:
