@@ -65,11 +65,24 @@ R11_SET = [
 def synthesize(src: str, out: str) -> None:
     from canal_phoenix_adapter_spark.operators.text import LANG_MARKERS, STOPWORDS
 
+    # SPARK_GRAFT_OCTAVE_TABLES=documents,embeddings bounds a CHAINED
+    # decade to the tables its query set reads: decade 3 multiplies
+    # lineitem to 600M pandas rows nobody scans (the stamp records the
+    # subset, so a filtered dir is never reused as a full one)
+    only = {t for t in os.environ.get(
+        "SPARK_GRAFT_OCTAVE_TABLES", "").split(",") if t}
+
+    def want(t: str) -> bool:
+        return not only or t in only
+
     keep = set(STOPWORDS) | {m for ms in LANG_MARKERS.values() for m in ms}
     os.makedirs(out, exist_ok=True)
-    docs = pd.read_parquet(f"{src}/documents.parquet")
-    parts = [docs]
-    for k in range(1, FACTOR):
+    if not want("documents"):
+        docs = None
+    else:
+        docs = pd.read_parquet(f"{src}/documents.parquet")
+    parts = [docs] if docs is not None else []
+    for k in range(1, FACTOR) if docs is not None else []:
         c = docs.copy()
         c["doc_id"] += k * OFF
         sfx = f"~{k}"
@@ -80,13 +93,14 @@ def synthesize(src: str, out: str) -> None:
         )
         c["n_chars"] = c["text"].map(lambda t: 0 if t is None else len(t))
         parts.append(c)
-    pd.concat(parts, ignore_index=True).to_parquet(f"{out}/documents.parquet")
+    if parts:
+        pd.concat(parts, ignore_index=True).to_parquet(f"{out}/documents.parquet")
 
-    emb = pd.read_parquet(f"{src}/embeddings.parquet")
-    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    dim = vecs.shape[1]
-    eparts = [emb]
-    for k in range(1, FACTOR):
+    emb = pd.read_parquet(f"{src}/embeddings.parquet") if want("embeddings") else None
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64) if emb is not None else None
+    dim = vecs.shape[1] if emb is not None else 0
+    eparts = [emb] if emb is not None else []
+    for k in range(1, FACTOR) if emb is not None else []:
         ids = emb["vec_id"].to_numpy() + k * OFF
         # per-copy SIGNED PERMUTATION (an orthogonal transform): every
         # within-copy cosine is preserved exactly, so the near-dup pair
@@ -103,7 +117,8 @@ def synthesize(src: str, out: str) -> None:
             "embedding": list((vecs[:, perm] * signs).astype(np.float32)),
             "label": emb["label"].to_numpy(),
         }))
-    pd.concat(eparts, ignore_index=True).to_parquet(f"{out}/embeddings.parquet")
+    if eparts:
+        pd.concat(eparts, ignore_index=True).to_parquet(f"{out}/embeddings.parquet")
 
     # facts scale; dims that stay small at 100 TB (nation/region/
     # supplier) deliberately do NOT — the realistic shape. orderkey/
@@ -117,6 +132,8 @@ def synthesize(src: str, out: str) -> None:
         "customer": ["c_custkey"],
     }
     for tbl, cols in keys.items():
+        if not want(tbl):
+            continue
         t = pd.read_parquet(f"{src}/{tbl}.parquet")
         parts_t = [t]
         for k in range(1, FACTOR):
@@ -131,11 +148,14 @@ def synthesize(src: str, out: str) -> None:
     import shutil
 
     for tbl in ("region", "nation", "supplier"):
-        shutil.copyfile(f"{src}/{tbl}.parquet", f"{out}/{tbl}.parquet")
+        if want(tbl):
+            shutil.copyfile(f"{src}/{tbl}.parquet", f"{out}/{tbl}.parquet")
 
     # events: user_id/event_id domains offset per copy (per-key series
     # and CDC per-key change-chains replicate; ts kept, so the asof
     # time axis and keep-last ordering are preserved within each copy)
+    if not want("events"):
+        return
     ev = pd.read_parquet(f"{src}/events.parquet")
     eveparts = [ev]
     for k in range(1, FACTOR):
@@ -163,6 +183,9 @@ def main() -> None:
     # as sf1) is regenerated instead of silently measured. An
     # unreadable marker is just as stale (r10 fix-review).
     stamp = f"{SYNTH_TAG}:{src}"
+    tables = os.environ.get("SPARK_GRAFT_OCTAVE_TABLES", "")
+    if tables:
+        stamp += f":{tables}"
     try:
         with open(marker) as f:
             stale = f.read() != stamp
