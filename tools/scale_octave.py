@@ -66,9 +66,9 @@ def synthesize(src: str, out: str) -> None:
     from canal_phoenix_adapter_spark.operators.text import LANG_MARKERS, STOPWORDS
 
     # SPARK_GRAFT_OCTAVE_TABLES=documents,embeddings bounds a CHAINED
-    # decade to the tables its query set reads: decade 3 multiplies
-    # lineitem to 600M pandas rows nobody scans (the stamp records the
-    # subset, so a filtered dir is never reused as a full one)
+    # decade to the tables its query set reads (decade 3 would multiply
+    # lineitem to 600M pandas rows nobody scans); the stamp records the
+    # subset, so a filtered dir is never reused as a full one.
     only = {t for t in os.environ.get(
         "SPARK_GRAFT_OCTAVE_TABLES", "").split(",") if t}
 
@@ -77,10 +77,7 @@ def synthesize(src: str, out: str) -> None:
 
     keep = set(STOPWORDS) | {m for ms in LANG_MARKERS.values() for m in ms}
     os.makedirs(out, exist_ok=True)
-    if not want("documents"):
-        docs = None
-    else:
-        docs = pd.read_parquet(f"{src}/documents.parquet")
+    docs = pd.read_parquet(f"{src}/documents.parquet") if want("documents") else None
     parts = [docs] if docs is not None else []
     for k in range(1, FACTOR) if docs is not None else []:
         c = docs.copy()
@@ -182,10 +179,8 @@ def main() -> None:
     # sf0.001 — r11 review: the tag-only marker silently measured it
     # as sf1) is regenerated instead of silently measured. An
     # unreadable marker is just as stale (r10 fix-review).
-    stamp = f"{SYNTH_TAG}:{src}"
     tables = os.environ.get("SPARK_GRAFT_OCTAVE_TABLES", "")
-    if tables:
-        stamp += f":{tables}"
+    stamp = f"{SYNTH_TAG}:{src}" + (f":{tables}" if tables else "")
     try:
         with open(marker) as f:
             stale = f.read() != stamp
