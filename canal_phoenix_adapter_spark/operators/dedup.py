@@ -927,11 +927,12 @@ def semantic_dup_pairs_ivf(
             nonzero_vecs(df, id_col, vec_col), codebook, "v", "cell"
         )
     if max_bucket is not None:
-        # broadcast_hot: the cell universe is bounded by the quantizer
-        # (2*dim ids), so the hot-cell anti-join side is a genuinely
-        # constant-size broadcast; the vector-carrying table is
-        # filtered in place, never shuffled (the cap's aggregate reads
-        # a cell-only projection — vectors pruned).
+        # broadcast_hot: the over-cap key set is bounded by n/max_bucket
+        # (static quantizer: <= 2*dim cells; sized codebook: k grows with
+        # n but only cells EXCEEDING the cap are broadcast), so the
+        # hot-cell anti-join side stays a small broadcast; the
+        # vector-carrying table is filtered in place, never shuffled
+        # (the cap's aggregate reads a cell-only projection).
         v = _cap_bucket_size(v, ["cell"], max_bucket, broadcast_hot=True)
     return _ab_cosine_pairs(
         v.alias("a").join(v.alias("b"), on="cell")

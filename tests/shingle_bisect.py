@@ -4,7 +4,7 @@ every cross-session variable the per-round bench cannot: ONE Spark
 session, strictly interleaved samples (A,B,A,B per round so host
 drift hits both arms equally), the same harness timing both arms.
 
-Usage: python tools/shingle_bisect.py [R3_TREE] [HEAD_TREE] [N_ROUNDS]
+Usage: python tests/shingle_bisect.py [R3_TREE] [HEAD_TREE] [N_ROUNDS]
 (defaults /tmp/r3tree /root/repo 7). Prints one JSON line:
 {"queries": {name: {"r3": {...}, "head": {...}, "delta_pct": x}}},
 where "r3" is the FIRST tree argument and "head" the second, plus

@@ -352,30 +352,53 @@ def test_cc_iteration_plan_one_join_one_aggregate(spark):
 
 def test_ivf_train_iteration_plan_one_scan_one_aggregate(spark):
     """Pin ivf_train_codebook's per-iteration cost model (r3 VERDICT
-    #6, reshaped r13): the codebook attaches as a ONE-ROW broadcast
-    (BroadcastNestedLoopJoin against model parameters, not data — the
-    r13 form that removed the SQL-text path's O(k*dim) plan-size
-    boundary so the sized path's k ∝ n can train), then a scan-local
-    argmin projection feeds ONE grouped aggregate — exactly one
-    SHUFFLE exchange carrying k x (dim+1) partial-combined doubles. A
-    refactor that quadratic-ifies an iteration (second scan of the
+    #6, reshaped r13/r14). Two strategies by k, mirroring serving:
+
+    - small k (the default gate training, r14): the iteration is ONE
+      SQL string (_train_iteration_sql) — ZERO joins, a scan-local
+      argmin projection feeding ONE grouped aggregate / one shuffle of
+      k x (dim+1) partial-combined doubles. Resurrected after r13
+      routed every train through the Column-composed broadcast join
+      and the k=8 gate paid 1.70x at bench — adjudicated r14 to
+      driver-side py4j plan CONSTRUCTION, not the join itself.
+    - sized k (kernel='fold' reference): the codebook attaches as a
+      ONE-ROW broadcast (BroadcastNestedLoopJoin against model
+      parameters, not data — no O(k*dim) plan text, so k ∝ n trains).
+
+    A refactor that quadratic-ifies an iteration (second scan of the
     DATA, a data-sized join, posexplode of components) fails here,
     not in a benchmark three rounds later."""
     import re
 
-    from canal_phoenix_adapter_spark.operators.similarity import _join_cells
+    from canal_phoenix_adapter_spark.operators.similarity import (
+        _join_cells, _train_iteration_sql,
+    )
     from pyspark.sql import functions as F
     from plan_helpers import explain_str, shuffle_count
 
     df = spark.createDataFrame(
         [(float(i), float(i + 1)) for i in range(4)], "a double, b double"
     ).selectExpr("array(a, b) AS __v")
-    it = (
-        _join_cells(df, [[0.0, 0.0], [9.0, 9.0]], "__v", "__cell")
-        .groupBy("__cell")
-        .agg(F.count(F.lit(1)).alias("n"),
-             *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(2)])
-    )
+    cb = [[0.0, 0.0], [9.0, 9.0]]
+
+    def _iter(assigned):
+        return assigned.groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(2)],
+        )
+
+    # small-k SQL-text iteration: NO join of any kind, one aggregate
+    df.createOrReplaceTempView("__ivf_plan_pin")
+    try:
+        lit_it = spark.sql(_train_iteration_sql("__ivf_plan_pin", cb, 2))
+        lit_text = explain_str(lit_it)
+        assert not re.findall(r"\(\d+\) [A-Za-z]*Join\w*", lit_text), lit_text
+        assert 1 <= len(re.findall(r"\(\d+\) \w*Aggregate\w*", lit_text)) <= 2
+        assert shuffle_count(lit_it) <= 1
+    finally:
+        spark.catalog.dropTempView("__ivf_plan_pin")
+
+    it = _iter(_join_cells(df, cb, "__v", "__cell"))
     text = explain_str(it)
     joins = re.findall(r"\(\d+\) [A-Za-z]*Join\w*", text)
     # the one-row codebook broadcast is the ONLY join, and it is the
