@@ -912,20 +912,12 @@ def semantic_dup_pairs_ivf(
     a boilerplate filter. SIZING: over-cap cells DROP (recall falls,
     cost never goes n^2) — once n/k nears the cap, grow k with the
     corpus: ``codebook`` is that SIZED path (k = ivf_k_for_corpus(n),
-    trained via ivf_train_codebook); same plan, cell := centroid."""
-    from canal_phoenix_adapter_spark.operators.similarity import (
-        ivf_cell_expr,
-        nonzero_vecs,
-        with_codebook_cells,
-    )
+    trained via ivf_train_codebook); same plan, cell := centroid.
+    ivf_cell_occupancy reports what the cap is dropping — the loud
+    recall-decay signal the LSH family gets from its sizing refusal."""
+    from canal_phoenix_adapter_spark.operators.similarity import ivf_cells_base
 
-    if codebook is None:
-        v = nonzero_vecs(df, id_col, vec_col,
-                         ivf_cell_expr(vec_col).alias("cell"))
-    else:
-        v = with_codebook_cells(
-            nonzero_vecs(df, id_col, vec_col), codebook, "v", "cell"
-        )
+    v = ivf_cells_base(df, id_col, vec_col, codebook)
     if max_bucket is not None:
         # broadcast_hot: the over-cap key set is bounded by n/max_bucket
         # (static quantizer: <= 2*dim cells; sized codebook: k grows with
@@ -939,6 +931,66 @@ def semantic_dup_pairs_ivf(
         .where(F.col("a.id") < F.col("b.id")),
         threshold,
     ).select("id_a", "id_b")
+
+
+def ivf_cell_occupancy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = DEFAULT_IVF_MAX_CELL,
+    codebook: list[list[float]] | None = None,
+) -> dict:
+    """Make the IVF cap's silent recall decay LOUD (r13 VERDICT #2):
+    one aggregate pass over the SAME cells semantic_dup_pairs_ivf /
+    knn_join_ivf route through (ivf_cells_base — same quantizer, same
+    cap key), reporting how much of the corpus the over-cap drop is
+    discarding. The LSH family refuses unsized calls at construction
+    time; IVF training is a Spark action, so a construction-time
+    refusal is impossible — this witness is the symmetric governance:
+    run it at the corpus's growth cadence and grow k via
+    ivf_k_for_corpus once dropped_fraction leaves zero. warnings.warn
+    (RuntimeWarning) fires whenever anything is dropped, so the decay
+    is loud even when the caller ignores the return value. Cost: one
+    cell-projection aggregate (two map-side-combined exchanges of
+    <= cells rows) — run deliberately, never inside plan construction.
+    Returns rows / cells / mean_cell / max_cell / dropped_cells /
+    dropped_rows / dropped_fraction."""
+    from canal_phoenix_adapter_spark.operators.similarity import ivf_cells_base
+
+    per = (
+        ivf_cells_base(df, id_col, vec_col, codebook)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("__bs"))
+    )
+    over = F.lit(False) if max_bucket is None else F.col("__bs") > max_bucket
+    r = per.agg(
+        F.sum("__bs").alias("rows"),
+        F.count(F.lit(1)).alias("cells"),
+        F.max("__bs").alias("max_cell"),
+        F.sum(F.when(over, F.col("__bs")).otherwise(0)).alias("dropped_rows"),
+        F.sum(over.cast("int")).alias("dropped_cells"),
+    ).collect()[0]
+    rows = r["rows"] or 0
+    rep = {
+        "rows": rows,
+        "cells": r["cells"],
+        "mean_cell": rows / r["cells"] if r["cells"] else 0.0,
+        "max_cell": r["max_cell"] or 0,
+        "dropped_cells": r["dropped_cells"] or 0,
+        "dropped_rows": r["dropped_rows"] or 0,
+        "dropped_fraction": (r["dropped_rows"] or 0) / rows if rows else 0.0,
+    }
+    if rep["dropped_fraction"] > 0:
+        import warnings
+
+        warnings.warn(
+            f"IVF cap {max_bucket} drops {rep['dropped_rows']}/{rows} vectors"
+            f" ({rep['dropped_fraction']:.1%}) across {rep['dropped_cells']}"
+            f" over-cap cells — recall is decaying; size the quantizer"
+            f" (k = ivf_k_for_corpus(n)) and retrain",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return rep
 
 
 def ngram_overlap_contamination(

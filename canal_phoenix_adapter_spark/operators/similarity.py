@@ -558,6 +558,24 @@ def ivf_train_codebook(
     return codebook
 
 
+def ivf_cells_base(
+    df: DataFrame, id_col: str, vec_col: str,
+    codebook: list[list[float]] | None = None, cell_col: str = "cell",
+) -> DataFrame:
+    """The (id, v, nrm, cell) scan base shared by every IVF consumer
+    (semantic_dup_pairs_ivf / knn_join_ivf / ivf_cell_occupancy):
+    static 2*dim quantizer when ``codebook`` is None, trained cells
+    via with_codebook_cells' k-split otherwise. One definition so the
+    occupancy witness measures EXACTLY the cells the pair/knn joins
+    route through."""
+    if codebook is None:
+        return nonzero_vecs(df, id_col, vec_col,
+                            ivf_cell_expr(vec_col).alias(cell_col))
+    return with_codebook_cells(
+        nonzero_vecs(df, id_col, vec_col), codebook, "v", cell_col
+    )
+
+
 def ann_topk_ivf_trained(
     df: DataFrame,
     codebook: list[list[float]],
@@ -605,14 +623,9 @@ def knn_join_ivf(
 
     ``codebook``: the SIZED path — a trained quantizer (k from
     ivf_k_for_corpus) replaces the static 2*dim cell, keeping mean
-    cell size bounded as the corpus grows."""
-    if codebook is None:
-        base = nonzero_vecs(df, id_col, vec_col,
-                            ivf_cell_expr(vec_col).alias("cell"))
-    else:
-        base = with_codebook_cells(
-            nonzero_vecs(df, id_col, vec_col), codebook, "v", "cell"
-        )
+    cell size bounded as the corpus grows. dedup.ivf_cell_occupancy
+    reports what the cap is dropping (the loud recall-decay signal)."""
+    base = ivf_cells_base(df, id_col, vec_col, codebook)
     if max_bucket is not None:
         from canal_phoenix_adapter_spark.operators.dedup import _cap_bucket_size
 

@@ -861,6 +861,46 @@ def test_sized_ivf_codebook_threads_through_consumers(spark, monkeypatch):
             .collect()} == knn
 
 
+def test_ivf_cell_occupancy_makes_cap_drop_loud(spark):
+    """r13 VERDICT #2 (IVF governance asymmetry): a degenerate corpus
+    — every vector in one cell, cell size over the cap — silently
+    produces ZERO pairs from semantic_dup_pairs_ivf; ivf_cell_occupancy
+    must report that exact drop (fraction 1.0) AND warn, while a
+    healthy corpus reports 0.0 with no warning. Also pins that the
+    witness counts the SAME cells the pair join routes through
+    (ivf_cells_base: zero-norm rows excluded from both)."""
+    import warnings
+
+    import pytest
+
+    # 40 identical vectors + 1 zero-norm row (dropped by nonzero_vecs)
+    bad = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)] + [(99, [0.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.warns(RuntimeWarning, match="recall is decaying"):
+        rep = dedup.ivf_cell_occupancy(bad, max_bucket=8)
+    assert rep["rows"] == 40 and rep["cells"] == 1
+    assert rep["max_cell"] == 40 and rep["dropped_cells"] == 1
+    assert rep["dropped_rows"] == 40 and rep["dropped_fraction"] == 1.0
+    # the silent failure the witness exists for: cap ON -> zero pairs
+    assert dedup.semantic_dup_pairs_ivf(bad, max_bucket=8).count() == 0
+
+    ok = spark.createDataFrame(
+        [(i, [5.0 if i % 2 else -5.0] * 4) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rep = dedup.ivf_cell_occupancy(ok, max_bucket=8)
+    assert rep["dropped_fraction"] == 0.0 and rep["dropped_rows"] == 0
+    assert rep["cells"] == 2 and rep["mean_cell"] == 6.0
+    # sized path accepted: trained codebook routes the same reporter
+    cb = similarity.ivf_train_codebook(ok, k=2, iters=1)
+    rep = dedup.ivf_cell_occupancy(ok, max_bucket=8, codebook=cb)
+    assert rep["rows"] == 12 and rep["dropped_fraction"] == 0.0
+
+
 def test_ivf_train_codebook_unusable_vector_and_short_corpus_guards(spark):
     """Untrainable rows drop under nonzero_vecs' own predicate
     (norm > 0): NULL vectors poisoned a seed (float(None)), and an
