@@ -359,18 +359,24 @@ def _arrow_cells(
     may assign differently than the fold kernels (measure-zero on
     q6-quantized codebooks and real data; agreement is unit-pinned on
     fixtures) — the fold paths remain the bit-pinned oracle
-    reference. NULL vectors map to NULL cells; element-NULL / ragged
-    vectors are the caller's contract (route through nonzero_vecs)."""
+    reference. NULL and wrong-width (ragged) vectors map to NULL
+    cells, matching the fold kernels (their zip_with pads the short
+    side with NULLs and the distance folds to NULL — r14 review:
+    nonzero_vecs does NOT screen width, so a ragged row reaches every
+    kernel, and before this guard it crashed the whole Arrow batch
+    where the folds returned NULL); element-NULL vectors never reach
+    the kernel (nonzero_vecs' norm predicate is NULL for them)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     m = np.asarray(codebook, dtype=np.float64)
     c2 = (m * m).sum(axis=1)
+    dim = m.shape[1]
 
     @pandas_udf("long")
     def _cell(v: pd.Series) -> pd.Series:
         out = pd.array([None] * len(v), dtype="Int64")
-        mask = v.notna()
+        mask = v.map(lambda e: e is not None and len(e) == dim)
         if mask.any():
             x = np.asarray([np.asarray(e, dtype=np.float64) for e in v[mask]])
             d = c2[None, :] - 2.0 * (x @ m.T)
@@ -393,7 +399,10 @@ def with_codebook_cells(
     interpreted folds measured ~100x slower at k ∝ n scale).
     ``kernel``: None = that auto; 'fold' forces the fold reference
     (literal or one-row-broadcast join by size); 'arrow' forces the
-    BLAS kernel."""
+    BLAS kernel. Anything else refuses loudly (r14 review: a typo'd
+    kernel silently rode the auto policy)."""
+    if kernel not in (None, "arrow", "fold"):
+        raise ValueError(f"kernel must be None, 'arrow' or 'fold': {kernel!r}")
     if kernel == "arrow":
         return _arrow_cells(df, codebook, vec_col, cell_col)
     if len(codebook) <= LITERAL_CODEBOOK_MAX:
@@ -503,6 +512,9 @@ def ivf_train_codebook(
     drift by ulps and flip argmin near-ties — rounding makes the
     trained codebook bit-stable across layouts."""
     import math
+
+    if kernel not in (None, "arrow", "fold"):
+        raise ValueError(f"kernel must be None, 'arrow' or 'fold': {kernel!r}")
 
     def _q6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6

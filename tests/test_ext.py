@@ -861,6 +861,36 @@ def test_sized_ivf_codebook_threads_through_consumers(spark, monkeypatch):
             .collect()} == knn
 
 
+def test_arrow_cells_ragged_vector_matches_fold_null_cell(spark):
+    """r14 fresh-surface review finding (REPRODUCED then fixed):
+    nonzero_vecs does NOT screen vector width, so a ragged row (wrong
+    dim, positive norm) reaches every kernel. The fold kernels assign
+    it a NULL cell (zip_with pads -> distance folds to NULL); the
+    Arrow kernel CRASHED the whole batch (np object-array matmul).
+    All three kernels must now agree: ragged -> NULL cell. Also pins
+    the new loud refusal of a typo'd kernel name."""
+    import pytest
+
+    cb = [[0.0] * 4, [9.0] * 4]
+    df = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, [1.0, 1.0]), (2, [1.0] * 6), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    nz = similarity.nonzero_vecs(df, "vec_id", "embedding")
+    want = {0: 0, 1: None, 2: None}
+    for kern in ("fold", "arrow"):
+        got = {r["id"]: r["cell"] for r in similarity.with_codebook_cells(
+            nz, cb, "v", kernel=kern).select("id", "cell").collect()}
+        assert got == want, (kern, got)
+    got = {r["id"]: r["cell"] for r in similarity._join_cells(
+        nz, cb, "v", "cell").select("id", "cell").collect()}
+    assert got == want, got
+    with pytest.raises(ValueError, match="kernel"):
+        similarity.with_codebook_cells(nz, cb, "v", kernel="Arrow")
+    with pytest.raises(ValueError, match="kernel"):
+        similarity.ivf_train_codebook(df, k=2, iters=1, kernel="blas")
+
+
 def test_ivf_cell_occupancy_makes_cap_drop_loud(spark):
     """r13 VERDICT #2 (IVF governance asymmetry): a degenerate corpus
     — every vector in one cell, cell size over the cap — silently
