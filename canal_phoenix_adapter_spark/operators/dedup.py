@@ -257,8 +257,8 @@ def _cap_bucket_size(
     away — not a count-over-window, which would shuffle AND sort the
     full row table just to attach a count it then filters on.
     ``broadcast_hot`` forces the hot-key side broadcast; set it only
-    when the key universe is genuinely bounded (e.g. IVF cells:
-    2*dim ids) — AQE decides otherwise."""
+    when the over-cap key set is genuinely small (IVF cells: bounded
+    by n/max_bucket either quantizer) — AQE decides otherwise."""
     bad = (
         df.select(*key_cols)
         .groupBy(*key_cols)

@@ -318,6 +318,9 @@ LITERAL_CODEBOOK_MAX = 64  # measured: F.lit-array construction 2.2 s
 # at k=64 but 7.8 s at k=256 and 37 s at k=1024 (driver-side literal
 # conversion is O(k*dim)); past this, the codebook travels as DATA.
 
+ARROW_CELL_CHUNK_ELEMS = 1 << 24  # ~134 MB float64 distance block;
+# bounds _arrow_cells' per-worker peak independent of k (see kernel)
+
 
 def _join_cells(
     df: DataFrame, codebook: list[list[float]], vec_col: str, cell_col: str
@@ -372,15 +375,25 @@ def _arrow_cells(
     m = np.asarray(codebook, dtype=np.float64)
     c2 = (m * m).sum(axis=1)
     dim = m.shape[1]
+    # Row-chunk so the distance block stays ~O(ARROW_CELL_CHUNK_ELEMS)
+    # doubles PER WORKER regardless of k: unchunked, a 10k-row Arrow
+    # batch at sized k=15625 peaks ~2.5 GB/worker (x 32 workers
+    # alongside the 48g JVM — OOM territory), and memory must not
+    # scale with batch x k when k ∝ n. Per-row argmin is unaffected
+    # by row blocking; agreement stays pinned.
+    rows_per = max(1, ARROW_CELL_CHUNK_ELEMS // len(codebook))
 
     @pandas_udf("long")
     def _cell(v: pd.Series) -> pd.Series:
         out = pd.array([None] * len(v), dtype="Int64")
         mask = v.map(lambda e: e is not None and len(e) == dim)
-        if mask.any():
-            x = np.asarray([np.asarray(e, dtype=np.float64) for e in v[mask]])
+        idx = np.flatnonzero(mask.to_numpy())
+        vals = v[mask]
+        for lo in range(0, len(idx), rows_per):
+            sel = vals.iloc[lo:lo + rows_per]
+            x = np.asarray([np.asarray(e, dtype=np.float64) for e in sel])
             d = c2[None, :] - 2.0 * (x @ m.T)
-            out[np.flatnonzero(mask.to_numpy())] = np.argmin(d, axis=1)
+            out[idx[lo:lo + rows_per]] = np.argmin(d, axis=1)
         return pd.Series(out, dtype="Int64")
 
     return df.withColumn(cell_col, _cell(F.col(vec_col)))
@@ -536,7 +549,22 @@ def ivf_train_codebook(
         )
     codebook = [[float(x) for x in r["v"]] for r in seeds]
     dim = len(codebook[0])
-    base = vecs.select(F.col(vec_col).alias("__v")).persist()
+    # Ragged rows (wrong width, positive norm) pass the norm guard but
+    # ABORT the training job under ANSI mode: the update step's
+    # component sums index __v[i] past a short vector's end
+    # (INVALID_ARRAY_INDEX — measured r14, all three kernels). Serving
+    # assigns them a NULL cell; training's equivalent is contributing
+    # to no centroid, i.e. exclusion. Mixed-width SEEDS mean the
+    # first-seed dim was arbitrary — refuse loudly instead.
+    if any(len(c) != dim for c in codebook):
+        raise ValueError(
+            f"ragged corpus: seed vector widths differ "
+            f"({sorted({len(c) for c in codebook})}); one width required"
+        )
+    base = (
+        vecs.where(F.size(F.col(vec_col)) == dim)
+        .select(F.col(vec_col).alias("__v")).persist()
+    )
     sql_text = kernel != "arrow" and k <= LITERAL_CODEBOOK_MAX
     if sql_text:
         view = f"__ivf_train_{id(base)}"

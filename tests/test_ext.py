@@ -806,7 +806,7 @@ def test_ivf_train_small_k_avoids_column_composed_join(spark, monkeypatch):
     assert similarity.ivf_train_codebook(df, k=2, iters=2) == via_join
 
 
-def test_arrow_cells_agree_with_fold_kernels(spark):
+def test_arrow_cells_agree_with_fold_kernels(spark, monkeypatch):
     """The Arrow BLAS assignment must agree with BOTH fold kernels
     (literal expressions and one-row-broadcast join) away from exact
     distance ties — same argmin, first-min tie rule; and a NULL
@@ -825,6 +825,14 @@ def test_arrow_cells_agree_with_fold_kernels(spark):
     ).select("vec_id", "cell").collect()}
     assert arrow[99] is None
     assert {i: c for i, c in arrow.items() if i != 99} == fold
+    # row-chunked kernel (sized-k memory bound, r14) assigns
+    # identically: force many chunks per batch and compare
+    monkeypatch.setattr(similarity, "ARROW_CELL_CHUNK_ELEMS", 13)
+    chunked = {r["vec_id"]: r["cell"]
+               for r in similarity.with_codebook_cells(
+                   df, cb, "embedding", kernel="arrow")
+               .select("vec_id", "cell").collect()}
+    assert chunked == arrow
     # training through the arrow kernel reproduces the fold-trained
     # codebook on tie-free data (q6 quantization absorbs sum order)
     vecs = df.where("vec_id < 24 AND embedding IS NOT NULL")
@@ -948,6 +956,32 @@ def test_ivf_train_codebook_unusable_vector_and_short_corpus_guards(spark):
     assert len(cb) == 2 and all(len(c) == 2 for c in cb)
     with pytest.raises(ValueError, match="positive-norm"):
         similarity.ivf_train_codebook(df, k=3, iters=1)
+
+
+def test_ivf_train_codebook_survives_ragged_vectors(spark):
+    """r14 follow-up review of the resurrected training paths: a
+    ragged row (wrong width, POSITIVE norm) passes the norm guard and
+    ABORTED the training job on every kernel — ANSI INVALID_ARRAY_INDEX
+    from the update step's __v[i] component sums, measured live on all
+    three. Training must instead exclude wrong-width rows (serving's
+    equivalent: NULL cell, contributes to no centroid) and yield the
+    codebook the clean corpus yields, on every kernel; mixed-width
+    SEEDS (the declared dim itself is ambiguous) refuse loudly."""
+    import pytest
+
+    rows = [(i, [((i * 31 + j) % 17) / 3.0 + (5.0 if i % 2 else -5.0)
+                 for j in range(4)]) for i in range(20)]
+    schema = "vec_id long, embedding array<float>"
+    ref = similarity.ivf_train_codebook(
+        spark.createDataFrame(rows, schema), k=2, iters=2)
+    dirty = spark.createDataFrame(
+        rows + [(100, [1.0, 2.0]), (101, [1.0] * 6)], schema)
+    for kern in (None, "fold", "arrow"):
+        assert similarity.ivf_train_codebook(
+            dirty, k=2, iters=2, kernel=kern) == ref, kern
+    bad_seed = spark.createDataFrame([(0, [1.0, 2.0])] + rows, schema)
+    with pytest.raises(ValueError, match="ragged"):
+        similarity.ivf_train_codebook(bad_seed, k=2, iters=1)
 
 
 def test_ivf_trained_codebook_and_ann(spark):
