@@ -61,6 +61,63 @@ def old_key_exprs(
     ]
 
 
+def key_changed_expr(
+    columns: list[str], pk: list[str], old_prefix: str = "old_"
+) -> F.Column:
+    """True iff the row's old_<pk> columns mark a PK-changing UPDATE
+    (old key present and different) — THE death-row predicate, shared
+    by collapse_changes' timeline and touched_keys' key set so the two
+    can never disagree on which old keys an epoch touches."""
+    key_changed = F.lit(False)
+    for k in pk:
+        if (old_prefix + k) in columns:
+            key_changed = key_changed | (
+                F.col(old_prefix + k).isNotNull()
+                & ~F.col(old_prefix + k).eqNullSafe(F.col(k))
+            )
+    return key_changed
+
+
+def touched_keys(
+    changes: DataFrame,
+    pk: list[str],
+    op_col: str = "op",
+    old_prefix: str = "old_",
+) -> DataFrame:
+    """Distinct keys a (pre-filtered) change batch touches: every
+    row's main key, plus the old key of PK-changing creates (the death
+    row's landing spot). This is EXACTLY collapse_changes' timeline
+    key set — pinned by test — derived without the max_by aggregate:
+    the anti join's touched side then ships only the pk columns
+    through one map-side-combined distinct instead of re-running the
+    full collapse (shuffle + max_by over the image payload) a second
+    time inside the broadcast build. At 100 TB the broadcast-build
+    pass moves keys, never row images.
+
+    Caller contract (merge_cdc): ``changes`` already has TRUNCATE/
+    DDL/unknown-op rows filtered out, like collapse_changes' input.
+    The key set must stay EXACTLY equal to the collapse's: a superset
+    would anti-join away state rows no survivor re-adds (silent row
+    loss), a subset would duplicate keys."""
+    op = F.upper(F.col(op_col))
+    is_create = op.isin(OP_INSERT, OP_UPDATE)
+    old_cols = [old_prefix + k for k in pk]
+    main = F.struct(*[F.col(k).alias(k) for k in pk])
+    if any(c in changes.columns for c in old_cols):
+        death = F.struct(*[
+            e.alias(k)
+            for e, k in zip(old_key_exprs(changes.columns, pk, old_prefix), pk)
+        ])
+        entries = F.when(
+            is_create & key_changed_expr(changes.columns, pk, old_prefix),
+            F.array(main, death),
+        ).otherwise(F.array(main))
+        keys = changes.select(F.explode(entries).alias("__k")).select("__k.*")
+    else:
+        keys = changes.select(*[F.col(k) for k in pk])
+    return keys.dropDuplicates()
+
+
 def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "op"):
     """Seq of the last TRUNCATE in the batch, or None. A TRUNCATE wipes
     state and all earlier events (C7, PhoenixSyncService.java:505-513
@@ -127,13 +184,7 @@ def collapse_changes(
 
     old_cols = [old_prefix + k for k in pk]
     if any(c in changes.columns for c in old_cols):
-        key_changed = F.lit(False)
-        for k in pk:
-            if (old_prefix + k) in changes.columns:
-                key_changed = key_changed | (
-                    F.col(old_prefix + k).isNotNull()
-                    & ~F.col(old_prefix + k).eqNullSafe(F.col(k))
-                )
+        key_changed = key_changed_expr(changes.columns, pk, old_prefix)
         old_key = old_key_exprs(changes.columns, pk, old_prefix)
         main_entry = F.struct(
             *[F.col(k).alias(f"k_{k}") for k in pk],
@@ -277,7 +328,13 @@ def merge_cdc(
         )
         state = align_to_schema(state, union_schema)
         survivors = align_to_schema(survivors, union_schema)
-    touched = last.select(*[F.col(f"__k_{k}").alias(k) for k in pk]).dropDuplicates()
+    # Touched keys come from the PRE-collapse batch (touched_keys):
+    # same key set as `last` by construction (shared death-row
+    # predicate, pinned by test), but the broadcast-build job now runs
+    # scan -> key project -> distinct instead of re-executing the
+    # whole collapse (shuffle + max_by over the row images) a second
+    # time — r14, guide §2.3 "shuffle keys, not payloads".
+    touched = touched_keys(changes, pk, op_col, old_prefix)
     if broadcast_changes:
         touched = F.broadcast(touched)
     untouched = state.join(touched, on=pk, how="left_anti")

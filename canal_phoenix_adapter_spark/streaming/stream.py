@@ -119,10 +119,23 @@ class _CommitPointer:
         lowercase column set or None) for the schema-change hook — or
         (None, None) for an empty batch: the store owns the emptiness
         check because the pruned store learns it for free from its
-        pre-scan (a separate isEmpty() was one redundant job/epoch)."""
-        if batch_df.isEmpty():
+        pre-scan (a separate isEmpty() was one redundant job/epoch).
+
+        The plain store's pre-scan mirrors the pruned one at smaller
+        width: ONE aggregation job yields both the emptiness check and
+        the TRUNCATE seq (r14 — previously isEmpty() + merge_cdc's
+        truncate re-scan cost two jobs per epoch over the same batch;
+        assumes apply_cdc_epoch's seq/op column contract, like
+        PrunedParquetStateStore._scan_batch)."""
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            truncate_seq_expr("seq", "op").alias("tr"),
+        ).first()
+        if row["n"] == 0:
             return None, None
-        return self._merge_commit_nonempty(batch_df, pk, version, epoch_id)
+        return self._merge_commit_nonempty(
+            batch_df, pk, version, epoch_id, trunc_seq=row["tr"]
+        )
 
     def _merge_commit_nonempty(
         self, batch_df: DataFrame, pk: list[str], version: int, epoch_id: int,
@@ -147,6 +160,24 @@ class _CommitPointer:
                               broadcast_changes=broadcast_changes)
         self._write_unlocked(new_state, version, epoch_id=epoch_id)
         return new_state, prev_cols
+
+
+def _as_nullable(dt: T.DataType) -> T.DataType:
+    """Schema with every field/element marked nullable — what parquet
+    footer inference would report (footers carry no non-null
+    guarantee), so a write-plan schema can seed the read-path memo
+    without leaking a false non-null promise from literals/counts."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType),
+                         True)
+    return dt
 
 
 class ParquetStateStore(_CommitPointer):
@@ -185,6 +216,16 @@ class ParquetStateStore(_CommitPointer):
         self.spark = spark
         self.path = path
         self._meta_dir = path
+        # (version, all-nullable schema) of the last snapshot this
+        # handle wrote or inferred — committed snapshots are immutable
+        # (orphan overwrite only targets versions above _CURRENT), so
+        # the next epoch's basis read can skip parquet footer
+        # inference (one driver-side FS round-trip per epoch; r14).
+        # All-nullable mirrors what inference would return — parquet
+        # footers carry no non-null guarantee — so a write-plan schema
+        # with non-nullable fields (literals, count()s) can never leak
+        # a false non-null promise into the read path.
+        self._schema_memo: tuple[int, T.StructType] | None = None
         os.makedirs(path, exist_ok=True)
 
     def _refuse_pruned_layout(self, version: int) -> None:
@@ -208,7 +249,12 @@ class ParquetStateStore(_CommitPointer):
         if v is None:
             return None
         self._refuse_pruned_layout(v)
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        path = os.path.join(self.path, f"v{v}")
+        if self._schema_memo is not None and self._schema_memo[0] == v:
+            return self.spark.read.schema(self._schema_memo[1]).parquet(path)
+        df = self.spark.read.parquet(path)
+        self._schema_memo = (v, df.schema)
+        return df
 
     def _raise_not_retained(self, version: int, cur: int | None) -> None:
         committed = [v for v in self.versions() if cur is not None and v <= cur]
@@ -254,6 +300,9 @@ class ParquetStateStore(_CommitPointer):
             epoch_id = self.last_epoch()
         target = os.path.join(self.path, f"v{version}")
         df.write.mode("overwrite").parquet(target)
+        schema = _as_nullable(df.schema)
+        assert isinstance(schema, T.StructType)
+        self._schema_memo = (version, schema)
         self._repoint(version, epoch_id)
 
     def versions(self) -> list[int]:
@@ -537,7 +586,12 @@ class PrunedParquetStateStore(ParquetStateStore):
         measured 4-5x the whole epoch wall. ``n_parts`` sizes that
         shuffle (the pruned merge passes |touched|: n_buckets tasks
         for a 200-bucket epoch is pure scheduler overhead, and the
-        earlier 2x slack measurably bought nothing — SCALE.md r6)."""
+        earlier 2x slack measurably bought nothing — SCALE.md r6).
+        The count stays PINNED (REPARTITION_BY_NUM): the r14
+        optimization pass measured the AQE-coalescible column-only
+        form at +20% per drive (interleaved A/B, bands 26.1-30.3s vs
+        21.7-24.4s) — the extra AQE stage round-trip per epoch costs
+        more than |touched| tiny parallel tasks save."""
         target = os.path.join(self.path, f"v{version}")
         (
             df.withColumn(self.BUCKET, self._bucket_of([F.col(k) for k in self.pk]))

@@ -251,3 +251,43 @@ def test_merge_cdc_known_trunc_seq_matches_rescan(spark):
     assert sorted(map(tuple, merge_cdc(state, no_tr, ["id"],
                                        known_trunc_seq=None).collect())) \
         == sorted(map(tuple, merge_cdc(state, no_tr, ["id"]).collect()))
+
+
+def test_touched_keys_equals_collapse_key_set(spark):
+    """merge_cdc's anti-join key set now comes from touched_keys
+    (pre-collapse key projection, r14) instead of the collapsed
+    aggregate's keys. The two MUST stay exactly equal: a superset
+    anti-joins away state rows no survivor re-adds (silent row loss),
+    a subset duplicates keys. Exercises the death-row corners: a
+    PK-changing UPDATE touches BOTH keys; a DELETE carrying a stale
+    old_<pk> touches only its main key (collapse emits no death row
+    for deletes); old == new counts once; NULL keys survive the
+    distinct."""
+    from pyspark.sql import functions as F
+
+    from canal_phoenix_adapter_spark.operators.merge import (
+        collapse_changes,
+        touched_keys,
+    )
+
+    rows = [
+        (1, "INSERT", 10, None, "a"),       # plain insert
+        (2, "UPDATE", 11, 10, "b"),         # PK-change: touches 11 AND 10
+        (3, "DELETE", 12, 99, None),        # DELETE w/ stale old: only 12
+        (4, "UPDATE", 13, 13, "c"),         # old == new: once
+        (5, "INSERT", None, None, "d"),     # NULL key row
+    ]
+    changes = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    got = {r["id"] for r in touched_keys(changes, ["id"]).collect()}
+    collapsed = {
+        r["__k_id"]
+        for r in collapse_changes(changes, ["id"]).select("__k_id").collect()
+    }
+    assert got == collapsed == {10, 11, 12, 13, None}
+    # and 99 (the stale DELETE old key) must NOT be touched: a state
+    # row under that key has to survive the merge untouched
+    state = spark.createDataFrame([(99, "keep"), (12, "dead")],
+                                  "id long, val string")
+    out = {r["id"]: r["val"]
+           for r in merge_cdc(state, changes, ["id"]).collect()}
+    assert out[99] == "keep" and 12 not in out
