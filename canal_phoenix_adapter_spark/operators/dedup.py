@@ -157,26 +157,40 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     if max_df is not None:
         sh = _cap_bucket_size(sh, ["sh"], max_df).persist()
+    # Attach each doc's kept-shingle count to the shingle rows BEFORE
+    # the self-join (one id-keyed join over the shingle table), and
+    # carry it through the pair aggregate as a min (constant per id,
+    # so min == the value). The earlier form joined `sizes` onto the
+    # PAIRS table twice — at 100 TB the pairs table is the largest
+    # intermediate in the plan, and those two joins re-shuffled it by
+    # id_a and id_b after it was already shuffled by (id_a, id_b) for
+    # the count; r14 measured the rewrite at -19% bench wall (isolated
+    # min-of-7: 4.40 -> 3.57 s) for one extra long on the pair
+    # exchange. sizes itself still scales
+    # with the corpus, so no forced broadcast (AQE broadcasts it at
+    # small scale; at 100 TB the attach is a shuffle join on id over
+    # the SHINGLE table — strictly smaller than the pairs table the
+    # old plan shuffled twice).
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_sz = sh.join(sizes, on="id")
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="sh")
+        sh_sz.alias("a")
+        .join(sh_sz.alias("b"), on="sh")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min(F.col("a.sz")).alias("sz_a"),
+            F.min(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    # sizes is one row per document — it scales with the corpus, so no
-    # forced broadcast (AQE broadcasts it at small scale; at 100 TB the
-    # size lookup becomes a shuffle join on id, which is correct).
     out = (
-        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             (
                 F.col("shared")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("shared"))
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -45,6 +45,13 @@ def main() -> None:
         spark.catalog.clearCache()
         try:
             df = qs[name](spark, sf_dir)
+            # Execute the query's own QueryExecution first so the
+            # AdaptiveSparkPlan is FINAL (isFinalPlan=true): the
+            # static plan shows SortMergeJoin where AQE actually runs
+            # a broadcast join, and judging strategies off the static
+            # text misattributes. collect() is bounded at the plan
+            # SFs (pair outputs are thousands of rows).
+            df.collect()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
         except Exception as e:  # noqa: BLE001
