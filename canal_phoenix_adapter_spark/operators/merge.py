@@ -38,6 +38,20 @@ OP_TRUNCATE = "TRUNCATE"
 _NO_PRESCAN = object()  # "did not pre-scan"; None means "no TRUNCATE"
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for Spark SQL expression TEXT.
+
+    The merge kernel builds its per-epoch expression tree as SQL text
+    (selectExpr / F.expr) instead of composed Column objects: the
+    Column form cost ~1,200 py4j round-trips ≈ 330 ms of driver time
+    PER merge_cdc call (profiled r14) — paid on every streaming epoch
+    and in every merge-family bench gate — where the text form is a
+    handful of calls. Semantics are unchanged (same functions, same
+    aliases); each shared fragment below has ONE definition consumed
+    by both the text and Column forms so they cannot drift."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def truncate_seq_expr(seq_col: str = "seq", op_col: str = "op") -> F.Column:
     """THE truncate-detection aggregate (max seq of TRUNCATE rows),
     shared by last_truncate_seq and the pruned store's single-pass
@@ -47,35 +61,83 @@ def truncate_seq_expr(seq_col: str = "seq", op_col: str = "op") -> F.Column:
     return F.max(F.when(F.upper(F.col(op_col)) == OP_TRUNCATE, F.col(seq_col)))
 
 
+def _is_create_sql(op_col: str) -> str:
+    """`op` marks a surviving row image (INSERT/UPDATE) — text twin of
+    the dispatch the reference applies per event type."""
+    return f"upper({_bq(op_col)}) IN ('{OP_INSERT}', '{OP_UPDATE}')"
+
+
+def _old_key_sql(
+    columns: list[str], pk: list[str], old_prefix: str = "old_"
+) -> list[str]:
+    """coalesce(old_<pk>, <pk>) per pk column — THE old-key expression
+    (reference getPkVal, PhoenixSyncService.java:575-593), shared by
+    collapse_changes' death rows, touched_keys, and (via
+    old_key_exprs) the pruned store's touched-bucket pre-scan."""
+    return [
+        f"coalesce({_bq(old_prefix + k)}, {_bq(k)})"
+        if (old_prefix + k) in columns else _bq(k)
+        for k in pk
+    ]
+
+
 def old_key_exprs(
     columns: list[str], pk: list[str], old_prefix: str = "old_"
 ) -> list[F.Column]:
-    """coalesce(old_<pk>, <pk>) per pk column — THE old-key expression
-    (reference getPkVal, PhoenixSyncService.java:575-593), shared by
-    collapse_changes' death rows and the pruned store's touched-bucket
-    pre-scan for the same no-drift reason as truncate_seq_expr."""
-    return [
-        F.coalesce(F.col(old_prefix + k), F.col(k))
-        if (old_prefix + k) in columns else F.col(k)
+    """Column form of _old_key_sql (one definition — see _bq)."""
+    return [F.expr(s) for s in _old_key_sql(columns, pk, old_prefix)]
+
+
+def _key_changed_sql(
+    columns: list[str], pk: list[str], old_prefix: str = "old_"
+) -> str:
+    """True iff the row's old_<pk> columns mark a PK-changing UPDATE
+    (old key present and different) — THE death-row predicate, shared
+    by collapse_changes' timeline and touched_keys' key set so the two
+    can never disagree on which old keys an epoch touches."""
+    terms = [
+        f"({_bq(old_prefix + k)} IS NOT NULL"
+        f" AND NOT ({_bq(old_prefix + k)} <=> {_bq(k)}))"
         for k in pk
+        if (old_prefix + k) in columns
     ]
+    return "(" + (" OR ".join(terms) or "false") + ")"
 
 
 def key_changed_expr(
     columns: list[str], pk: list[str], old_prefix: str = "old_"
 ) -> F.Column:
-    """True iff the row's old_<pk> columns mark a PK-changing UPDATE
-    (old key present and different) — THE death-row predicate, shared
-    by collapse_changes' timeline and touched_keys' key set so the two
-    can never disagree on which old keys an epoch touches."""
-    key_changed = F.lit(False)
-    for k in pk:
-        if (old_prefix + k) in columns:
-            key_changed = key_changed | (
-                F.col(old_prefix + k).isNotNull()
-                & ~F.col(old_prefix + k).eqNullSafe(F.col(k))
-            )
-    return key_changed
+    """Column form of _key_changed_sql (one definition — see _bq)."""
+    return F.expr(_key_changed_sql(columns, pk, old_prefix))
+
+
+def _key_entries_sql(
+    columns: list[str], pk: list[str], op_col: str, old_prefix: str,
+    field_prefix: str, with_create_flag: bool,
+) -> str:
+    """The timeline's per-row key-entry array: the main key (with the
+    create flag when asked), plus the death entry at the OLD key for a
+    PK-changing create. ONE definition for collapse_changes (flagged
+    entries feeding the argmax) and touched_keys (bare key set) — a
+    drift here is exactly the silent-row-loss trap the
+    touched-keys-equals-collapse test pins."""
+    flag = (
+        f", CASE WHEN {_is_create_sql(op_col)} THEN 1 ELSE 0 END AS c"
+        if with_create_flag else ""
+    )
+    dead_flag = ", 0 AS c" if with_create_flag else ""
+    main = "struct(" + ", ".join(
+        f"{_bq(k)} AS {_bq(field_prefix + k)}" for k in pk
+    ) + flag + ")"
+    death = "struct(" + ", ".join(
+        f"{oe} AS {_bq(field_prefix + k)}"
+        for oe, k in zip(_old_key_sql(columns, pk, old_prefix), pk)
+    ) + dead_flag + ")"
+    return (
+        f"CASE WHEN {_is_create_sql(op_col)}"
+        f" AND {_key_changed_sql(columns, pk, old_prefix)}"
+        f" THEN array({main}, {death}) ELSE array({main}) END"
+    )
 
 
 def touched_keys(
@@ -99,22 +161,17 @@ def touched_keys(
     The key set must stay EXACTLY equal to the collapse's: a superset
     would anti-join away state rows no survivor re-adds (silent row
     loss), a subset would duplicate keys."""
-    op = F.upper(F.col(op_col))
-    is_create = op.isin(OP_INSERT, OP_UPDATE)
     old_cols = [old_prefix + k for k in pk]
-    main = F.struct(*[F.col(k).alias(k) for k in pk])
     if any(c in changes.columns for c in old_cols):
-        death = F.struct(*[
-            e.alias(k)
-            for e, k in zip(old_key_exprs(changes.columns, pk, old_prefix), pk)
-        ])
-        entries = F.when(
-            is_create & key_changed_expr(changes.columns, pk, old_prefix),
-            F.array(main, death),
-        ).otherwise(F.array(main))
-        keys = changes.select(F.explode(entries).alias("__k")).select("__k.*")
+        entries = _key_entries_sql(
+            changes.columns, pk, op_col, old_prefix,
+            field_prefix="", with_create_flag=False,
+        )
+        # inline() expands the struct array straight to pk-named
+        # columns — generator and unpack in ONE projection.
+        keys = changes.selectExpr(f"inline({entries})")
     else:
-        keys = changes.select(*[F.col(k) for k in pk])
+        keys = changes.selectExpr(*[_bq(k) for k in pk])
     return keys.dropDuplicates()
 
 
@@ -165,7 +222,6 @@ def collapse_changes(
     alive, image columns hold the final row) or 0 (key ends deleted).
     TRUNCATE rows must be filtered out beforehand (see merge_cdc).
     """
-    op = F.upper(F.col(op_col))
     image_cols = _image_cols(changes.columns, pk, seq_col, op_col, old_prefix)
 
     # Build the per-key timeline in ONE pass: each change row yields its
@@ -179,46 +235,39 @@ def collapse_changes(
     # (the earlier full-image array+explode variant did, costing ~40%
     # on the hot path), and the batch is scanned exactly once (a
     # union-of-two-scans variant re-reads the source for the rare
-    # death rows).
-    is_create = op.isin(OP_INSERT, OP_UPDATE)
+    # death rows). Expression TEXT throughout, not composed Columns —
+    # see _bq: same operators, same aliases, ~6 py4j calls instead of
+    # O(columns) hundreds, paid per streaming epoch.
+    is_create = _is_create_sql(op_col)
 
     old_cols = [old_prefix + k for k in pk]
     if any(c in changes.columns for c in old_cols):
-        key_changed = key_changed_expr(changes.columns, pk, old_prefix)
-        old_key = old_key_exprs(changes.columns, pk, old_prefix)
-        main_entry = F.struct(
-            *[F.col(k).alias(f"k_{k}") for k in pk],
-            F.when(is_create, F.lit(1)).otherwise(F.lit(0)).alias("c"),
+        entries = _key_entries_sql(
+            changes.columns, pk, op_col, old_prefix,
+            field_prefix="k_", with_create_flag=True,
         )
-        death_entry = F.struct(
-            *[k.alias(f"k_{kn}") for kn, k in zip(pk, old_key)],
-            F.lit(0).alias("c"),
-        )
-        entries = F.when(
-            is_create & key_changed, F.array(main_entry, death_entry)
-        ).otherwise(F.array(main_entry))
-        timeline = changes.select(
-            F.col(seq_col).alias("__seq"),
-            *[F.col(c) for c in image_cols],
-            F.explode(entries).alias("__e"),
-        ).select(
-            *[F.col(f"__e.k_{k}").alias(f"__k_{k}") for k in pk],
-            F.col("__seq"),
-            F.col("__e.c").alias("__is_create"),
+        timeline = changes.selectExpr(
+            f"{_bq(seq_col)} AS __seq",
+            *[_bq(c) for c in image_cols],
+            f"explode({entries}) AS __e",
+        ).selectExpr(
+            *[f"__e.{_bq('k_' + k)} AS {_bq('__k_' + k)}" for k in pk],
+            "__seq",
+            "__e.c AS __is_create",
             # __e.c == 1 only on the main entry of a create: death rows
             # and delete mains both null the image.
             *[
-                F.when(F.col("__e.c") == 1, F.col(c)).alias(c)
+                f"CASE WHEN __e.c = 1 THEN {_bq(c)} END AS {_bq(c)}"
                 for c in image_cols
             ],
         )
     else:
-        timeline = changes.select(
-            *[F.col(k).alias(f"__k_{k}") for k in pk],
-            F.col(seq_col).alias("__seq"),
-            F.when(is_create, F.lit(1)).otherwise(F.lit(0)).alias("__is_create"),
+        timeline = changes.selectExpr(
+            *[f"{_bq(k)} AS {_bq('__k_' + k)}" for k in pk],
+            f"{_bq(seq_col)} AS __seq",
+            f"CASE WHEN {is_create} THEN 1 ELSE 0 END AS __is_create",
             *[
-                F.when(is_create, F.col(c)).otherwise(F.lit(None)).alias(c)
+                f"CASE WHEN {is_create} THEN {_bq(c)} END AS {_bq(c)}"
                 for c in image_cols
             ],
         )
@@ -237,12 +286,11 @@ def collapse_changes(
     payload = [c for c in timeline.columns if c not in key_cols]
     last = (
         timeline.groupBy(*key_cols)
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in payload]),
-                F.struct(F.col("__seq"), F.col("__is_create")),
-            ).alias("__t")
-        )
+        .agg(F.expr(
+            "max_by(struct("
+            + ", ".join(_bq(c) for c in payload)
+            + "), struct(__seq, __is_create)) AS __t"
+        ))
         .select(*key_cols, "__t.*")
     )
     return last
@@ -286,25 +334,30 @@ def merge_cdc(
     if known_trunc_seq is not _NO_PRESCAN and not check_truncate:
         raise ValueError("known_trunc_seq requires check_truncate=True "
                          "(a forwarded seq the merge ignores is a bug)")
-    op = F.upper(F.col(op_col))
     if check_truncate:
         trunc_seq = (last_truncate_seq(changes, seq_col, op_col)
                      if known_trunc_seq is _NO_PRESCAN else known_trunc_seq)
         if trunc_seq is not None:
+            # Column form, not text: trunc_seq is a runtime VALUE whose
+            # type (long, timestamp, ...) F.lit preserves exactly.
             changes = changes.where(F.col(seq_col) > F.lit(trunc_seq))
             state = None  # truncate wipes accumulated state (C7)
     # Unrecognized event types are logged-and-ignored by the reference
     # (PhoenixSyncService.sync else-branch), never applied as deletes;
-    # DDL rows travel the schema_sync channel, not the merge.
-    changes = changes.where(op.isin(OP_INSERT, OP_UPDATE, OP_DELETE))
+    # DDL rows travel the schema_sync channel, not the merge. One
+    # combined filter (Catalyst merges them anyway; the driver pays
+    # one analysis instead of two per epoch — see _bq).
+    keep = (f"upper({_bq(op_col)}) IN "
+            f"('{OP_INSERT}', '{OP_UPDATE}', '{OP_DELETE}')")
     if "is_ddl" in changes.columns:
-        changes = changes.where(~F.coalesce(F.col("is_ddl"), F.lit(False)))
+        keep += " AND NOT coalesce(`is_ddl`, false)"
+    changes = changes.where(keep)
 
     last = collapse_changes(changes, pk, seq_col, op_col, old_prefix)
     image_cols = _image_cols(changes.columns, pk, seq_col, op_col, old_prefix)
-    survivors = last.where(F.col("__is_create") == 1).select(
-        *[F.col(f"__k_{k}").alias(k) for k in pk],
-        *[F.col(c) for c in image_cols if c not in pk],
+    survivors = last.where("__is_create = 1").selectExpr(
+        *[f"{_bq('__k_' + k)} AS {_bq(k)}" for k in pk],
+        *[_bq(c) for c in image_cols if c not in pk],
     )
 
     if state is None:

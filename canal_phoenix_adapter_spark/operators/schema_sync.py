@@ -181,8 +181,18 @@ def align_to_schema(
     and a failed streaming epoch replays forever (the wedged-stream
     mode session.py's lenient-cast invariant exists to prevent).
     Malformed values become NULL, the reference's own coercion
-    discipline for unparseable input (SyncUtil.java:203-207)."""
+    discipline for unparseable input (SyncUtil.java:203-207).
+
+    Exact match (same names, same order, same types — the steady-state
+    epoch, where batch and state schemas agree) returns ``df``
+    unchanged: the per-column try_cast projection would be optimized
+    away by Catalyst anyway, but building and analyzing it costs
+    driver time on every streaming epoch (r14)."""
     defaults = defaults or {}
+    if [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        return df
     have = {c.lower(): c for c in df.columns}
     cols = []
     for f in schema.fields:

@@ -60,12 +60,22 @@ def main() -> None:
     orig_unlocked = S._CommitPointer._merge_commit_unlocked
 
     def unlocked(self, batch_df, pk, version, epoch_id):
+        from pyspark.sql import functions as F
+
+        from canal_phoenix_adapter_spark.operators.merge import (
+            truncate_seq_expr,
+        )
         t0 = time.perf_counter()
-        empty = batch_df.isEmpty()
-        PHASES["isEmpty"].append(time.perf_counter() - t0)
-        if empty:
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            truncate_seq_expr("seq", "op").alias("tr"),
+        ).first()
+        PHASES["prescan"].append(time.perf_counter() - t0)
+        if row["n"] == 0:
             return None, None
-        return self._merge_commit_nonempty(batch_df, pk, version, epoch_id)
+        return self._merge_commit_nonempty(
+            batch_df, pk, version, epoch_id, trunc_seq=row["tr"]
+        )
 
     S._CommitPointer._merge_commit_unlocked = unlocked
     S._CommitPointer._merge_commit_nonempty = nonempty
