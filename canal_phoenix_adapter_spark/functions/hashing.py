@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 MINHASH_PRIME = 2147483647  # Mersenne prime 2^31 - 1
 
 
+def bq(name: str) -> str:
+    """Backtick-quote an identifier for generated Spark SQL text.
+
+    Shared by every operator that builds its expression tree as SQL
+    text instead of composed Column objects (merge kernel, sketch
+    constructions): a width-N sketch composed Column-by-Column costs
+    O(N) py4j round-trips PER CALL — profiled at 1.5-1.9 s of driver
+    wall for simhash at width 32 (r14) — where the text form is a
+    handful of calls with identical analyzed plans."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def md5_long(col: Column) -> Column:
     """First 60 bits of md5(col) as a non-negative bigint.
 

@@ -28,11 +28,12 @@ eviction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from canal_phoenix_adapter_spark.functions.hashing import (
     MINHASH_PRIME,
+    bq,
     md5_long,
     minhash_perm_params,
 )
@@ -242,13 +243,14 @@ def minhash_signatures(
     # 16 inlined (h%P*a+b)%P trees — ~2x faster end-to-end (Janino
     # compile + per-row eval) with bit-identical results. hm < 2^31 and
     # a < 2^31, so hm*a+b stays inside signed-64 — no overflow.
-    perms = [
-        ((F.col("hm") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"p{i}")
+    # SQL text for the per-permutation families (functions.hashing.bq):
+    # the Column form cost ~0.8 s of py4j round-trips per call (r14).
+    sh = sh.selectExpr(bq(id_col), *[
+        f"((hm * {a} + {b}) % {MINHASH_PRIME}) AS p{i}"
         for i, (a, b) in enumerate(minhash_perm_params(num_perm))
-    ]
-    sh = sh.select(id_col, *perms)
+    ])
     return sh.groupBy(id_col).agg(
-        *[F.min(f"p{i}").alias(f"mh{i}") for i in range(num_perm)]
+        *[F.expr(f"min(p{i}) AS mh{i}") for i in range(num_perm)]
     )
 
 
@@ -338,15 +340,16 @@ def minhash_band_buckets(
     rows_per_band = num_perm // bands
     band_structs = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
-            )
+        cols = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
         )
-    return sig.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+        band_structs.append(
+            f"struct({b} AS band, md5(concat_ws('_', {cols})) AS bh)"
+        )
+    return sig.selectExpr(
+        f"{bq(id_col)} AS id",
+        f"explode(array({', '.join(band_structs)})) AS bb",
     ).select("id", "bb.band", "bb.bh")
 
 
@@ -416,33 +419,40 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame
         cols.append(_hexbits(32, 1, "hx2"))
     hashed = toks.select(F.col(id_col), *cols)
 
-    def _src(i: int) -> Column:
+    # SQL text, not composed Columns, for the width-sized expression
+    # families (see functions.hashing.bq): the Column form of the
+    # width=32 sketch alone cost ~1.2 s of py4j round-trips per CALL
+    # (cProfile r14, 90% of the capped gate's bench wall); the text
+    # form builds the identical analyzed plan in a few calls.
+    def _src(i: int) -> str:
         for name, lo, hi in (("h", 0, 60), ("hx", 60, 64), ("h2", 64, 124), ("hx2", 124, 128)):
             if i < hi:
-                return F.shiftright(F.col(name), i - lo)
+                return f"shiftright({name}, {i - lo})"
+        raise AssertionError(f"bit {i} beyond 128")
 
     aggs = [
-        F.sum(
-            F.when(_src(i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN ({_src(i)} & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        )
         for i in range(width)
     ]
     sums = hashed.groupBy(id_col).agg(*aggs)
 
-    def _assemble(start: int, nbits: int) -> Column:
-        sketch = F.lit(0).cast("long")
-        for i in range(nbits):
-            bit = F.when(F.col(f"b{start + i}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            sketch = sketch.bitwiseOR(F.shiftleft(bit, i))
-        return sketch
+    def _assemble(start: int, nbits: int) -> str:
+        terms = ["CAST(0 AS BIGINT)"] + [
+            f"shiftleft(CAST(CASE WHEN b{start + i} >= 0 "
+            f"THEN 1 ELSE 0 END AS BIGINT), {i})"
+            for i in range(nbits)
+        ]
+        return "(" + " | ".join(terms) + ")"
 
     if width == 128:
-        return sums.select(
-            F.col(id_col),
-            _assemble(0, 64).alias("simhash_lo"),
-            _assemble(64, 64).alias("simhash_hi"),
+        return sums.selectExpr(
+            bq(id_col),
+            f"{_assemble(0, 64)} AS simhash_lo",
+            f"{_assemble(64, 64)} AS simhash_hi",
         )
-    return sums.select(F.col(id_col), _assemble(0, width).alias("simhash"))
+    return sums.selectExpr(bq(id_col), f"{_assemble(0, width)} AS simhash")
 
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -527,23 +537,18 @@ def simhash_hamming_pairs(
     # powers of two, so [b*bw, (b+1)*bw) lies wholly in one of them.
     # bw=64 (width=128, bands=2) masks with -1 (all ones): (1<<64)-1
     # overflows the long literal.
-    band_vals = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("lo" if b * bw < 64 else "hi"), (b * bw) % 64)
-                .bitwiseAND(F.lit((1 << bw) - 1 if bw < 64 else -1))
-                .alias("bv"),
-            )
-            for b in range(bands)
-        ]
+    band_vals = ", ".join(
+        f"struct({b} AS band, "
+        f"(shiftright({'lo' if b * bw < 64 else 'hi'}, {(b * bw) % 64})"
+        f" & {(1 << bw) - 1 if bw < 64 else -1}) AS bv)"
+        for b in range(bands)
     )
     # sk feeds the band explode AND both hamming-check sides: persist
     # so the token explode + width-way aggregation runs once.
     sk = sk.persist()
-    banded = sk.select("id", F.explode(band_vals).alias("bb")).select(
-        "id", "bb.band", "bb.bv"
-    )
+    banded = sk.selectExpr(
+        "id", f"explode(array({band_vals})) AS bb"
+    ).select("id", "bb.band", "bb.bv")
     cand = _pair_join(banded, ["band", "bv"], max_bucket,
                       persist_buckets=False)
     return (
@@ -808,23 +813,31 @@ def dup_clusters(
     # under Spark's default ANSI mode that overflow RAISES mid-
     # clustering. Decimal keeps the sum exact (no double rounding
     # that could alias a non-fixpoint as converged) at any realistic
-    # node count.
-    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    # node count. The sum rides the checkpoint job as an observed
+    # metric (CollectMetrics — computed in-flow, no shuffle, no plan
+    # change downstream of the checkpoint): a separate agg-on-cache
+    # job per iteration cost 2 AQE jobs × iterations (r14, guide §1.2).
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(_lbl_sum).first()[0]
     # max_iters + 1: convergence is only ever CONFIRMED by an extra
     # unchanged iteration, so a graph whose diameter is exactly
     # max_iters needs one more pass to prove its fixpoint — without
     # it, fully-converged labels would be rejected as non-converged.
     for _ in range(max_iters + 1):
-        labels, new_ids = _ckpt(_cc_iterate(edges, labels))
+        obs = Observation()
+        labels, new_ids = _ckpt(
+            _cc_iterate(edges, labels).observe(obs, _lbl_sum)
+        )
         # The new checkpoint is eager, so the previous iteration's
         # blocks are no longer reachable through any returned plan —
         # free them now instead of waiting for driver GC.
         release_rdds(spark, prev_ids)
         prev_ids = new_ids
         # labels only ever decrease, so the sum is a strict-progress
-        # witness: unchanged sum == fixpoint reached.
-        cur_sum = labels.agg(_lbl_sum).first()[0]
+        # witness: unchanged sum == fixpoint reached. The eager
+        # checkpoint above already ran the action, so the metric get
+        # cannot block.
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from canal_phoenix_adapter_spark.functions.hashing import bq as _bq
 from canal_phoenix_adapter_spark.operators.schema_sync import align_to_schema
 
 OP_INSERT = "INSERT"
@@ -38,18 +39,15 @@ OP_TRUNCATE = "TRUNCATE"
 _NO_PRESCAN = object()  # "did not pre-scan"; None means "no TRUNCATE"
 
 
-def _bq(name: str) -> str:
-    """Backtick-quote an identifier for Spark SQL expression TEXT.
-
-    The merge kernel builds its per-epoch expression tree as SQL text
-    (selectExpr / F.expr) instead of composed Column objects: the
-    Column form cost ~1,200 py4j round-trips ≈ 330 ms of driver time
-    PER merge_cdc call (profiled r14) — paid on every streaming epoch
-    and in every merge-family bench gate — where the text form is a
-    handful of calls. Semantics are unchanged (same functions, same
-    aliases); each shared fragment below has ONE definition consumed
-    by both the text and Column forms so they cannot drift."""
-    return "`" + name.replace("`", "``") + "`"
+# The merge kernel builds its per-epoch expression tree as SQL text
+# (selectExpr / F.expr, identifiers quoted with _bq) instead of
+# composed Column objects: the Column form cost ~270 ms of py4j
+# round-trips PER merge_cdc call (profiled r14) — paid twice per
+# streaming epoch and in every merge-family bench gate — where the
+# text form is a handful of calls. Semantics are unchanged (same
+# functions, same aliases); each shared fragment below has ONE
+# definition consumed by both the text and Column forms so they
+# cannot drift.
 
 
 def truncate_seq_expr(seq_col: str = "seq", op_col: str = "op") -> F.Column:
