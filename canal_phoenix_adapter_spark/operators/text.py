@@ -198,12 +198,15 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     occurrences), ``top_bigram_frac`` (share of the most frequent
     bigram).
 
-    Line features are pure array expressions — no shuffle. The bigram
-    mode is explode -> groupBy(doc, bigram) -> groupBy(doc): two keyed
-    aggregations that scale to arbitrarily long documents, where an
-    array-local count-each-element would be O(B^2) per row. Per-doc
-    scalars ride through the aggregations as first() so no join-back
-    is needed.
+    ALL features are pure array expressions — the operator is a
+    single projection with zero shuffles. The top-bigram count is the
+    longest run in the per-row SORTED bigram array (array_sort +
+    aggregate run-length, O(B log B) per row) — not the former
+    explode -> groupBy(doc, bigram) -> groupBy(doc), which shuffled
+    the exploded bigram table twice (r14, guide §2.4: two Exchanges +
+    a Generate removed; a count-each-element array rewrite would have
+    been O(B^2) per row, the sort keeps it loglinear). Identical
+    values: run lengths in a sorted array ARE the per-bigram counts.
     """
     text = F.col(text_col)
     # Materialize the line/token arrays once per row BELOW the lambdas:
@@ -251,34 +254,42 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_lines.alias("n_lines"),
         dup_line_frac.alias("dup_line_frac"),
         n_bigrams.alias("n_bigrams"),
-        bigrams.alias("_bg"),
+        F.array_sort(bigrams).alias("_sbg"),
     )
-    # explode_outer keeps bigram-less docs as one null row; count(col)
-    # ignores nulls so their top_cnt aggregates to 0, not 1.
-    exploded = base.select(
-        "_id", "n_lines", "dup_line_frac", "n_bigrams",
-        F.explode_outer("_bg").alias("bigram"),
+
+    # Longest run in the sorted array == max per-bigram count. The
+    # run counter is referenced twice in the fold step (run', and
+    # best' = greatest(best, run')), so it is built by a helper for
+    # one definition. Empty array -> best 0 (bigram-less docs),
+    # mirroring the old count-ignores-null explode_outer behavior.
+    def _run(acc: Column, x: Column) -> Column:
+        return (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+        )
+
+    top_cnt = F.aggregate(
+        F.col("_sbg"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    counts = exploded.groupBy("_id", "bigram").agg(
-        F.first("n_lines").alias("n_lines"),
-        F.first("dup_line_frac").alias("dup_line_frac"),
-        F.first("n_bigrams").alias("n_bigrams"),
-        F.count(F.col("bigram")).alias("cnt"),
-    )
-    per_doc = counts.groupBy("_id").agg(
-        F.first("n_lines").alias("n_lines"),
-        F.first("dup_line_frac").alias("dup_line_frac"),
-        F.first("n_bigrams").alias("n_bigrams"),
-        F.max("cnt").alias("top_cnt"),
-    )
-    return per_doc.select(
+    return base.select(
         F.col("_id").alias(id_col),
         "n_lines",
         "dup_line_frac",
         "n_bigrams",
         F.when(
             F.col("n_bigrams") > 0,
-            F.col("top_cnt").cast("double") / F.col("n_bigrams"),
+            top_cnt.cast("double") / F.col("n_bigrams"),
         )
         .when(F.col("n_bigrams").isNotNull(), F.lit(0.0))
         .alias("top_bigram_frac"),
