@@ -173,7 +173,11 @@ def ngram_jaccard_pairs(
     # the SHINGLE table — strictly smaller than the pairs table the
     # old plan shuffled twice).
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_sz = sh.join(sizes, on="id")
+    # Persist the size-attached table too: it feeds BOTH self-join
+    # sides, and unpersisted the id-keyed attach join ran twice (r14
+    # plan audit: two SMJs on id in the executed plan, one per side —
+    # one extra cached long per shingle row buys the join once).
+    sh_sz = sh.join(sizes, on="id").persist()
     pairs = (
         sh_sz.alias("a")
         .join(sh_sz.alias("b"), on="sh")
