@@ -294,6 +294,7 @@ def _cap_bucket_size(
 def _pair_join(
     buckets: DataFrame, keys: list[str], max_bucket: int | None,
     persist_buckets: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """The LSH candidate stage shared by the minhash / simhash /
     embedding band paths: persist the bucket table (at BOTH stages
@@ -304,7 +305,15 @@ def _pair_join(
     ``persist_buckets=False`` skips the PRE-cap persist for callers
     whose bucket table is a cheap explode of an already-persisted
     sketch (simhash persists ``sk`` upstream; caching the explode too
-    just grows caller-owned memory — r13 ADVICE)."""
+    just grows caller-owned memory — r13 ADVICE).
+
+    ``carry`` names narrow per-id columns already present on
+    ``buckets`` to ride through the join as ``<c>_a``/``<c>_b``
+    (guide §2.4: simhash carries its two sketch longs here so the
+    hamming check needs NO id-keyed attach joins afterwards — at
+    scale those joins re-shuffled the pairs table twice). Carried
+    columns must be functionally dependent on ``id`` so the final
+    distinct keeps (id_a, id_b) cardinality unchanged."""
     if persist_buckets:
         buckets = buckets.persist()
     if max_bucket is not None:
@@ -313,7 +322,11 @@ def _pair_join(
         buckets.alias("x")
         .join(buckets.alias("y"), on=keys)
         .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+            *[F.col(f"x.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"y.{c}").alias(f"{c}_b") for c in carry],
+        )
         .dropDuplicates()
     )
 
@@ -547,26 +560,23 @@ def simhash_hamming_pairs(
         f" & {(1 << bw) - 1 if bw < 64 else -1}) AS bv)"
         for b in range(bands)
     )
-    # sk feeds the band explode AND both hamming-check sides: persist
-    # so the token explode + width-way aggregation runs once.
+    # sk feeds the band explode twice (the cap's agg + anti-join
+    # passes recompute the explode from this cache): persist so the
+    # token explode + width-way aggregation runs once. The sketch
+    # longs RIDE the band table through the candidate join (carry=)
+    # instead of being attached afterwards by two id-keyed joins —
+    # those joins re-shuffled the pairs table (the plan's largest
+    # intermediate) by id_a and then id_b; carrying costs 16 bytes ×
+    # bands per doc in the band shuffle and nothing else (r14,
+    # guide §2.4 — same move as ngram's sizes-on-shingles).
     sk = sk.persist()
     banded = sk.selectExpr(
-        "id", f"explode(array({band_vals})) AS bb"
-    ).select("id", "bb.band", "bb.bv")
+        "id", "lo", "hi", f"explode(array({band_vals})) AS bb"
+    ).select("id", "bb.band", "bb.bv", "lo", "hi")
     cand = _pair_join(banded, ["band", "bv"], max_bucket,
-                      persist_buckets=False)
+                      persist_buckets=False, carry=("lo", "hi"))
     return (
-        cand.join(
-            sk.select(F.col("id").alias("id_a"),
-                      F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")),
-            on="id_a",
-        )
-        .join(
-            sk.select(F.col("id").alias("id_b"),
-                      F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")),
-            on="id_b",
-        )
-        .withColumn(
+        cand.withColumn(
             "hamming",
             (
                 F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))

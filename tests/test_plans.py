@@ -126,6 +126,35 @@ def test_capped_band_joins_have_no_nested_loop(q):
         assert "CartesianProduct" not in text, name
 
 
+def test_simhash_pairs_sketch_rides_band_table(spark, sf_dir):
+    """The hamming check reads sketch longs CARRIED through the band
+    self-join (_pair_join carry=), never re-attached by id-keyed
+    joins: the r14 rewrite removed two joins that re-shuffled the
+    pairs table — the plan's largest intermediate — by id_a and then
+    id_b. DISTINCT joins (the cached post-cap bucket table's
+    materialization subtree prints once per self-join side, so raw
+    node counts double-count the cap) must be exactly two: the
+    (band, bv) candidate self-join and the bucket-cap anti-join —
+    and none may be keyed on id_a/id_b (the removed attach shape)."""
+    from canal_phoenix_adapter_spark.operators import dedup
+    from canal_phoenix_adapter_spark.sources.tables import load_table
+    from plan_helpers import explain_str
+
+    spark.catalog.clearCache()  # a cached pair table would hide joins
+    df = dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=3, bands=4, width=64,
+    )
+    text = explain_str(df, "simple")
+    join_lines = re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)[^\n]*", text)
+    assert not [l for l in join_lines if re.search(r"\[id_[ab]#", l)], \
+        join_lines  # no id_a/id_b-keyed attach join may reappear
+    distinct = {re.sub(r"#\d+", "", l) for l in join_lines}
+    assert len(distinct) == 2, sorted(distinct)
+
+
 def test_shingle_generator_has_no_split_in_lambda(q):
     """The shingle/bigram generators must slice a MATERIALIZED token
     array: `slice(split(text), i, n)` inside the transform lambda
