@@ -1554,10 +1554,21 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                carry=("lang", "n_kept_chunks"))
     qual = text_ops.quality_features(scrub, "doc_id", "text_scrubbed",
                                      carry=("lang", "n_kept_chunks"))
-    keep = qual.where(F.col("quality") >= 0.55)
-    out = sampling.stratified_sample(keep, "doc_id", "lang", _STRAT_RATES,
-                                     default_rate=0.05)
-    return out.select("doc_id", "lang", "n_kept_chunks", "n_tokens", "quality")
+    # Persist the NARROW scored projection before the quality filter:
+    # pushing `quality >= 0.55` through the projection substitutes the
+    # whole tokenize+regex quality expression into the filter, which
+    # then runs once in the (non-codegen) Filter above the chunk
+    # aggregate and AGAIN in the output projection — the same
+    # double-eval shape the r13 twin measurement exposed on
+    # text_adaptive_filter (guide §4.4 applied to built-ins; the fix
+    # is the same persisted narrow table, 5 scalar columns per doc,
+    # no text). Cache is caller-owned per the module convention.
+    scored = qual.select(
+        "doc_id", "lang", "n_kept_chunks", "n_tokens", "quality"
+    ).persist()
+    keep = scored.where(F.col("quality") >= 0.55)
+    return sampling.stratified_sample(keep, "doc_id", "lang", _STRAT_RATES,
+                                      default_rate=0.05)
 
 
 @register(
@@ -1692,14 +1703,31 @@ def analytics_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salts against a replicated part side, then aggregated — the oracle
     is the PLAIN join, proving salting changes only the physical key
     space, never the result. The manual answer to a single hot key AQE
-    cannot split."""
+    cannot split.
+
+    The big side is projected to the four columns the query touches
+    and the salt is the documented row-unique form (xxhash64 of the
+    lineitem PK) rather than default_salt's all-non-key-columns hash
+    (guide §2.3/§6, r14): the default pulled SEVEN extra columns —
+    three strings and a timestamp — through the scan solely to feed
+    the salt hash (ReadSchema 11 -> 4 columns), and the join's
+    null-key guard evaluates the salt expression a second time per
+    row in the scan filter. The result is salt-invariant by
+    construction (every row lands on SOME salt and the lookup side is
+    replicated over all of them), which the plain-join oracle
+    witnesses; default_salt keeps its own unit tests."""
     from canal_phoenix_adapter_spark.functions.skew import salted_join
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
     part = load_table(spark, sf_dir, "part").withColumnRenamed(
         "p_partkey", "l_partkey"
     )
-    j = salted_join(li, part, on=["l_partkey"], num_salts=8)
+    j = salted_join(
+        li, part, on=["l_partkey"], num_salts=8,
+        salt_expr=F.xxhash64("l_orderkey", "l_linenumber"),
+    )
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     return (
         j.groupBy("p_brand")
