@@ -1,7 +1,7 @@
 """Dump .explain("formatted") for every benched query to plans/<tag>/.
 
 Usage:
-    python tools/explain_dump.py <tag> [suffix] [only,names]
+    python tests/explain_dump.py <tag> [suffix] [only,names]
 
 Writes plans/<tag>/<query>_<suffix>.txt (suffix defaults to "before").
 Streaming SPECIAL workloads have no single DataFrame plan and are

@@ -5,7 +5,7 @@ the merge_cdc plan per call — the per-epoch cost the streaming drives
 pay 20× per bench run on top of execution. No action is ever run, so
 the numbers isolate py4j round-trips + Catalyst analysis.
 
-Usage: python tools/merge_planbuild_profile.py [n_iters] [n_cols]
+Usage: python tests/merge_planbuild_profile.py [n_iters] [n_cols]
 """
 
 from __future__ import annotations

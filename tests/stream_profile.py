@@ -5,7 +5,7 @@ split its ~600 ms/epoch into named phases. Monkeypatches the store's
 commit path with timers; the drive itself is bench.py's byte-identical
 workload. Prints a phase table; no JSON contract, diagnostic only.
 
-Usage: python tools/stream_profile.py [pruned]
+Usage: python tests/stream_profile.py [pruned]
 """
 
 from __future__ import annotations
