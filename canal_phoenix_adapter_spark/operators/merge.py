@@ -143,16 +143,25 @@ def touched_keys(
     pk: list[str],
     op_col: str = "op",
     old_prefix: str = "old_",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct keys a (pre-filtered) change batch touches: every
-    row's main key, plus the old key of PK-changing creates (the death
-    row's landing spot). This is EXACTLY collapse_changes' timeline
-    key set — pinned by test — derived without the max_by aggregate:
-    the anti join's touched side then ships only the pk columns
-    through one map-side-combined distinct instead of re-running the
-    full collapse (shuffle + max_by over the image payload) a second
-    time inside the broadcast build. At 100 TB the broadcast-build
-    pass moves keys, never row images.
+    """Keys a (pre-filtered) change batch touches: every row's main
+    key, plus the old key of PK-changing creates (the death row's
+    landing spot). This is EXACTLY collapse_changes' timeline key set
+    — pinned by test — derived without the max_by aggregate: the anti
+    join's touched side then ships only the pk columns instead of
+    re-running the full collapse (shuffle + max_by over the image
+    payload) a second time inside the broadcast build. At 100 TB the
+    broadcast-build pass moves keys, never row images.
+
+    ``distinct=False`` skips the dedup aggregate and returns the key
+    MULTISET (same key set, duplicate rows kept): a LEFT ANTI join
+    consumer only probes key existence, so the dedup buys it nothing —
+    and on the broadcast route the distinct's Exchange + two
+    HashAggregates were a whole extra AQE stage barrier per streaming
+    epoch (r15). Keep the default for the shuffle route, where the
+    distinct shrinks the shuffled key bytes by the batch's churn
+    factor.
 
     Caller contract (merge_cdc): ``changes`` already has TRUNCATE/
     DDL/unknown-op rows filtered out, like collapse_changes' input.
@@ -170,7 +179,7 @@ def touched_keys(
         keys = changes.selectExpr(f"inline({entries})")
     else:
         keys = changes.selectExpr(*[_bq(k) for k in pk])
-    return keys.dropDuplicates()
+    return keys.dropDuplicates() if distinct else keys
 
 
 def last_truncate_seq(changes: DataFrame, seq_col: str = "seq", op_col: str = "op"):
@@ -382,10 +391,19 @@ def merge_cdc(
     # Touched keys come from the PRE-collapse batch (touched_keys):
     # same key set as `last` by construction (shared death-row
     # predicate, pinned by test), but the broadcast-build job now runs
-    # scan -> key project -> distinct instead of re-executing the
-    # whole collapse (shuffle + max_by over the row images) a second
-    # time — r14, guide §2.3 "shuffle keys, not payloads".
-    touched = touched_keys(changes, pk, op_col, old_prefix)
+    # scan -> key project instead of re-executing the whole collapse
+    # (shuffle + max_by over the row images) a second time — r14,
+    # guide §2.3 "shuffle keys, not payloads". On the broadcast route
+    # the key MULTISET broadcasts as-is (distinct=False): LEFT ANTI
+    # probes existence only, duplicate build rows cannot change it,
+    # and the memory envelope is already row-count-gated by the
+    # caller's broadcast_changes heuristic — dropping the distinct
+    # removes an Exchange + two HashAggregates (one whole AQE stage
+    # barrier) from every streaming epoch (r15). The shuffle route
+    # keeps the distinct: there the dedup shrinks the shuffled key
+    # bytes by the batch's per-key churn factor.
+    touched = touched_keys(changes, pk, op_col, old_prefix,
+                           distinct=not broadcast_changes)
     if broadcast_changes:
         touched = F.broadcast(touched)
     untouched = state.join(touched, on=pk, how="left_anti")

@@ -593,10 +593,20 @@ class PrunedParquetStateStore(ParquetStateStore):
         21.7-24.4s) — the extra AQE stage round-trip per epoch costs
         more than |touched| tiny parallel tasks save."""
         target = os.path.join(self.path, f"v{version}")
+        # Sort key is (__bucket, *pk), NOT bare pk: the V1 write path
+        # requires its output ordered by the partition column and
+        # inserts its own Sort(__bucket) when the child ordering does
+        # not satisfy it — under which the optimizer ELIMINATED a bare
+        # pk sort as redundant, so files were written in arbitrary pk
+        # order (verified on-disk, r15: 32/32 bucket dirs unsorted).
+        # Prefixing the bucket satisfies the writer's requirement (no
+        # second sort is inserted) and makes the pk-clustered layout —
+        # parquet min/max row-group skipping on key lookups — actually
+        # materialize. Same sort count, strictly better file layout.
         (
             df.withColumn(self.BUCKET, self._bucket_of([F.col(k) for k in self.pk]))
             .repartition(n_parts or self.n_buckets, F.col(self.BUCKET))
-            .sortWithinPartitions(*self.pk)
+            .sortWithinPartitions(self.BUCKET, *self.pk)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy(self.BUCKET)
