@@ -266,8 +266,15 @@ def main() -> None:
     # regression — r4 flagged +19-22% on byte-identical code in the
     # 1-3 s band), and extra samples of them are cheap by
     # construction — so give the fast tail extra min-samples.
+    # Default raised 2 -> 4 in r15 (min-of-7 for the fast tail, ~60s
+    # extra per full run): the r14 driver run reported 12 phantom
+    # >10% "regressions" on completely untouched 0.2-3s queries —
+    # all inside the documented host-steal band — and more min
+    # samples is the only additive fix (r14 VERDICT task 7). The
+    # timed methodology is unchanged: same queries, same noop sink,
+    # same min-of-N estimator, cache cleared before every pass.
     fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUTOFF", "3.0"))
-    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "2"))):
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "4"))):
         for name in normal:
             if not samples[name] or min(samples[name]) >= fast_cut:
                 continue

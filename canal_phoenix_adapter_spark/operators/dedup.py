@@ -177,6 +177,11 @@ def ngram_jaccard_pairs(
     # sides, and unpersisted the id-keyed attach join ran twice (r14
     # plan audit: two SMJs on id in the executed plan, one per side —
     # one extra cached long per shingle row buys the join once).
+    # Re-adjudicated r15 (the r14 driver run read 0.872x): same-JVM
+    # interleaved A/B, 8-10 alternations per variant — all-3-persists
+    # min 2.05s/med 2.31s vs no-sh_sz-persist 2.43/2.54 vs
+    # pre+sh_sz-only 2.38/2.78 vs pre+cap-only 2.28/2.41. The persist
+    # PAYS at bench scale; the driver reading was host noise.
     sh_sz = sh.join(sizes, on="id").persist()
     pairs = (
         sh_sz.alias("a")
@@ -592,7 +597,17 @@ def _ab_cosine_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
     """(id_a, id_b, cosine) with cosine >= threshold, from a join of
     two nonzero_vecs sides aliased "a"/"b" — the exact-cosine tail
     shared by the all-pairs, IVF-cell and band-LSH variants (one
-    definition so a threshold/alias change cannot half-apply)."""
+    definition so a threshold/alias change cannot half-apply).
+
+    The threshold filter is null-safe (``coalesce(cos >= t, false)``)
+    — identical row set, since a NULL cosine fails ``>= t`` anyway —
+    because the bare comparison is null-INTOLERANT and Catalyst's
+    constraint inference derived ``isnotnull(cosine)`` from it, then
+    pushed that through both join sides substituting each side's
+    whole norm fold back into the scan Filter: every vector paid the
+    64-element fold twice despite nonzero_vecs' single-eval rewrite
+    (r15, plan-verified: SQRT-bearing Filter conditions 2 -> 0, norm
+    fold once per side, results identical)."""
     from canal_phoenix_adapter_spark.operators.similarity import _dot
 
     return pairs.select(
@@ -602,7 +617,7 @@ def _ab_cosine_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
             _dot(F.col("a.v"), F.col("b.v"))
             / (F.col("a.nrm") * F.col("b.nrm"))
         ).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+    ).where(F.coalesce(F.col("cosine") >= threshold, F.lit(False)))
 
 
 def embedding_near_dup_pairs(

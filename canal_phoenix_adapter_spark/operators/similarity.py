@@ -53,11 +53,44 @@ def nonzero_vecs(df: DataFrame, id_col: str, vec_col: str,
     embedding variants) builds on. Zero-norm rows drop HERE: their
     cosine is NaN, which sorts GREATER than every double (rank 1 of
     every top-k, passes every >= threshold cut). The norm computes
-    once per vector in the scan, never per pair."""
-    return df.select(
+    once per vector in the scan, never per pair.
+
+    The filter predicate is NOT ``nrm > 0`` on the projected column:
+    pushing that filter below the projection substitutes the whole
+    norm fold into the Filter condition, so every vector paid the
+    64-element fold TWICE (the guide §4.4 double-eval shape, with
+    built-ins — r14 "not yet optimized" item 5). Instead the filter
+    runs BELOW the projection on an exactly-equivalent cheap
+    predicate over the raw array; the fold then evaluates once per
+    surviving vector, and downstream deterministic key filters
+    (``id < num_queries``) still push past it to the scan — which a
+    non-deterministic pushdown barrier would have blocked.
+
+    Equivalence of ``has_mass`` to ``sqrt(sum(x^2)) > 0`` is exact,
+    not approximate, for float inputs: (a) NULL array / any NULL
+    element → norm NULL → filter false == conjuncts 1-2; (b) the
+    square of a nonzero FLOAT in DOUBLE arithmetic can never
+    underflow to 0 (min |float| ~1e-45, squared ~1e-90 ≫ min double)
+    and a sum of non-negative doubles with one positive term is
+    positive, so ∃x: x² > 0 ⟺ Σx² > 0 ⟺ sqrt > 0; (c) a NaN element
+    makes both predicates true (NaN compares greater than 0 in Spark
+    on both paths); (d) ±Inf squares to +Inf on both. ``exists``
+    short-circuits on the first hit, so the predicate costs ~one
+    multiply per row against the fold's 64. SQL text, not composed
+    lambda Columns, for the predicate (the repo's standard py4j
+    discipline — functions.hashing.bq): ``vec_col`` callers pass
+    plain SQL-safe names (same contract as lsh_bucket_expr)."""
+    from canal_phoenix_adapter_spark.functions.hashing import bq
+
+    v = bq(vec_col)
+    has_mass = F.expr(
+        f"{v} IS NOT NULL AND NOT exists({v}, x -> x IS NULL) "
+        f"AND exists({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE) > 0D)"
+    )
+    return df.where(has_mass).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"), *extra,
-    ).where(F.col("nrm") > 0)
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

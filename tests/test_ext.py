@@ -1059,6 +1059,46 @@ def test_band_divisibility_guards(spark):
         dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_dist=2, bands=5)
 
 
+def test_nonzero_vecs_cheap_predicate_matches_norm_filter(spark):
+    """r15: nonzero_vecs filters on a cheap array predicate BELOW the
+    projection (the pushed-down ``nrm > 0`` form evaluated the whole
+    64-element norm fold twice per vector — guide §4.4's double-eval
+    with built-ins). The predicate must stay EXACTLY equivalent to
+    ``sqrt(sum(x^2)) > 0`` on every edge class: NULL array, empty
+    array, all-zero (±0.0), NULL element, NaN element (keeps — NaN
+    compares greater than 0 in Spark on both forms), Inf element,
+    subnormal float (keeps — a nonzero float's square cannot
+    underflow in double), negative components, ragged width (not
+    screened here, by contract)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 2.0]), (1, None), (2, []), (3, [0.0, -0.0]),
+        (4, [None, 1.0]), (5, [float("nan"), 0.0]),
+        (6, [float("inf"), 1.0]), (7, [1e-44, 0.0]), (8, [-3.0, 0.0]),
+        (9, [1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        r["id"] for r in
+        similarity.nonzero_vecs(df, "vec_id", "embedding").collect()
+    )
+    ref = sorted(
+        r["vec_id"] for r in
+        df.where(similarity._norm(F.col("embedding")) > 0).collect()
+    )
+    assert got == ref == [0, 5, 6, 7, 8, 9]
+    # the norm fold must appear exactly once in the executed plan —
+    # the double-eval regression this rewrite removes
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.nonzero_vecs(df, "vec_id", "embedding").explain(mode="formatted")
+    assert buf.getvalue().count("aggregate(") == 1, buf.getvalue()
+
+
 def test_zero_norm_vectors_excluded_everywhere(spark):
     """A zero vector's cosine is 0/0 = NaN, and NaN compares GREATER
     than every double in Spark — unguarded, it would take rank 1 of
