@@ -315,8 +315,11 @@ def ann_topk_lsh(
     )
 
 
-def _dist2_expr(vec_col: str, centroid: list[float]) -> F.Column:
-    """Squared L2 distance to a literal centroid, as one fold.
+def _dist2_sql(vec_sql: str, centroid: list[float]) -> str:
+    """Squared L2 distance to a literal centroid, as one fold — SQL
+    text. ``CAST('<repr>' AS DOUBLE)`` literals: repr is shortest
+    round-trip decimal, bit-identical to the F.lit() path (the
+    _train_iteration_sql precedent, r14).
 
     Deliberately a zip_with/aggregate fold and NOT an unrolled
     per-component expression chain: with k centroids x dim components
@@ -326,14 +329,11 @@ def _dist2_expr(vec_col: str, centroid: list[float]) -> F.Column:
     evaluating outside whole-stage codegen). The fold keeps the plan
     O(k) nodes; its left-to-right double summation order is what the
     external oracle replica mirrors with cumsum."""
-    return F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.lit(centroid),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    lits = ", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
@@ -342,9 +342,24 @@ def assign_cells(vec_col: str, codebook: list[list[float]]) -> F.Column:
     scan-local projection (k distance folds + array_position) — no
     join, no shuffle; the codebook rides into the plan as literals.
     A pure expression builder (like ivf_cell_expr / lsh_bucket_expr):
-    it binds to whatever DataFrame the caller selects it on."""
-    dists = F.array(*[_dist2_expr(vec_col, c) for c in codebook])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    it binds to whatever DataFrame the caller selects it on;
+    ``vec_col`` must be a plain SQL-safe column name (spliced into
+    the expression, same contract as lsh_bucket_expr). Built as ONE
+    parsed SQL string: the previous Column form paid O(k*dim) py4j
+    literal conversions per call — ~0.4s of the trained-ANN gate's
+    serve construction at k=8 x dim=64 (r15; same discipline as
+    _train_iteration_sql, whose docstring carries the measurements).
+    Same expression tree as before: the dists array appears in both
+    array_position arguments, exactly like the composed-Column form
+    it replaces."""
+    from canal_phoenix_adapter_spark.functions.hashing import bq
+
+    dists = "array(" + ", ".join(
+        _dist2_sql(bq(vec_col), c) for c in codebook
+    ) + ")"
+    return F.expr(
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS BIGINT)"
+    )
 
 
 LITERAL_CODEBOOK_MAX = 64  # measured: F.lit-array construction 2.2 s
@@ -493,14 +508,7 @@ def _train_iteration_sql(view: str, codebook: list[list[float]], dim: int) -> st
     join (warm iter: 0.55 s this form vs 1.27 s literal Columns vs
     1.29 s _join_cells). CAST('<repr>' AS DOUBLE): repr is shortest
     round-trip decimal — bit-identical to the F.lit() path."""
-    lits = [", ".join(f"CAST('{c!r}' AS DOUBLE)" for c in centroid)
-            for centroid in codebook]
-    dists = ", ".join(
-        f"aggregate(zip_with(__v, array({ls}), "
-        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        for ls in lits
-    )
+    dists = ", ".join(_dist2_sql("__v", centroid) for centroid in codebook)
     sums = ", ".join(f"sum(CAST(__v[{i}] AS DOUBLE)) AS s{i}" for i in range(dim))
     return (
         f"SELECT array_position(__d, array_min(__d)) - 1 AS __cell, "

@@ -576,3 +576,75 @@ def test_simhash128_aggregate_stays_in_codegen(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_benched_heavy_scans_read_only_consumed_columns(q):
+    """ReadSchema width audit over every benched query that scans one
+    of the three heavy tables (lineitem / documents / embeddings):
+    each scan must read EXACTLY the columns the query consumes — the
+    r14 salted-join finding institutionalized (its lineitem scan read
+    11 columns where the query touches 4, seven of them solely to
+    feed the default salt hash; this pin fails on that form). At
+    100 TB scan width is the first-order I/O knob (guide §6): a
+    regression here costs a multiple of the table's byte width on
+    every run without changing a single result.
+
+    The allowed sets are the columns each gate consumes today; a scan
+    is matched to its table by column-set inclusion (every table has
+    a disjoint column namespace). dedup_clusters is absent: its
+    output plan reads checkpointed RDDs, not parquet. Widening a
+    query's real needs is a deliberate edit to this table, not noise.
+    """
+    import bench
+    from plan_helpers import read_schema_columns
+
+    full = {
+        "lineitem": {
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        },
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    allowed = {
+        "dedup_exact_groups": {"documents": {"doc_id", "text"}},
+        "dedup_minhash_lsh_capped": {"documents": {"doc_id", "text"}},
+        "dedup_ngram_jaccard_maxdf": {"documents": {"doc_id", "text"}},
+        "dedup_simhash_pairs_capped": {"documents": {"doc_id", "text"}},
+        "dedup_chunk_crossdoc": {"documents": {"doc_id", "text"}},
+        "dedup_minhash_lsh_incremental": {"documents": {"doc_id", "text"}},
+        "text_quality": {"documents": {"doc_id", "text"}},
+        "text_features": {"documents": {"doc_id", "text"}},
+        "text_vocab_topk": {"documents": {"text"}},
+        "text_boilerplate_strip": {"documents": {"doc_id", "text"}},
+        "text_pii_scrub": {"documents": {"doc_id", "text"}},
+        "text_decontaminate_ngram": {"documents": {"doc_id", "text"}},
+        "sampling_assembly": {"documents": {"doc_id", "lang", "n_chars"}},
+        "sampling_pack_sequences": {"documents": {"doc_id", "text"}},
+        "mm_geometry": {"documents": {"doc_id", "n_chars", "text"}},
+        "mm_extract_features": {"documents": {"doc_id", "n_chars", "text"}},
+        "pipeline_corpus_clean": {"documents": {"doc_id", "lang", "text"}},
+        "dedup_embedding_cosine_lsh": {"embeddings": {"vec_id", "embedding"}},
+        "dedup_semantic_ivf": {"embeddings": {"vec_id", "embedding"}},
+        "sim_knn_join_ivf": {"embeddings": {"vec_id", "embedding"}},
+        "sim_ann_ivf_trained": {"embeddings": {"vec_id", "embedding"}},
+        "analytics_rollup": {
+            "lineitem": {"l_returnflag", "l_linestatus", "l_quantity"}
+        },
+        "analytics_salted_join": {
+            "lineitem": {"l_partkey", "l_extendedprice", "l_orderkey",
+                         "l_linenumber"}
+        },
+    }
+    offenders = []
+    for name, per_table in allowed.items():
+        assert name in bench.HEADLINE, name  # audit tracks the bench set
+        for cols in read_schema_columns(q(name)):
+            s = {c for c in cols if c}
+            for tbl, full_cols in full.items():
+                if s and s <= full_cols:
+                    extra = s - per_table.get(tbl, s)
+                    if extra:
+                        offenders.append((name, tbl, sorted(extra)))
+    assert not offenders, offenders
