@@ -323,6 +323,12 @@ def _pair_join(
         buckets = buckets.persist()
     if max_bucket is not None:
         buckets = _cap_bucket_size(buckets, keys, max_bucket).persist()
+    # Distinct on the EXPLICIT pair key, not all columns (r14 ADVICE):
+    # pair cardinality is then invariant regardless of what rides in
+    # ``carry`` (an all-column distinct silently emitted duplicate
+    # pairs if a carried column ever violated the id-dependence
+    # invariant), and the distinct's exchange hashes two longs
+    # instead of every carried column.
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), on=keys)
@@ -332,7 +338,7 @@ def _pair_join(
             *[F.col(f"x.{c}").alias(f"{c}_a") for c in carry],
             *[F.col(f"y.{c}").alias(f"{c}_b") for c in carry],
         )
-        .dropDuplicates()
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
